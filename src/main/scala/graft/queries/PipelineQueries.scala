@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** LLM-training-data pipeline operators (beyond the reference's own
+  * surface, per the project north star): deduplication, similarity
+  * search, text analysis, multimodal columns — each wired to the
+  * documents / embeddings testdata tables with a DuckDB oracle.
+  */
+object PipelineQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
+
+  // ---- dedup family ----
+
+  private def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private def d2NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.5)
+      .orderBy("d1", "d2")
+
+  private def d3MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.7)
+      .orderBy("d1", "d2")
+
+  private def d4Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
+      .orderBy("doc_id")
+
+  private def d5SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang")),
+      "doc_id", "lang", maxHamming = 4)
+      .orderBy("d1", "d2")
+
+  private def d6EmbeddingDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)
+      .orderBy("d1", "d2")
+
+  // ---- similarity search ----
+
+  private def s1Knn(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
+      .select(col("id").as("vec_id"), col("cos"))
+
+  private def s2Ivf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
+      .select(col("id").as("vec_id"), col("cell"), col("cos"))
+
+  // ---- text analysis ----
+
+  private def t1LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
+
+  private def t2Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def t3TokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("source")
+
+  private def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- multimodal ----
+
+  private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.packDocuments(docs(s, dir))
+      .select(col("id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("width"), col("height"), md5(col("payload")).as("fp"))
+      .orderBy("id")
+
+  private def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.packDocuments(docs(s, dir)))
+      .toDF().orderBy("id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1Exact _),
+    "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
+    "d3_dedup_minhash_lsh" -> (d3MinhashLsh _),
+    "d4_simhash" -> (d4Simhash _),
+    "d5_simhash_pairs" -> (d5SimhashPairs _),
+    "d6_dedup_embedding" -> (d6EmbeddingDup _),
+    "s1_knn_bruteforce" -> (s1Knn _),
+    "s2_knn_ivf" -> (s2Ivf _),
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality_score" -> (t2Quality _),
+    "t3_token_stats" -> (t3TokenStats _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "m1_media_meta" -> (m1MediaMeta _),
+    "m2_media_features" -> (m2MediaFeatures _))
+
+  // DuckDB mirrors. Shared CTE fragments:
+  private val SH_CTE =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
+      |  WHERE len(ts) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "d2_dedup_ngram_jaccard" ->
+      s"""WITH $SH_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) AS jac
+         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    "d3_dedup_minhash_lsh" ->
+      s"""WITH $SH_CTE,
+         |mh AS (
+         |  SELECT doc_id, sd.seed,
+         |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed, ':', g)), 1, 15)) AS BIGINT)) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) sd
+         |  GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, bb.b,
+         |         md5(concat(sig[3*bb.b+1], ',', sig[3*bb.b+2], ',', sig[3*bb.b+3], ',', bb.b)) AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.g = y.g
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) AS jac
+         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7
+         |ORDER BY d1, d2""".stripMargin,
+    "d4_simhash" -> simhashSql(),
+    "d5_simhash_pairs" ->
+      s"""WITH sim AS (${simhashSql()})
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY d1, d2""".stripMargin,
+    "d6_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
+        |ORDER BY d1, d2""".stripMargin,
+    "s1_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |       list_dot_product(v, qv)/(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "s2_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+        |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cell FROM cent, q
+        |  ORDER BY (list_dot_product(cv, cv) + list_dot_product(qv, qv)
+        |            - 2.0 * list_dot_product(cv, qv)) ASC, cell ASC LIMIT 2)
+        |SELECT a.vec_id, a.cell,
+        |       list_dot_product(a.v, qv)/(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |FROM asg a JOIN probe USING (cell), q
+        |WHERE a.vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "t1_lang_id" -> langIdSql(),
+    "t2_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents)
+        |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |  least(1.0, CAST(len(ts) AS BIGINT)/100.0) * 0.4
+        |  + (CAST(len(list_filter(ts, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)/CAST(len(ts) AS DOUBLE)) * 0.3
+        |  + (CAST(len(list_distinct(ts)) AS BIGINT)/CAST(len(ts) AS DOUBLE)) * 0.3 AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t3_token_stats" ->
+      """SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_tokens,
+        |COUNT(DISTINCT tok) AS n_distinct
+        |FROM (SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m1_media_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(n_chars % 640 AS INT) AS width, CAST(1 AS INT) AS height, md5(text) AS fp
+        |FROM documents ORDER BY id""".stripMargin)
+
+  private def simhashSql(): String =
+    """SELECT doc_id, lang,
+      |       SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+      |FROM (
+      |  SELECT doc_id, lang, j,
+      |         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |           CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15)) AS BIGINT) AS hv
+      |    FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents))
+      |  CROSS JOIN (SELECT unnest(range(60)) AS j)
+      |  GROUP BY 1, 2, 3)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  private def langIdSql(): String = {
+    val sets = TextOps.stopwords.map { case (l, ws) =>
+      l -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+    val scoreCols = sets.map { case (l, inList) =>
+      s"CAST(len(list_filter(ts, x -> x IN $inList)) AS BIGINT) AS c_$l"
+    }.mkString(",\n")
+    val m = sets.map { case (l, _) => s"c_$l" }.mkString("greatest(", ", ", ")")
+    val cases = sets.map { case (l, _) => s"WHEN c_$l = m THEN '$l'" }.mkString(" ")
+    s"""WITH f AS (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents),
+       |sc AS (SELECT lang, $scoreCols FROM f),
+       |mx AS (SELECT lang, $m AS m, * FROM sc)
+       |SELECT lang, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess,
+       |       COUNT(*) AS n
+       |FROM mx GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
+  }
+}

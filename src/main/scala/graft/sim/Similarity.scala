@@ -1,0 +1,83 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Vec
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - `bruteForceTopK`: exact cosine top-k — the correctness baseline; a
+  *   single scan + TakeOrderedAndProject (no full sort, no shuffle of the
+  *   vectors), so it is also the right plan whenever the query set is
+  *   small.
+  * - `ivfTopK`: IVF-style scale path — vectors are pre-assigned to
+  *   centroid cells (one broadcast join + windowed argmin, done once and
+  *   reusable); a query probes only the closest `nprobe` cells, cutting
+  *   the scanned fraction to ~nprobe/ncells. At 100 TB the assignment is
+  *   a materialized, cell-partitioned table and the probe is a partition-
+  *   pruned scan.
+  *
+  * Centroid "training" here deterministically takes the first `ncells`
+  * vectors as centroids (k-means iterations would slot in identically —
+  * the search plan only needs *some* fixed centroid table).
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k by cosine against the vector of `queryId`. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = e.filter(col("id") === queryId).select(col("v").as("qv"))
+    e.join(broadcast(q))
+      .filter(col("id") =!= queryId)
+      .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+      .select(col("id"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Cell assignment: argmin squared-L2 centroid per vector (ties break
+    * to the lowest cell id). Reusable across queries.
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+      ncells: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cent = e.filter(col("id") < ncells)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cell").asc)
+    e.join(broadcast(cent))
+      .withColumn("d", Vec.sqDist(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cell"), col("v"))
+  }
+
+  /** IVF search: probe the `nprobe` cells closest to the query vector,
+    * exact cosine top-k within them.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, ncells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = e.filter(col("id") === queryId).select(col("v").as("qv"))
+    val assigned = assignCells(emb, idCol, vecCol, ncells)
+    val probed = e.filter(col("id") < ncells)
+      .select(col("id").as("cell"), col("v").as("cv"))
+      .join(broadcast(q))
+      .withColumn("d", Vec.sqDist(col("cv"), col("qv")))
+      .orderBy(col("d").asc, col("cell").asc)
+      .limit(nprobe)
+      .select(col("cell"))
+    assigned
+      .join(broadcast(probed), "cell")
+      .filter(col("id") =!= queryId)
+      .join(broadcast(q))
+      .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+      .select(col("id"), col("cell"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, token statistics, language identification (stopword
+  * heuristic), quality scoring, and document fingerprinting.
+  *
+  * All are pure Catalyst column expressions (whole-stage codegen'd, no
+  * UDFs), so they vectorize over a 100 TB corpus with zero serialization
+  * overhead and push down through the optimizer.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (single-space; the corpus normal form). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Count of tokens contained in a (small, broadcast-as-literal) set. */
+  def tokensInSet(text: Column, set: Seq[String]): Column = {
+    val arr = array(set.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t))).cast("long")
+  }
+
+  /** Tiny public stopword lists per language (heuristic language ID).
+    * Real deployments would broadcast fuller lists; the mechanism —
+    * per-language token-membership scores + argmax — is the same.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  /** Heuristic language ID: per-language stopword hit counts, argmax with
+    * deterministic tie-break in `stopwords` declaration order.
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (l, ws) => l -> tokensInSet(text, ws) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(m === 0L, lit("und"))) {
+      case (acc, (l, sc)) => acc.when(sc === m, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /** English stopword ratio (a quality-filter feature). */
+  def stopwordRatio(text: Column): Column =
+    tokensInSet(text, stopwords.head._2).cast("double") / tokenCount(text)
+
+  /** Type-token ratio: distinct / total tokens. */
+  def uniqueRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length saturation + stopword
+    * presence + lexical diversity (the length/punct/stopword-ratio family
+    * of corpus-quality heuristics).
+    */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.4 +
+      stopwordRatio(text) * 0.3 + uniqueRatio(text) * 0.3
+
+  /** Whitespace-normalized form used for fingerprinting. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), " +", " ")
+
+  /** Content-defined document fingerprint (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}
