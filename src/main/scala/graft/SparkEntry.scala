@@ -11,7 +11,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, PipelineQueries)
+  private val packs: Seq[QueryPack] = Seq(Relational, PipelineQueries, AlertQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.alerts.AlertCols
+
+/** The alert-table operator family (SURVEY.md §2.3) exercised on the
+  * driver testdata: the events table is shaped into per-key "alert
+  * packets" (a sorted measurement series per user, with NaN upper
+  * limits), then the same series operators used by the fink modules run
+  * on top — detection counting (nalerthist), last-gap when-cascade
+  * classification (roid shape), and per-band-style slicing.
+  *
+  * Null discipline: Spark's collect_list drops nulls, so the series is
+  * assembled as an array of (ts, id, value) structs with NaN sentinels —
+  * exactly how upper limits travel inside ZTF packets (SURVEY.md §1.4).
+  */
+object AlertQueries extends QueryPack {
+
+  /** events -> one row per user with a time-ordered measurement series;
+    * 'error' events become NaN (upper limits).
+    */
+  private def packets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("m", when(col("event_type") === "error", lit(Double.NaN))
+        .otherwise(col("value")))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_timestamp(col("ts")).as("ts_s"), col("event_id"), col("m")))).as("obs"))
+      .select(col("user_id"),
+        transform(col("obs"), o => o.getField("ts_s")).as("cjd"),
+        transform(col("obs"), o => o.getField("m")).as("cmag"))
+
+  // f1: nalerthist over the synthetic series (NaN = upper limit).
+  private def f1Nalerthist(s: SparkSession, dir: String): DataFrame =
+    packets(s, dir).select(
+      col("user_id"),
+      size(col("cmag")).cast("long").as("n_total"),
+      AlertCols.detectionCount(col("cmag")).cast("long").as("n_det"))
+      .orderBy("user_id")
+
+  // f2: roid-style when-cascade with a last-pair gap veto
+  // (element_at(cjd,-1) - element_at(cjd,-2), ztf/asteroids shape).
+  private def f2RoidCascade(s: SparkSession, dir: String): DataFrame = {
+    val nDet = AlertCols.detectionCount(col("cmag"))
+    val lastGap = element_at(col("cjd"), -1) - element_at(col("cjd"), -2)
+    packets(s, dir).select(
+      col("user_id"),
+      when(nDet <= 5 && lastGap < 3600L, 3)
+        .when(size(col("cjd")) >= 2 && lastGap > 86400L, 0)
+        .when(nDet <= 20, 2)
+        .when(size(col("cjd")) === 1, 1)
+        .otherwise(0).as("flag"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_nalerthist" -> (f1Nalerthist _),
+    "f2_roid_cascade" -> (f2RoidCascade _))
+
+  private val PACKET_CTE =
+    """p AS (
+      |  SELECT user_id,
+      |    list(CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+      |         ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS cjd,
+      |    list(CASE WHEN event_type = 'error' THEN 'NaN'::DOUBLE ELSE value END
+      |         ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS cmag
+      |  FROM events GROUP BY user_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "f1_nalerthist" ->
+      s"""WITH $PACKET_CTE
+         |SELECT user_id, CAST(len(cmag) AS BIGINT) AS n_total,
+         |  CAST(len(list_filter(cmag, x -> NOT isnan(x))) AS BIGINT) AS n_det
+         |FROM p ORDER BY user_id""".stripMargin,
+    "f2_roid_cascade" ->
+      s"""WITH $PACKET_CTE
+         |SELECT user_id, CASE
+         |  WHEN len(list_filter(cmag, x -> NOT isnan(x))) <= 5
+         |       AND cjd[-1] - cjd[-2] < 3600 THEN 3
+         |  WHEN len(cjd) >= 2 AND cjd[-1] - cjd[-2] > 86400 THEN 0
+         |  WHEN len(list_filter(cmag, x -> NOT isnan(x))) <= 20 THEN 2
+         |  WHEN len(cjd) = 1 THEN 1
+         |  ELSE 0 END AS flag
+         |FROM p ORDER BY user_id""".stripMargin)
+}
