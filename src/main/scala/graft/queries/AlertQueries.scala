@@ -56,9 +56,29 @@ object AlertQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  // x1: spatial closest-match crossmatch (SURVEY.md §2.4) on synthetic
+  // sky positions derived from ids: events are "alerts", part rows are
+  // the small catalog with a planted 0.3-arcsec offset, so every alert
+  // whose id is also a part key has one true sub-radius match.
+  private def x1Crossmatch(s: SparkSession, dir: String): DataFrame = {
+    val alerts = t(s, dir, "events").select(
+      col("event_id").as("id"),
+      (col("event_id") % 36000) / 100.0 as "ra",
+      (col("event_id") % 17000) / 100.0 - 85.0 as "dec")
+    val catalog = t(s, dir, "part").select(
+      ((col("p_partkey") % 36000) / 100.0 + lit(0.3 / 3600.0)).as("cra"),
+      ((col("p_partkey") % 17000) / 100.0 - 85.0).as("cdec"),
+      col("p_brand").as("lab"))
+    graft.xmatch.CrossMatch.label(alerts, catalog, 2.0,
+      "id", "ra", "dec", "cra", "cdec", "lab", "match_label")
+      .select(col("id"), col("match_label"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_nalerthist" -> (f1Nalerthist _),
-    "f2_roid_cascade" -> (f2RoidCascade _))
+    "f2_roid_cascade" -> (f2RoidCascade _),
+    "x1_crossmatch" -> (x1Crossmatch _))
 
   private val PACKET_CTE =
     """p AS (
@@ -84,5 +104,26 @@ object AlertQueries extends QueryPack {
          |  WHEN len(list_filter(cmag, x -> NOT isnan(x))) <= 20 THEN 2
          |  WHEN len(cjd) = 1 THEN 1
          |  ELSE 0 END AS flag
-         |FROM p ORDER BY user_id""".stripMargin)
+         |FROM p ORDER BY user_id""".stripMargin,
+    "x1_crossmatch" ->
+      """WITH a AS (
+        |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,
+        |         (event_id % 17000)/100.0 - 85.0 AS dec FROM events),
+        |c AS (
+        |  SELECT (p_partkey % 36000)/100.0 + 0.3/3600.0 AS cra,
+        |         (p_partkey % 17000)/100.0 - 85.0 AS cdec,
+        |         trim(p_brand) AS lab FROM part),
+        |m AS (
+        |  SELECT a.id, c.lab, c.cra, c.cdec,
+        |    asin(sqrt(
+        |      sin(radians(c.cdec - a.dec)/2) * sin(radians(c.cdec - a.dec)/2)
+        |      + cos(radians(a.dec)) * cos(radians(c.cdec))
+        |        * sin(radians(c.cra - a.ra)/2) * sin(radians(c.cra - a.ra)/2)
+        |    )) * 412529.6124941927 AS sep
+        |  FROM a CROSS JOIN c),
+        |best AS (
+        |  SELECT id, lab FROM m WHERE sep < 2.0
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sep, cra, cdec, lab) = 1)
+        |SELECT a.id, coalesce(b.lab, 'Unknown') AS match_label
+        |FROM a LEFT JOIN best b ON a.id = b.id ORDER BY a.id""".stripMargin)
 }

@@ -1,0 +1,135 @@
+package graft.xmatch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spatial nearest-neighbor crossmatch on the celestial sphere —
+  * reference: ztf/xmatch/utils.py:32-82 (astropy KD-tree inside a pandas
+  * UDF) and ztf/xmatch/processor.py:439-598.
+  *
+  * Spark-first design (SURVEY.md §4 "custom Catalyst work"):
+  *
+  * 1. Both sides get a declination *zone id* (zone height = match
+  *    radius), and the small catalog is replicated into its zone and both
+  *    neighbors, so every within-radius pair shares a zone key.
+  * 2. A broadcast-hash equi-join on the zone key + the exact angular
+  *    separation predicate yields candidate pairs — the fact table never
+  *    shuffles, and the per-row candidate set is only the local zone's.
+  * 3. Closest-match dedup is `min(struct(sep, tiebreak, payload))` under
+  *    a groupBy on the alert key — a partial-aggregatable (map-side
+  *    combined) aggregation, deliberately NOT a window sort: at 100 TB a
+  *    window over the fact table would shuffle + sort everything, while
+  *    this plan's only wide exchange is the final hash aggregate.
+  * 4. Left semantics: unmatched alerts keep a default payload
+  *    (`Unknown` label convention, processor.py:593-595).
+  *
+  * The declination-band catalog pre-filter of the Rubin variants
+  * (rubin/xmatch/processor.py:455-467) falls out of zoning for free.
+  */
+object CrossMatch {
+
+  /** Exact angular separation (haversine; degrees in, arcsec out). */
+  def angularSepArcsec(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+    val sd = sin(radians(dec2 - dec1) / 2)
+    val sr = sin(radians(ra2 - ra1) / 2)
+    val h = sd * sd + cos(radians(dec1)) * cos(radians(dec2)) * sr * sr
+    asin(sqrt(h)) * lit(2.0 * 180.0 / math.Pi * 3600.0)
+  }
+
+  private def zoneId(dec: Column, zoneHeightDeg: Double): Column =
+    floor((dec + 90.0) / zoneHeightDeg).cast("long")
+
+  /** Append the payload of the closest catalog row within `radiusArcsec`
+    * of each alert (defaults where unmatched).
+    *
+    * @param alerts     large side; must contain `idCol`, `raCol`, `decCol`
+    * @param catalog    small side with columns (ra, dec, payload...)
+    * @param payload    catalog payload columns to append
+    * @param defaults   per-payload-column default for unmatched alerts
+    */
+  def closestWithin(alerts: DataFrame, catalog: DataFrame,
+      radiusArcsec: Double, idCol: String, raCol: String, decCol: String,
+      catRa: String, catDec: String, payload: Seq[String],
+      defaults: Map[String, Column]): DataFrame = {
+    val zh = math.max(radiusArcsec / 3600.0, 1e-4)
+    val catZoned = catalog.select(
+      (explode(array(lit(-1L), lit(0L), lit(1L))).as("__dz")) +:
+        col(catRa).as("__cra") +: col(catDec).as("__cdec") +:
+        payload.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__zone", zoneId(col("__cdec"), zh) + col("__dz"))
+      .drop("__dz")
+
+    val left = alerts.withColumn("__zone", zoneId(col(decCol), zh))
+    val sep = angularSepArcsec(col(raCol), col(decCol), col("__cra"), col("__cdec"))
+
+    val joined = left.join(broadcast(catZoned),
+        left("__zone") === catZoned("__zone") && sep < radiusArcsec, "left")
+      .withColumn("__sep", sep)
+
+    // one row per alert: lexicographic min over (sep, catalog position,
+    // payload) — deterministic under ties; null seps (unmatched) lose to
+    // any real match because min(struct) ignores null structs only when
+    // the whole struct is null, so wrap: matched rows get flag 0, else 1.
+    val alertStruct = struct(alerts.columns.map(c => left(c)): _*)
+    val best = joined
+      .groupBy(col(idCol))
+      .agg(
+        first(alertStruct).as("__alert"),
+        min(when(col("__sep").isNotNull,
+          struct(col("__sep") +: col("__cra") +: col("__cdec") +:
+            payload.map(c => col(s"__p_$c")): _*))).as("__m"))
+
+    val outCols = alerts.columns.map(c => col(s"__alert.$c").as(c)) ++
+      payload.map(c => coalesce(col(s"__m.__p_$c"), defaults(c)).as(c))
+    best.select(outCols: _*)
+  }
+
+  /** Label-style crossmatch: closest catalog `labelCol` within radius,
+    * else "Unknown" — the crossmatch_other_catalog contract
+    * (ztf/xmatch/processor.py:439-598). Labels are trimmed as the
+    * reference does (`str(i).strip()`).
+    */
+  def label(alerts: DataFrame, catalog: DataFrame, radiusArcsec: Double,
+      idCol: String, raCol: String, decCol: String,
+      catRa: String, catDec: String, labelCol: String,
+      outCol: String): DataFrame = {
+    val cat = catalog.select(col(catRa), col(catDec),
+      trim(col(labelCol).cast("string")).as("__label"))
+    closestWithin(alerts, cat, radiusArcsec, idCol, raCol, decCol,
+      catRa, catDec, Seq("__label"), Map("__label" -> lit("Unknown")))
+      .withColumnRenamed("__label", outCol)
+  }
+}
+
+/** Loaders for the reference's bundled static catalogs (FIXTURES.md §5).
+  * Each returns (df, raCol, decCol, labelCol).
+  */
+object Catalogs {
+  import org.apache.spark.sql.SparkSession
+
+  def gcvs(spark: SparkSession, path: String): (DataFrame, String, String, String) =
+    (spark.read.parquet(path), "ra", "dec", "VarType")
+
+  def vsx(spark: SparkSession, path: String): (DataFrame, String, String, String) =
+    (spark.read.parquet(path), "RAdeg", "DEdeg", "Type")
+
+  /** TNS confirmed objects only (type non-null), as the reference filters
+    * (ztf/xmatch/processor.py:360-361).
+    */
+  def tns(spark: SparkSession, path: String): (DataFrame, String, String, String) = {
+    val df = spark.read.parquet(path).filter(col("type").isNotNull)
+    (df, "ra", "declination", "type")
+  }
+
+  /** Mangrove galaxy catalog; payload is a string map like the reference's
+    * dict payload (ztf/xmatch/processor.py:601-690).
+    */
+  def mangrove(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(
+      col("ra"), col("dec"),
+      map(
+        lit("HyperLEDA_name"), col("HyperLEDA_name").cast("string"),
+        lit("2MASS_name"), col("2MASS_name").cast("string"),
+        lit("lum_dist"), col("lum_dist").cast("string"),
+        lit("ang_dist"), col("ang_dist").cast("string")).as("payload"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.xmatch.{Catalogs, CrossMatch}
+
+/** Golden tests from the reference's crossmatch doctests
+  * (ztf/xmatch/processor.py:478-553): 4 fake alerts vs the bundled GCVS
+  * and VSX catalogs at 1.5 arcsec.
+  */
+class CrossMatchSpec extends SparkSpec {
+
+  private val catalogDir = "/root/reference/fink_science/data/catalogs"
+
+  private lazy val fake = {
+    import spark.implicits._
+    Seq(
+      ("1", 26.8566983, -26.9677112),
+      ("2", 101.3520545, 24.5421872),
+      ("3", 0.3126, 47.6859),
+      ("4", 0.31820833, 29.59277778)).toDF("id", "ra", "dec")
+  }
+
+  private def run(cat: (org.apache.spark.sql.DataFrame, String, String, String),
+      radius: Double): Map[String, String] = {
+    val (df, ra, dec, lab) = cat
+    CrossMatch.label(fake, df, radius, "id", "ra", "dec", ra, dec, lab, "out")
+      .select("id", "out").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("gcvs crossmatch matches the reference doctest") {
+    val got = run(Catalogs.gcvs(spark, s"$catalogDir/gcvs.parquet"), 1.5)
+    assert(got === Map("1" -> "Unknown", "2" -> "RR", "3" -> "Unknown", "4" -> "Unknown"))
+  }
+
+  test("vsx crossmatch matches the reference doctest") {
+    // the VSX catalog is fetched by the reference's CI, not bundled;
+    // run the golden only when present
+    assume(new java.io.File(s"$catalogDir/vsx").exists())
+    val got = run(Catalogs.vsx(spark, s"$catalogDir/vsx"), 1.5)
+    assert(got === Map("1" -> "MISC", "2" -> "RRAB", "3" -> "Unknown", "4" -> "Unknown"))
+  }
+
+  test("closest-match picks the nearest and defaults to Unknown") {
+    import spark.implicits._
+    // catalog: two objects near alert A (0.5" and 1.0" away), none near B
+    val cat = Seq(
+      (10.0, 20.0 + 0.5 / 3600.0, "NEAR"),
+      (10.0, 20.0 + 1.0 / 3600.0, "FAR"),
+      (50.0, -30.0, "ELSEWHERE")).toDF("cra", "cdec", "lab")
+    val alerts = Seq(("A", 10.0, 20.0), ("B", 120.0, 5.0)).toDF("id", "ra", "dec")
+    val got = CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out")
+      .select("id", "out").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("A" -> "NEAR", "B" -> "Unknown"))
+  }
+
+  test("zone boundaries do not lose matches (neighbor-zone replication)") {
+    import spark.implicits._
+    // alert just below a zone boundary, catalog object just above it
+    val zh = 1.5 / 3600.0
+    val boundary = -90.0 + 1000 * zh
+    val alerts = Seq(("E", 0.0, boundary - 1e-7)).toDF("id", "ra", "dec")
+    val cat = Seq((0.0, boundary + 1e-7, "X")).toDF("cra", "cdec", "lab")
+    val got = CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out").select("out").head().getString(0)
+    assert(got === "X")
+  }
+
+  test("angular separation is exact for known pairs") {
+    import spark.implicits._
+    // 1 arcsec offset in dec at the equator
+    val df = Seq((0.0, 0.0, 0.0, 1.0 / 3600.0)).toDF("ra1", "dec1", "ra2", "dec2")
+    val sep = df.select(CrossMatch.angularSepArcsec(
+      col("ra1"), col("dec1"), col("ra2"), col("dec2"))).head().getDouble(0)
+    assert(math.abs(sep - 1.0) < 1e-9)
+  }
+}
