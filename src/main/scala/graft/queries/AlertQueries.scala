@@ -75,9 +75,32 @@ object AlertQueries extends QueryPack {
       .orderBy("id")
   }
 
+  // g1: light-curve-style statistics over each key's sorted series
+  // (ad_features shape, SURVEY.md §2.3) — mean/std/median/amplitude as
+  // sequential folds over the sorted array, bit-stable across engines.
+  private def g1LcStats(s: SparkSession, dir: String): DataFrame =
+    packets(s, dir)
+      .withColumn("vals", expr("filter(cmag, x -> NOT isnan(x))"))
+      .filter(size(col("vals")) >= 2)
+      .withColumn("n", size(col("vals")))
+      .withColumn("mean", expr("aggregate(vals, 0D, (a, x) -> a + x) / n"))
+      .withColumn("std", sqrt(expr(
+        "aggregate(vals, 0D, (a, x) -> a + (x - mean) * (x - mean)) / (n - 1)")))
+      .withColumn("sorted", array_sort(col("vals")))
+      .withColumn("median",
+        when(col("n") % 2 === 1, element_at(col("sorted"), ((col("n") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("sorted"), (col("n") / 2).cast("int")) +
+            element_at(col("sorted"), (col("n") / 2).cast("int") + 1)) / 2.0))
+      .withColumn("amplitude",
+        (array_max(col("vals")) - array_min(col("vals"))) / 2.0)
+      .select(col("user_id"), col("n").cast("long").as("n"),
+        col("mean"), col("std"), col("median"), col("amplitude"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_nalerthist" -> (f1Nalerthist _),
     "f2_roid_cascade" -> (f2RoidCascade _),
+    "g1_lc_stats" -> (g1LcStats _),
     "x1_crossmatch" -> (x1Crossmatch _))
 
   private val PACKET_CTE =
@@ -105,6 +128,22 @@ object AlertQueries extends QueryPack {
          |  WHEN len(cjd) = 1 THEN 1
          |  ELSE 0 END AS flag
          |FROM p ORDER BY user_id""".stripMargin,
+    "g1_lc_stats" ->
+      s"""WITH $PACKET_CTE,
+         |v AS (
+         |  SELECT user_id, list_filter(cmag, x -> NOT isnan(x)) AS vals
+         |  FROM p),
+         |w AS (
+         |  SELECT user_id, vals, len(vals) AS n,
+         |    list_aggregate(vals, 'sum') / len(vals) AS mean,
+         |    list_sort(vals) AS sorted
+         |  FROM v WHERE len(vals) >= 2)
+         |SELECT user_id, CAST(n AS BIGINT) AS n, mean,
+         |  sqrt(list_aggregate(list_transform(vals, x -> (x - mean) * (x - mean)), 'sum') / (n - 1)) AS std,
+         |  CASE WHEN n % 2 = 1 THEN sorted[CAST((n + 1) // 2 AS INT)]
+         |       ELSE (sorted[CAST(n // 2 AS INT)] + sorted[CAST(n // 2 + 1 AS INT)]) / 2.0 END AS median,
+         |  (list_aggregate(vals, 'max') - list_aggregate(vals, 'min')) / 2.0 AS amplitude
+         |FROM w ORDER BY user_id""".stripMargin,
     "x1_crossmatch" ->
       """WITH a AS (
         |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,
