@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
+import graft.models.{Scorer, StubModels}
+
+/** Classifier score modules (SURVEY.md §2.3): native selection gates +
+  * JVM feature kernels + injected [[graft.models.Scorer]]s. Model
+  * *parameters* default to deterministic stand-ins (see StubModels);
+  * every other stage — gates, feature extraction, sentinel semantics,
+  * column contracts — follows the reference modules.
+  */
+object Classifiers {
+
+  private def arr(xs: Seq[java.lang.Double]): Array[Double] =
+    if (xs == null) Array.empty
+    else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+
+  /** Per-band (g,r) sigmoid-rise features in flux space; 12 doubles. */
+  def sniaFeatures(cjd: Array[Double], cmagpsf: Array[Double],
+      csigmapsf: Array[Double], cfid: Array[Int]): Array[Double] = {
+    val out = new Array[Double](12)
+    var band = 1
+    while (band <= 2) {
+      val sel = cfid.indices.filter(i => cfid(i) == band && !cmagpsf(i).isNaN && !csigmapsf(i).isNaN)
+      val t = sel.map(cjd).toArray
+      val f = sel.map(i => FastTransientKernel.toFlux(cmagpsf(i))).toArray
+      val s = sel.map(i => FastTransientKernel.toFluxErr(csigmapsf(i), FastTransientKernel.toFlux(cmagpsf(i)))).toArray
+      val r = SigmoidFit.fit(t, f, s)
+      val off = (band - 1) * 6
+      out(off) = r.a; out(off + 1) = r.b; out(off + 2) = r.c
+      out(off + 3) = r.snratio; out(off + 4) = r.chisq; out(off + 5) = r.nrise
+      band += 1
+    }
+    out.map(x => if (x.isNaN) 0.0 else x)
+  }
+
+  /** Early-SN-Ia score (`pIa`) — reference:
+    * ztf/random_forest_snia/processor.py:77-216. 0.0 where the gate
+    * rejects (reference sentinel).
+    */
+  def rfSnia(spark: SparkSession, df: DataFrame,
+      scorer: Scorer = StubModels.forest("rf_snia", 12)): DataFrame = {
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double], cf: Seq[Int]) =>
+      scorer.score(sniaFeatures(arr(cjd), arr(cm), arr(cs), cf.toArray)))
+    df.withColumn("pIa",
+      when(SelectionCuts.sniaGate(col("cmagpsf"), col("candidate.ndethist"),
+        col("cdsxmatch")),
+        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Kilonova score (`pKNe`) — reference: ztf/kilonova/processor.py:37-186
+    * (PCA-projection features + RF). Features: per-band normalized flux
+    * projected on a broadcast component matrix.
+    */
+  def kilonova(spark: SparkSession, df: DataFrame,
+      components: Array[Array[Double]] = StubComponents.pc,
+      scorer: Scorer = StubModels.forest("kilonova", 8)): DataFrame = {
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double], cf: Seq[Int]) => {
+      val jd = arr(cjd); val m = arr(cm)
+      val feats = new Array[Double](8)
+      var band = 1
+      while (band <= 2) {
+        val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN)
+        val flux = sel.map(i => FastTransientKernel.toFlux(m(i))).toArray
+        val off = (band - 1) * 4
+        if (flux.nonEmpty) {
+          val mx = flux.max
+          val norm = flux.map(_ / mx)
+          // project padded/truncated series on 3 components + max flux
+          var k = 0
+          while (k < 3) {
+            var acc = 0.0
+            var i = 0
+            while (i < norm.length && i < components(k).length) {
+              acc += norm(i) * components(k)(i); i += 1
+            }
+            feats(off + k) = acc
+            k += 1
+          }
+          feats(off + 3) = mx
+        }
+        band += 1
+      }
+      scorer.score(feats)
+    })
+    df.withColumn("pKNe",
+      when(SelectionCuts.kilonovaGate(col("cmagpsf"), col("candidate.ndethist"),
+        col("cdsxmatch")),
+        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+          col("cfid").cast("array<int>")))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Microlensing score (`mulens`) — reference:
+    * ztf/microlensing/processor.py:38-190: per-band feature vectors,
+    * both bands must vote; score is the mean of band probabilities when
+    * both exceed 0.5, else 0.
+    */
+  def microlensing(spark: SparkSession, df: DataFrame,
+      scorer: Scorer = StubModels.forest("mulens", 26)): DataFrame = {
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double], cf: Seq[Int]) => {
+      val jd = arr(cjd); val m = arr(cm); val sg = arr(cs)
+      val scores = (1 to 2).map { band =>
+        val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN && !sg(i).isNaN)
+        if (sel.length < 3) 0.0
+        else {
+          val f = LightCurveFeatures.extract(
+            sel.map(jd).toArray, sel.map(m).toArray, sel.map(sg).toArray)
+            .map(x => if (x.isNaN) 0.0 else x)
+          scorer.score(f)
+        }
+      }
+      if (scores.forall(_ > 0.5)) scores.sum / 2.0 else 0.0
+    })
+    df.withColumn("mulens",
+      s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+        col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+  }
+
+  /** SNN-style score — reference: ztf/snn/processor.py:84-210 (PyTorch
+    * RNN over SNANA-formatted sequences; here: gate + light-curve
+    * summary features + scorer). -99 sentinel outside the gate isn't
+    * used by SNN (it scores everything the gate admits; rejected rows
+    * get 0.0 like the reference's use_mask application).
+    */
+  def snn(spark: SparkSession, df: DataFrame, outCol: String = "snn_snia_vs_nonia",
+      scorer: Scorer = StubModels.logistic("snn", 26)): DataFrame = {
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double]) => {
+      val jd = arr(cjd); val m = arr(cm); val sg = arr(cs)
+      val sel = m.indices.filter(i => !m(i).isNaN && !sg(i).isNaN)
+      val f = LightCurveFeatures.extract(
+        sel.map(jd).toArray, sel.map(m).toArray, sel.map(sg).toArray)
+        .map(x => if (x.isNaN) 0.0 else x)
+      scorer.score(f)
+    })
+    df.withColumn(outCol,
+      when(SelectionCuts.snnGate(col("cmagpsf"), col("cjd"),
+        col("candidate.jdstarthist"), col("roid"), col("cdsxmatch")),
+        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+          col("csigmapsf").cast("array<double>")))
+        .otherwise(lit(0.0)))
+  }
+
+  /** Anomaly score — reference: ztf/anomaly_detection/processor.py:85-242.
+    * Two per-band isolation forests over the 26 lc_features; the final
+    * score is the min over bands with valid features, NaN when neither
+    * band has features (TwoBandModel.anomaly_score semantics).
+    */
+  def anomaly(spark: SparkSession, df: DataFrame,
+      forestG: Scorer = StubModels.isolationForest("anomaly_g", 26),
+      forestR: Scorer = StubModels.isolationForest("anomaly_r", 26)): DataFrame = {
+    val s = udf((lc: Map[Int, Map[String, Double]]) => {
+      def bandScore(b: Int, f: Scorer): Option[Double] =
+        lc.get(b).map { feats =>
+          f.score(LightCurveFeatures.names.map(n =>
+            feats.getOrElse(n, Double.NaN)).map(x => if (x.isNaN) 0.0 else x).toArray)
+        }
+      val scores = Seq(bandScore(1, forestG), bandScore(2, forestR)).flatten
+      if (scores.isEmpty) Double.NaN else scores.min
+    })
+    df.withColumn("anomaly_score", s(col("lc_features")))
+  }
+}
+
+/** Deterministic stand-in PCA components for the kilonova projection
+  * (real deployment: the kndetect component matrix, broadcast).
+  */
+object StubComponents {
+  val pc: Array[Array[Double]] = {
+    val r = new java.util.Random(424242L)
+    Array.fill(3)(Array.fill(24)(r.nextGaussian() / math.sqrt(24.0)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.alerts.AlertCols
+import graft.kernels.SigmoidFit
+import graft.models.{IsolationForestScorer, StubModels}
+import graft.operators.{AdFeatures, Asteroids, Classifiers, SelectionCuts}
+
+class ClassifiersSpec extends SparkSpec {
+
+  val ztfSample = "/root/reference/fink_science/data/alerts/datatest"
+
+  private lazy val enriched = {
+    val alerts = spark.read.parquet(ztfSample)
+    val series = AlertCols.withHistory(alerts,
+      Seq("jd", "magpsf", "sigmapsf", "fid", "distnr", "magnr", "sigmagnr", "isdiffpos"))
+    Asteroids(series.withColumnRenamed("roid", "roid_orig"))
+  }
+
+  test("sigmoid fit recovers parameters of a clean sigmoid") {
+    val a = 0.8; val b = 10.0; val c = 500.0
+    val t = (0 until 20).map(_.toDouble).toArray
+    val f = t.map(ti => c / (1.0 + math.exp(-a * (ti - b))))
+    val s = Array.fill(20)(5.0)
+    val r = SigmoidFit.fit(t, f, s)
+    assert(math.abs(r.c - c) / c < 0.01)
+    assert(math.abs(r.a - a) < 0.05)
+    assert(r.chisq < 1e-3)
+  }
+
+  test("pIa: gated rows get 0.0, admitted rows a probability") {
+    val out = Classifiers.rfSnia(spark, enriched)
+    val gate = SelectionCuts.sniaGate(col("cmagpsf"), col("candidate.ndethist"), col("cdsxmatch"))
+    val n = out.count()
+    assert(n === 124)
+    assert(out.filter(!gate && col("pIa") =!= 0.0).count() === 0)
+    val admitted = out.filter(gate)
+    assert(admitted.filter(col("pIa") < 0.0 || col("pIa") > 1.0).count() === 0)
+  }
+
+  test("snn and kilonova and mulens run over the fixture with valid ranges") {
+    val out = Classifiers.microlensing(spark,
+      Classifiers.kilonova(spark, Classifiers.snn(spark, enriched)))
+    val bad = out.filter(
+      col("snn_snia_vs_nonia") < 0 || col("snn_snia_vs_nonia") > 1 ||
+        col("pKNe") < 0 || col("pKNe") > 1 ||
+        col("mulens") < 0 || col("mulens") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("anomaly: min over valid bands, NaN when no features") {
+    val withFeatures = AdFeatures(spark, enriched)
+    val out = Classifiers.anomaly(spark, withFeatures)
+    // every alert with at least one featured band gets a finite score
+    val n = out.filter(size(map_keys(col("lc_features"))) > 0 &&
+      isnan(col("anomaly_score"))).count()
+    assert(n === 0)
+    val nan = out.filter(size(map_keys(col("lc_features"))) === 0).count()
+    assert(out.filter(isnan(col("anomaly_score"))).count() === nan)
+  }
+
+  test("isolation forest average path length matches the iForest paper") {
+    assert(IsolationForestScorer.averagePathLength(2) === 1.0)
+    val c256 = IsolationForestScorer.averagePathLength(256)
+    assert(c256 > 9 && c256 < 12)
+  }
+
+  test("scorers are deterministic across instantiations") {
+    val x = Array.tabulate(26)(_ * 0.1)
+    val s1 = StubModels.forest("rf_snia", 26).score(x)
+    val s2 = StubModels.forest("rf_snia", 26).score(x)
+    assert(s1 === s2)
+  }
+}
