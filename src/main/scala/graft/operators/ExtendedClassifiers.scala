@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
+import graft.models.{Scorer, StubModels}
+
+/** The remaining score modules (SURVEY.md §2.3): superluminous (ZTF),
+  * orphan GRB and SLSN (Rubin). Same architecture as [[Classifiers]]:
+  * native gates, JVM feature kernels, injected scorers with
+  * deterministic stand-in parameters, reference sentinel contracts.
+  */
+object ExtendedClassifiers {
+
+  /** The transient-filter conjunction consumed by superluminous
+    * (derived from the 7 transient_features booleans; the reference
+    * takes it as a precomputed input column,
+    * ztf/superluminous/processor.py:36-44).
+    */
+  def isTransient: Column =
+    col("real") && col("positivesubtraction") && col("stationary") &&
+      !col("pointunderneath") && !col("brightstar") && !col("variablesource")
+
+  /** Superluminous-SN score — reference:
+    * ztf/superluminous/processor.py:34-268. -1 sentinel when not a
+    * transient, younger than 30 days, or too few points. The reference
+    * additionally merges the full light curve fetched from the Fink API
+    * (HTTP); offline we score the in-alert points only — the service
+    * hook belongs in a client trait like the blazar DR client.
+    */
+  def superluminous(spark: SparkSession, df: DataFrame,
+      minAgeDays: Double = 30.0, minPoints: Int = 5,
+      scorer: Scorer = StubModels.forest("superluminous", 26)): DataFrame = {
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val jd = arr(cjd); val m = arr(cm); val e = arr(cs)
+      val sel = m.indices.filter(i => !m(i).isNaN && !e(i).isNaN)
+      if (sel.length < 5) -1.0
+      else scorer.score(LightCurveFeatures.extract(
+        sel.map(jd).toArray, sel.map(m).toArray, sel.map(e).toArray)
+        .map(x => if (x.isNaN) 0.0 else x))
+    })
+    val age = element_at(col("cjd"), -1) - col("candidate.jdstarthist")
+    df.withColumn("superluminous_score",
+      when(isTransient && age >= minAgeDays &&
+        graft.alerts.AlertCols.detectionCount(col("cmagpsf")) >= minPoints,
+        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+          col("csigmapsf").cast("array<double>")))
+        .otherwise(lit(-1.0)))
+  }
+
+  /** Orphan-GRB afterglow score (Rubin) — reference:
+    * rubin/orphans/processor.py:30-102 + classifier.py/fit.py: flux ->
+    * AB magnitude, >= 5 valid points gate, duration/rise/decay/color
+    * features plus a light-curve shape fit, then the classifier. -1
+    * sentinel under the gate.
+    */
+  def orphanGrb(spark: SparkSession, df: DataFrame,
+      scorer: Scorer = StubModels.forest("orphans", 10)): DataFrame = {
+    val s = udf((cmjd: Seq[java.lang.Double], cflux: Seq[java.lang.Double],
+        cerr: Seq[java.lang.Double], cband: Seq[String]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val t = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
+      val sel = f.indices.filter(i => !f(i).isNaN && f(i) > 0 && !e(i).isNaN)
+      if (sel.length < 5) -1.0
+      else {
+        // AB magnitude from nJy flux: m = -2.5 log10(f) + 31.4
+        val mags = sel.map(i => -2.5 * math.log10(f(i)) + 31.4)
+        val ts = sel.map(t)
+        val order = ts.indices.sortBy(ts)
+        val tSorted = order.map(ts).toArray
+        val mSorted = order.map(mags).toArray
+        val iPeak = mSorted.indices.minBy(mSorted) // brightest
+        val duration = tSorted.last - tSorted.head
+        val rise = tSorted(iPeak) - tSorted.head
+        val decay = tSorted.last - tSorted(iPeak)
+        val riseSlope =
+          if (rise > 0) (mSorted.head - mSorted(iPeak)) / rise else 0.0
+        val decaySlope =
+          if (decay > 0) (mSorted.last - mSorted(iPeak)) / decay else 0.0
+        // mean color: g - r mean magnitudes where both exist
+        def bandMean(b: String): Double = {
+          val bs = sel.indices.filter(j => cband(sel(j)) == b)
+          if (bs.isEmpty) Double.NaN
+          else bs.map(j => -2.5 * math.log10(f(sel(j))) + 31.4).sum / bs.length
+        }
+        val color = bandMean("g") - bandMean("r")
+        val sig = SigmoidFit.fit(tSorted,
+          mSorted.map(m => math.pow(10.0, -0.4 * m)),
+          sel.map(e).toArray)
+        val feats = Array(duration, rise, decay, riseSlope, decaySlope,
+          if (color.isNaN) 0.0 else color, mSorted.min, mSorted.max,
+          if (sig.chisq.isNaN) 0.0 else sig.chisq, sel.length.toDouble)
+        scorer.score(feats)
+      }
+    })
+    df.withColumn("p_orphan", s(
+      col("cmidpointMjdTai").cast("array<double>"), col("cpsfFlux").cast("array<double>"),
+      col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>")))
+  }
+
+  /** SLSN score (Rubin) — reference: rubin/slsn/processor.py:26-92 +
+    * feature_extraction.py (rainbow multiband features + RF). Features
+    * here: the 26-statistic kernel over all bands + per-band counts.
+    */
+  def slsnRubin(spark: SparkSession, df: DataFrame,
+      scorer: Scorer = StubModels.forest("slsn", 32)): DataFrame = {
+    val s = udf((cmjd: Seq[java.lang.Double], cflux: Seq[java.lang.Double],
+        cerr: Seq[java.lang.Double], cband: Seq[String]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val t = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
+      val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
+      if (sel.length < 3) -1.0
+      else {
+        val order = sel.sortBy(t)
+        val base = LightCurveFeatures.extract(
+          order.map(t).toArray, order.map(f).toArray, order.map(e).toArray)
+          .map(x => if (x.isNaN) 0.0 else x)
+        val counts = Rubin.Bands.map(b => sel.count(i => cband(i) == b).toDouble)
+        scorer.score(base ++ counts)
+      }
+    })
+    df.withColumn("slsn_score", s(
+      col("cmidpointMjdTai").cast("array<double>"), col("cpsfFlux").cast("array<double>"),
+      col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>")))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.alerts.AlertCols
+import graft.kernels.LightCurveFeatures
+import graft.models.{Scorer, StubModels}
+
+/** Rubin/LSST adapters (SURVEY.md §1.3, §2.3 rubin modules): same operator
+  * machinery as ZTF with the packet layout swapped — current struct is
+  * `diaSource`, history `prvDiaSources`, photometry is flux-space
+  * (psfFlux/psfFluxErr in nJy), time is `midpointMjdTai`, band a letter
+  * (u,g,r,i,z,y).
+  */
+object Rubin {
+
+  val Bands: Seq[String] = Seq("u", "g", "r", "i", "z", "y")
+
+  /** Rubin concat_col (rubin/slsn/processor.py:66-69):
+    * cX = prvDiaSources.X ++ [diaSource.X].
+    */
+  def withHistory(df: DataFrame, columns: Seq[String]): DataFrame =
+    AlertCols.withHistory(df, columns,
+      current = AlertCols.RubinCurrent, history = AlertCols.RubinHistory)
+
+  /** Detection count over the flux series (nalerthist analog). */
+  def nalerthist(df: DataFrame): DataFrame =
+    df.withColumn("nalerthist", AlertCols.detectionCount(col("cpsfFlux")))
+
+  /** Per-band light-curve features over fluxes, keyed by band letter —
+    * rubin/ad_features/processor.py:35-227 (same 26-statistic kernel;
+    * bands are strings, all six kept).
+    */
+  def adFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
+        cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val f = arr(cflux); val e = arr(cerr); val t = arr(cmjd)
+      Bands.flatMap { b =>
+        val sel = cband.indices.filter(i => cband(i) == b &&
+          !f(i).isNaN && !e(i).isNaN)
+        if (sel.isEmpty) None
+        else {
+          val order = sel.sortBy(t)
+          val feats = LightCurveFeatures.extract(
+            order.map(t).toArray, order.map(f).toArray, order.map(e).toArray)
+          Some(b -> LightCurveFeatures.names.zip(feats).toMap)
+        }
+      }.toMap
+    })
+    df.withColumn("lc_features", kernel(
+      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
+      col("cmidpointMjdTai").cast("array<double>"), col("cband").cast("array<string>")))
+  }
+
+  /** SNN-style score over the flux series (rubin/snn/processor.py:35-180;
+    * FLUXCAL rescale factor 10^(-(31.4-27.5)/2.5) applied as there).
+    */
+  def snn(spark: SparkSession, df: DataFrame, outCol: String = "snn_sn_vs_all",
+      scorer: Scorer = StubModels.logistic("rubin_snn", 26)): DataFrame = {
+    val fluxcal = math.pow(10.0, -(31.4 - 27.5) / 2.5)
+    val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
+        cmjd: Seq[java.lang.Double]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val f = arr(cflux).map(_ * fluxcal)
+      val e = arr(cerr).map(_ * fluxcal)
+      val t = arr(cmjd)
+      val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
+      val feats = LightCurveFeatures.extract(
+        sel.map(t).toArray, sel.map(f).toArray, sel.map(e).toArray)
+        .map(x => if (x.isNaN) 0.0 else x)
+      scorer.score(feats)
+    })
+    df.withColumn(outCol, kernel(
+      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
+      col("cmidpointMjdTai").cast("array<double>")))
+  }
+
+  /** CATS-style multi-class argmax (rubin/cats/processor.py:60-169):
+    * scores from a per-class scorer bank; output is the argmax index via
+    * the reference's own native expression
+    * `array_position(preds, array_max(preds)) - 1`.
+    */
+  def catsBroadClass(spark: SparkSession, df: DataFrame, nClasses: Int = 5,
+      bank: Int => Scorer = i => StubModels.logistic(s"cats_$i", 26)): DataFrame = {
+    val scorers = (0 until nClasses).map(bank)
+    val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
+        cmjd: Seq[java.lang.Double]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val f = arr(cflux); val e = arr(cerr); val t = arr(cmjd)
+      val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
+      val feats = LightCurveFeatures.extract(
+        sel.map(t).toArray, sel.map(f).toArray, sel.map(e).toArray)
+        .map(x => if (x.isNaN) 0.0 else x)
+      scorers.map(_.score(feats)).toArray
+    })
+    df.withColumn("cats_preds", kernel(
+      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
+      col("cmidpointMjdTai").cast("array<double>")))
+      .withColumn("cats_broad_class",
+        expr("array_position(cats_preds, array_max(cats_preds)) - 1").cast("int"))
+  }
+
+  /** Declination-band catalog pre-filter used by the Rubin xmatch
+    * variants (rubin/xmatch/processor.py:455-467): prune the catalog to
+    * the alerts' dec range before matching. With the zone-bucketed
+    * crossmatch this is free, but the helper is exposed for API parity.
+    */
+  def decBandFilter(catalog: DataFrame, decCol: String,
+      decMin: Double, decMax: Double, padDeg: Double): DataFrame =
+    catalog.filter(col(decCol) >= decMin - padDeg && col(decCol) <= decMax + padDeg)
+}

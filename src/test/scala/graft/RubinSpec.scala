@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Rubin
+import graft.xmatch.{Catalogs, CrossMatch}
+
+class RubinSpec extends SparkSpec {
+
+  val rubinSample = "/root/reference/fink_science/data/alerts/or4_lsst7.1"
+
+  private lazy val alerts = spark.read.parquet(rubinSample)
+
+  private lazy val withSeries = Rubin.withHistory(alerts,
+    Seq("psfFlux", "psfFluxErr", "midpointMjdTai", "band"))
+
+  test("rubin fixture loads and concat_col builds flux series") {
+    assert(alerts.count() === 50)
+    val r = withSeries.select("cpsfFlux", "cmidpointMjdTai").limit(10).collect()
+    r.foreach { row =>
+      assert(row.getSeq[Any](0).length === row.getSeq[Any](1).length)
+      assert(row.getSeq[Any](0).nonEmpty)
+    }
+  }
+
+  test("rubin nalerthist counts real flux measurements") {
+    val out = Rubin.nalerthist(withSeries)
+    val mm = out.agg(min("nalerthist"), max("nalerthist")).head()
+    assert(mm.getInt(0) >= 1)
+    assert(mm.getInt(1) >= mm.getInt(0))
+  }
+
+  test("rubin ad features: per-band-letter maps over flux space") {
+    val out = Rubin.adFeatures(spark, withSeries)
+    val rows = out.select("cband", "lc_features").limit(10).collect()
+    rows.foreach { r =>
+      val feats = r.getMap[String, Map[String, Double]](1)
+      feats.keys.foreach(k => assert(Rubin.Bands.contains(k)))
+      feats.values.foreach(f => assert(f.size === 26))
+    }
+  }
+
+  test("rubin snn + cats produce bounded scores and a class index") {
+    val out = Rubin.catsBroadClass(spark, Rubin.snn(spark, withSeries))
+    val bad = out.filter(col("snn_sn_vs_all") < 0 || col("snn_sn_vs_all") > 1).count()
+    assert(bad === 0)
+    val cls = out.select("cats_broad_class").collect().map(_.getInt(0))
+    assert(cls.forall(c => c >= 0 && c < 5))
+  }
+
+  test("rubin crossmatch works against a dec-band-filtered catalog") {
+    val a = alerts.select(col("alertId").as("id"),
+      col("diaSource.ra").as("ra"), col("diaSource.dec").as("dec"))
+    val stats = a.agg(min("dec"), max("dec")).head()
+    val (gcvs, ra, dec, lab) = Catalogs.gcvs(spark,
+      "/root/reference/fink_science/data/catalogs/gcvs.parquet")
+    val pruned = Rubin.decBandFilter(gcvs, dec, stats.getDouble(0), stats.getDouble(1), 1.0)
+    val out = CrossMatch.label(a, pruned, 1.5, "id", "ra", "dec", ra, dec, lab, "gcvs")
+    assert(out.count() === 50)
+    // the or4 pointing has no GCVS stars within 1.5" -> all Unknown is fine,
+    // but every row must carry the label column
+    assert(out.filter(col("gcvs").isNull).count() === 0)
+  }
+}
