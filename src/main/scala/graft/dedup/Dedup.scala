@@ -20,14 +20,39 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** Token 3-gram shingle set (distinct) of a text column. */
+  /** Distinct token n-gram shingles of one text (single-space
+    * tokenization, lowercased — TextOps.tokens semantics). First
+    * occurrence order, like Spark's array_distinct.
+    */
+  def shinglesKernel(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Token 3-gram shingle set (distinct) of a text column. A compiled
+    * kernel: the Catalyst transform/element_at formulation re-evaluates
+    * the tokenization per lambda reference (interpreted HOFs do no
+    * common-subexpression elimination), re-splitting the text hundreds
+    * of times per row; the JVM loop splits once.
+    */
   def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    val k = udf((t: String) => shinglesKernel(if (t == null) "" else t, n))
+    k(text)
   }
 
   /** Exact dedup: one survivor (min id) per distinct content hash. */
@@ -35,34 +60,97 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** All pairs with n-gram Jaccard >= threshold. Exact: every pair with
-    * nonzero Jaccard shares >= 1 shingle, so the shared-shingle join is a
-    * complete (and shuffle-bucketed) candidate generator.
+  /** All pairs with n-gram Jaccard >= threshold. Exact, with PPJoin-style
+    * prefix filtering: shingles are globally ordered by (frequency, value)
+    * and only each document's prefix (the first |S| - ceil(t|S|) + 1
+    * shingles) is exploded into the candidate join — any pair at
+    * threshold t must share a prefix element, so no qualifying pair is
+    * lost, while hot (frequent) shingles land at the back of the order
+    * and stop driving quadratic candidate blowup. Candidates are then
+    * verified with the exact intersection.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .cache() // feeds frequency ranking, candidate join, and verification
     val ex = sets.select(col("id"), explode(col("sh")).as("g"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // rank shingles per document by global rarity; keep only the prefix
+    val ranked = ex.join(freq, "g")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("cnt"), col("g")))).as("ranked"))
+      .withColumn("nsh", size(col("ranked")))
+      .withColumn("npref",
+        (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
+      .select(col("id"),
+        explode(expr("transform(slice(ranked, 1, npref), x -> x.g)")).as("g"))
+    val cand = ranked.as("a").join(ranked.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sets.select(col("id").as("d1"), col("nsh").as("n1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("nsh").as("n2")), "d2")
+      .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
+    verifyJaccard(cand, sets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+
+  /** MinHash signature kernel: one seeded md5 digest per shingle yields
+    * TWO independent members (hex chars 1-15 and 17-31 are independent
+    * digest bits), halving the hashing. A compiled UDF rather than
+    * Catalyst md5/conv expressions: higher-order-function lambdas are
+    * interpreted without common-subexpression elimination, so the
+    * expression form recomputes every digest per member; the JVM loop
+    * computes each digest exactly once. Values are identical to
+    * `conv(substr(md5(concat(seed,':',g)),off,15),16,10)`, so the DuckDB
+    * oracle reproduces them bit-for-bit.
+    *
+    * A single-digest affine family was measurably worse: its minima
+    * correlate across members, so LSH bands collide for unrelated
+    * documents and verification explodes.
+    */
+  def minhashSignatureKernel(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    val nSeeds = (numHashes + 1) / 2
+    shingles.foreach { g =>
+      var s = 0
+      while (s < nSeeds) {
+        md.reset()
+        val digest = md.digest((s.toString + ":" + g).getBytes("UTF-8"))
+        val hex = toHex(digest)
+        val even = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        if (even < minima(2 * s)) minima(2 * s) = even
+        if (2 * s + 1 < numHashes) {
+          val odd = java.lang.Long.parseLong(hex.substring(16, 31), 16)
+          if (odd < minima(2 * s + 1)) minima(2 * s + 1) = odd
+        }
+        s += 1
+      }
+    }
+    minima
   }
 
-  /** MinHash signature column: array of `numHashes` per-seed minima over
-    * the shingle set (requires non-empty shingle array).
-    */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, g => hash60(g, i)))): _*)
+  private def toHex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      .append(Character.forDigit(b & 0xf, 16)) }
+    sb.toString
+  }
+
+  /** Signature column over a shingle-set column. */
+  def minhashSignature(sh: Column, numHashes: Int): Column = {
+    val k = udf((s: Seq[String]) => minhashSignatureKernel(s, numHashes))
+    k(sh)
+  }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
@@ -75,8 +163,12 @@ object Dedup {
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 3,
       n: Int = 3): DataFrame = {
     val bandsN = numHashes / rowsPerBand
+    // cache: the shingle sets feed signature building AND verification
+    // (at corpus scale this would be a persisted/checkpointed table)
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .cache()
     val sigs = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val bandKeys = (0 until bandsN).map { b =>
       md5(concat_ws(",",
@@ -87,14 +179,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
-    val sized = sets.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
-    cand
-      .join(sized.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
-      .join(sized.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), col("jac"))
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** 60-bit SimHash: majority vote per bit over token hashes (token
@@ -118,9 +203,13 @@ object Dedup {
     agg.select((col(idCol) +: carryCols.map(col)) :+ sim.as("simhash"): _*)
   }
 
-  /** SimHash near-dup pairs within a blocking column, by Hamming radius. */
-  def simhashPairs(sim: DataFrame, idCol: String, blockCol: String,
-      maxHamming: Int): DataFrame =
+  /** SimHash near-dup pairs within a blocking column, by Hamming radius.
+    * The signature table is cached: it feeds both sides of the
+    * block-bucketed self-join.
+    */
+  def simhashPairs(sim0: DataFrame, idCol: String, blockCol: String,
+      maxHamming: Int): DataFrame = {
+    val sim = sim0.cache()
     sim.as("a").join(sim.as("b"),
         col(s"a.$blockCol") === col(s"b.$blockCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -128,6 +217,7 @@ object Dedup {
         expr(s"bit_count(a.simhash ^ b.simhash)").cast("long"))
       .filter(col("ham") <= maxHamming)
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), col("ham"))
+  }
 
   /** Embedding-cosine near-dup pairs within a blocking column. The dot
     * product is a sequential left fold in double precision (bit-stable,
@@ -137,7 +227,7 @@ object Dedup {
       blockCol: String, threshold: Double): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(vecCol).cast("array<double>").as("v"))
-    val withNorm = e.withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
+    val withNorm = e.withColumn("nrm", sqrt(Vec.dot(col("v"), col("v")))).cache()
     withNorm.as("a").join(withNorm.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
@@ -146,10 +236,27 @@ object Dedup {
   }
 }
 
-/** Dense-vector column math via higher-order functions (codegen'd). */
+/** Dense-vector column math. */
 object Vec {
-  /** Sequential left-fold dot product over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product over two array<double> columns.
+    * A compiled while-loop UDF: performs the same IEEE operation
+    * sequence as the `aggregate(zip_with(...))` higher-order form (so
+    * results are bit-identical and match DuckDB's list_dot_product) but
+    * without the per-row intermediate array allocation the HOF pays.
+    */
+  private val dotUdf =
+    org.apache.spark.sql.functions.udf((a: Seq[Double], b: Seq[Double]) => {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    })
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  /** HOF reference implementation (kept for plan-inspection tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -141,7 +141,8 @@ object PipelineQueries extends QueryPack {
       s"""WITH $SH_CTE,
          |mh AS (
          |  SELECT doc_id, sd.seed,
-         |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed, ':', g)), 1, 15)) AS BIGINT)) AS v
+         |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed // 2, ':', g)),
+         |             1 + 16 * (sd.seed % 2), 15)) AS BIGINT)) AS v
          |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) sd
          |  GROUP BY 1, 2),
          |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY 1),
