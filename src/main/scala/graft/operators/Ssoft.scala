@@ -55,6 +55,22 @@ object Ssoft {
     SsoftParams(band(1), band(2), span, cmagpsf.length, 0)
   }
 
+  /** Missing-column repair: per-measurement Gaussian noise arrays
+    * (`cdx`/`cdy`) — reference: ztf/ssoft/processor.py:819-825, a seeded
+    * randn pandas UDF there. Here the noise is a deterministic function
+    * of (object name, index, seed) via Box-Muller over a splitmix hash,
+    * so results are independent of partitioning (Spark's randn(seed)
+    * depends on row position within a partition).
+    */
+  def withNoiseColumns(df: DataFrame, seed: Long = 3L): DataFrame = {
+    val noise = udf((name: String, n: Int) => {
+      val rng = new java.util.Random(name.hashCode.toLong * 0x9e3779b97f4a7c15L ^ seed)
+      Array.fill(n)(rng.nextGaussian())
+    })
+    df.withColumn("cdx", noise(col("ssnamenr"), size(col("cra"))))
+      .withColumn("cdy", noise(concat(col("ssnamenr"), lit("#y")), size(col("cra"))))
+  }
+
   /** Build the flat table. Mirrors the reference driver:
     * size filters (>= nmin measurements, consistent arrays), optional
     * sampling, repartition + cache, per-object fit, typed select.

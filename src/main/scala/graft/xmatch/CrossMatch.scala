@@ -66,18 +66,20 @@ object CrossMatch {
         left("__zone") === catZoned("__zone") && sep < radiusArcsec, "left")
       .withColumn("__sep", sep)
 
-    // one row per alert: lexicographic min over (sep, catalog position,
-    // payload) — deterministic under ties; null seps (unmatched) lose to
-    // any real match because min(struct) ignores null structs only when
-    // the whole struct is null, so wrap: matched rows get flag 0, else 1.
+    // one row per alert: min_by with ordering (sep, catalog position) —
+    // deterministic under ties, partial-aggregatable map-side, and the
+    // payload stays OUT of the ordering so non-orderable payload types
+    // (maps, like mangrove's) work. Unmatched rows have a null ordering
+    // and are ignored by min_by; all-unmatched groups yield null.
     val alertStruct = struct(alerts.columns.map(c => left(c)): _*)
     val best = joined
       .groupBy(col(idCol))
       .agg(
         first(alertStruct).as("__alert"),
-        min(when(col("__sep").isNotNull,
-          struct(col("__sep") +: col("__cra") +: col("__cdec") +:
-            payload.map(c => col(s"__p_$c")): _*))).as("__m"))
+        min_by(
+          struct(payload.map(c => col(s"__p_$c")): _*),
+          when(col("__sep").isNotNull,
+            struct(col("__sep"), col("__cra"), col("__cdec")))).as("__m"))
 
     val outCols = alerts.columns.map(c => col(s"__alert.$c").as(c)) ++
       payload.map(c => coalesce(col(s"__m.__p_$c"), defaults(c)).as(c))
