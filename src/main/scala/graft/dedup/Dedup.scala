@@ -244,16 +244,9 @@ object Vec {
     * results are bit-identical and match DuckDB's list_dot_product) but
     * without the per-row intermediate array allocation the HOF pays.
     */
-  private val dotUdf =
-    org.apache.spark.sql.functions.udf((a: Seq[Double], b: Seq[Double]) => {
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { acc += a(i) * b(i); i += 1 }
-      acc
-    })
-
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Native codegen'd Catalyst expression (same IEEE sequence). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct(a, b)
 
   /** HOF reference implementation (kept for plan-inspection tests). */
   def dotHof(a: Column, b: Column): Column =
