@@ -86,6 +86,18 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  // t5: winnowed rolling-hash fingerprints (MOSS scheme) — rows-only
+  // check (the 61-bit Mersenne rolling hash has no SQL mirror).
+  private def t5Winnow(s: SparkSession, dir: String): DataFrame = {
+    val fp = udf((t: String) => graft.text.Winnow.fingerprints(
+      if (t == null) "" else t))
+    docs(s, dir)
+      .select(col("doc_id"), fp(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
+        element_at(col("fps"), 1).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -112,6 +124,7 @@ object PipelineQueries extends QueryPack {
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_winnow_fingerprint" -> (t5Winnow _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _))
 

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the scale design
+  * depends on (SURVEY.md §4). These fail if a future change silently
+  * de-optimizes a scan, join, or aggregation strategy.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q4: filters and column pruning reach the parquet scan") {
+    val p = plan("q4_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), "no pushed filters")
+    assert(p.contains("l_shipdate"), "shipdate filter missing from scan")
+    // only the 4 referenced columns are read
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schema.contains("l_orderkey"), "scan reads unused columns")
+  }
+
+  test("q2: dimension joins broadcast; fact table does not shuffle for the join") {
+    val p = plan("q2_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x1 crossmatch: one zone broadcast join, no sort-merge, no window sort") {
+    val p = plan("x1_crossmatch")
+    assert(p.contains("BroadcastHashJoin"), "zone join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
+      "closest-match must be an aggregation, not a window sort")
+    assert(p.contains("min_by") || p.contains("minBy") || p.contains("partial_min_by")
+      || p.contains("partial"), "expect partial aggregation")
+  }
+
+  test("q1: aggregation is partially applied map-side") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial"), "no map-side partial aggregation")
+  }
+
+  test("q6: global top-k avoids a full sort") {
+    val p = plan("q6_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
+
+  test("s1 knn: single scan + broadcast of the query vector, top-k without full sort") {
+    val p = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("BroadcastExchange"))
+  }
+}
