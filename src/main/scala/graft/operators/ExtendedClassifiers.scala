@@ -13,14 +13,17 @@ import graft.models.{Scorer, StubModels}
   */
 object ExtendedClassifiers {
 
-  /** The transient-filter conjunction consumed by superluminous
-    * (derived from the 7 transient_features booleans; the reference
-    * takes it as a precomputed input column,
-    * ztf/superluminous/processor.py:36-44).
+  /** The transient-filter conjunction consumed by superluminous (after
+    * fink-filters' transient_complete_filter over the 7
+    * transient_features booleans + the SSO veto; the reference takes it
+    * as a precomputed input column, ztf/superluminous/processor.py:74-83).
+    * Golden: exactly 2 of the 57 alerts in datatest/part-00003 pass.
     */
   def isTransient: Column =
-    col("real") && col("positivesubtraction") && col("stationary") &&
-      !col("pointunderneath") && !col("brightstar") && !col("variablesource")
+    !col("faint") && col("positivesubtraction") && col("real") &&
+      !col("pointunderneath") && !col("brightstar") &&
+      !col("variablesource") && col("stationary") &&
+      col("roid") =!= 2 && col("roid") =!= 3
 
   /** Superluminous-SN score — reference:
     * ztf/superluminous/processor.py:34-268. -1 sentinel when not a

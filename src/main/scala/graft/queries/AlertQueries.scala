@@ -97,10 +97,29 @@ object AlertQueries extends QueryPack {
         col("mean"), col("std"), col("median"), col("amplitude"))
       .orderBy("user_id")
 
+  // q16: sessionization — gap-based session ids via lag + running sum
+  // (the cross-row window family, SURVEY.md §2.5).
+  private def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_nalerthist" -> (f1Nalerthist _),
     "f2_roid_cascade" -> (f2RoidCascade _),
     "g1_lc_stats" -> (g1LcStats _),
+    "q16_sessionize" -> (q16Sessionize _),
     "x1_crossmatch" -> (x1Crossmatch _))
 
   private val PACKET_CTE =
@@ -144,6 +163,24 @@ object AlertQueries extends QueryPack {
          |       ELSE (sorted[CAST(n // 2 AS INT)] + sorted[CAST(n // 2 + 1 AS INT)]) / 2.0 END AS median,
          |  (list_aggregate(vals, 'max') - list_aggregate(vals, 'min')) / 2.0 AS amplitude
          |FROM w ORDER BY user_id""".stripMargin,
+    "q16_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_s,
+        |         ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x1_crossmatch" ->
       """WITH a AS (
         |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,

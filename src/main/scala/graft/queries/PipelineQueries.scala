@@ -98,6 +98,16 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // t6: regex token analysis (BPE-ish subword counting via pattern
+  // classes; [a-z]+ semantics agree between Java and RE2 regex engines).
+  private def t6RegexTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_double_vowel"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_spaces"))
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -125,6 +135,7 @@ object PipelineQueries extends QueryPack {
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_winnow_fingerprint" -> (t5Winnow _),
+    "t6_regex_tokens" -> (t6RegexTokens _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _))
 
@@ -233,6 +244,12 @@ object PipelineQueries extends QueryPack {
         |GROUP BY source ORDER BY source""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_regex_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+        |CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_double_vowel,
+        |CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_media_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -19,6 +19,15 @@ class ExtendedClassifiersSpec extends SparkSpec {
     assert(df.filter(col("superluminous_score") === -1.0).count() > 60)
   }
 
+  test("transient filter golden: exactly 2 of 57 alerts in part-00003 pass") {
+    val df = spark.read.parquet("/root/reference/fink_science/data/alerts/datatest/" +
+      "part-00003-bdab8e46-89c4-4ac1-8603-facd71833e8a-c000.snappy.parquet")
+    val out = TransientFeatures(df)
+      .withColumn("is_transient", ExtendedClassifiers.isTransient)
+    assert(out.count() === 57)
+    assert(out.filter(col("is_transient")).count() === 2)
+  }
+
   test("rubin orphan + slsn scores respect sentinels and bounds") {
     val alerts = spark.read.parquet("/root/reference/fink_science/data/alerts/or4_lsst7.1")
     val series = Rubin.withHistory(alerts,
