@@ -136,6 +136,47 @@ object PhaseCurve {
     fit((p, a) => hg1g2Mag(p(0), p(1), p(2), a), Array(15.0, 0.15, 0.15),
       Array(-3.0, 0.0, 0.0), Array(30.0, 1.0, 1.0), alpha, mag, sigma)
 
+  /** Cosine of the aspect angle between the line of sight (ra, dec) and
+    * a spin axis (alpha0, delta0); all radians (the sHG1G2 geometry,
+    * after fink-utils' spin_angle).
+    */
+  def spinAspect(ra: Double, dec: Double, alpha0: Double, delta0: Double): Double =
+    math.cos(dec) * math.cos(delta0) * math.cos(ra - alpha0) +
+      math.sin(dec) * math.sin(delta0)
+
+  /** sHG1G2 reduced magnitude: HG1G2 plus the spin-modulation term
+    * -2.5 log10(1 - (1-R)|cos aspect|) (oblateness R in (0,1], spin axis
+    * (alpha0, delta0)) — the SHG1G2 model of ztf/ssoft
+    * (processor.py:500-506 MODELS entry; published sHG1G2 form).
+    */
+  def shg1g2Mag(h: Double, g1: Double, g2: Double, r: Double,
+      alpha0: Double, delta0: Double,
+      phase: Double, ra: Double, dec: Double): Double = {
+    val geo = spinAspect(ra, dec, alpha0, delta0)
+    hg1g2Mag(h, g1, g2, phase) -
+      2.5 * math.log10(math.max(1.0 - (1.0 - r) * math.abs(geo), 1e-12))
+  }
+
+  /** Joint multi-band sHG1G2 fit: per-band H (g, r) + shared
+    * (G1, G2, R, alpha0, delta0) — 7 parameters over all measurements,
+    * as the reference fits spin parameters across bands. Params:
+    * [H_g, H_r, G1, G2, R, alpha0, delta0].
+    */
+  def fitSHG1G2(phase: Array[Double], ra: Array[Double], dec: Array[Double],
+      band: Array[Int], mag: Array[Double], sigma: Array[Double]): FitResult = {
+    val idx = Array.tabulate(phase.length)(_.toDouble)
+    def model(p: Array[Double], xi: Double): Double = {
+      val i = xi.toInt
+      val h = if (band(i) == 1) p(0) else p(1)
+      shg1g2Mag(h, p(2), p(3), p(4), p(5), p(6), phase(i), ra(i), dec(i))
+    }
+    fit(model,
+      Array(15.0, 15.0, 0.15, 0.15, 0.8, math.Pi, 0.0),
+      Array(-3.0, -3.0, 0.0, 0.0, 0.1, 0.0, -math.Pi / 2),
+      Array(30.0, 30.0, 1.0, 1.0, 1.0, 2 * math.Pi, math.Pi / 2),
+      idx, mag, sigma)
+  }
+
   private def solve(m0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
     val np = b0.length
     val a = m0.map(_.clone())

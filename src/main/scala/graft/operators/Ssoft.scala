@@ -55,6 +55,57 @@ object Ssoft {
     SsoftParams(band(1), band(2), span, cmagpsf.length, 0)
   }
 
+  final case class SpinFit(h_g: Double, h_r: Double, g1: Double, g2: Double,
+      oblateness: Double, alpha0_deg: Double, delta0_deg: Double,
+      chi2red: Double, n_obs: Int)
+
+  /** Joint sHG1G2 spin fit across both bands (shared G1/G2/spin, per-band
+    * H) over reduced magnitudes.
+    */
+  def fitSpin(cmagpsf: Array[Double], csigmapsf: Array[Double],
+      cfid: Array[Int], phaseDeg: Array[Double], raDeg: Array[Double],
+      decDeg: Array[Double], dobs: Array[Double], dhelio: Array[Double]): SpinFit = {
+    val sel = cfid.indices.filter(i => (cfid(i) == 1 || cfid(i) == 2) &&
+      !cmagpsf(i).isNaN && !csigmapsf(i).isNaN && !phaseDeg(i).isNaN)
+    if (sel.length < 10)
+      return SpinFit(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+        Double.NaN, Double.NaN, Double.NaN, Double.NaN, sel.length)
+    val mred = sel.map(i =>
+      cmagpsf(i) - 5.0 * math.log10(dobs(i) * dhelio(i))).toArray
+    val r = PhaseCurve.fitSHG1G2(
+      sel.map(i => math.toRadians(phaseDeg(i))).toArray,
+      sel.map(i => math.toRadians(raDeg(i))).toArray,
+      sel.map(i => math.toRadians(decDeg(i))).toArray,
+      sel.map(cfid).toArray, mred, sel.map(csigmapsf).toArray)
+    SpinFit(r.params(0), r.params(1), r.params(2), r.params(3), r.params(4),
+      math.toDegrees(r.params(5)), math.toDegrees(r.params(6)),
+      r.chi2red, sel.length)
+  }
+
+  /** SHG1G2 variant of the table build: adds the joint spin fit. */
+  def buildWithSpin(spark: SparkSession, aggregated: DataFrame,
+      nmin: Int = 50): DataFrame = {
+    val kernel = udf((cm: Seq[Double], cs: Seq[Double], cf: Seq[Int],
+        phase: Seq[Double], ra: Seq[Double], dec: Seq[Double],
+        dobs: Seq[Double], dhelio: Seq[Double]) => {
+      def a(x: Seq[Double]): Array[Double] = if (x == null) Array.empty else x.toArray
+      if (cm == null || cf == null || phase == null ||
+        cm.size != phase.size || cm.size != cf.size)
+        SpinFit(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+          Double.NaN, Double.NaN, Double.NaN, Double.NaN, 0)
+      else fitSpin(a(cm), a(cs), cf.toArray, a(phase),
+        a(ra), a(dec), a(dobs), a(dhelio))
+    })
+    build(spark, aggregated, nmin)
+      .join(aggregated.select(col("ssnamenr"),
+        kernel(
+          col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>"),
+          col("cfid").cast("array<int>"), col("Phase").cast("array<double>"),
+          col("cra").cast("array<double>"), col("cdec").cast("array<double>"),
+          col("Dobs").cast("array<double>"), col("Dhelio").cast("array<double>"))
+          .as("spin")), "ssnamenr")
+  }
+
   /** Missing-column repair: per-measurement Gaussian noise arrays
     * (`cdx`/`cdy`) — reference: ztf/ssoft/processor.py:819-825, a seeded
     * randn pandas UDF there. Here the noise is a deterministic function
