@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
 import graft.models.{Scorer, StubModels}
 
+/** Full light-curve history service — the reference fetches complete
+  * per-object light curves from the Fink API over HTTP
+  * (ztf/superluminous/processor.py:345-353, get_and_format). Injectable;
+  * None marks the service unreachable.
+  */
+trait AlertHistoryService extends Serializable {
+  /** objectId -> (jd, magpsf, sigmapsf, fid) full-history arrays. */
+  def lightCurves(objectIds: Seq[String])
+      : Option[Map[String, (Array[Double], Array[Double], Array[Double], Array[Int])]]
+}
+
+/** Offline default: service unreachable. */
+object NoAlertHistory extends AlertHistoryService {
+  def lightCurves(objectIds: Seq[String]) = None
+}
+
 /** The remaining score modules (SURVEY.md §2.3): superluminous (ZTF),
   * orphan GRB and SLSN (Rubin). Same architecture as [[Classifiers]]:
   * native gates, JVM feature kernels, injected scorers with
@@ -34,14 +50,27 @@ object ExtendedClassifiers {
     */
   def superluminous(spark: SparkSession, df: DataFrame,
       minAgeDays: Double = 30.0, minPoints: Int = 5,
-      scorer: Scorer = StubModels.forest("superluminous", 26)): DataFrame = {
-    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
-        cs: Seq[java.lang.Double]) => {
+      scorer: Scorer = StubModels.forest("superluminous", 26),
+      history: AlertHistoryService = NoAlertHistory,
+      strictReferenceSemantics: Boolean = false): DataFrame = {
+    val s = udf((objectId: String, cjd: Seq[java.lang.Double],
+        cm: Seq[java.lang.Double], cs: Seq[java.lang.Double]) => {
       def arr(xs: Seq[java.lang.Double]) =
         xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
-      val jd = arr(cjd); val m = arr(cm); val e = arr(cs)
+      var jd = arr(cjd); var m = arr(cm); var e = arr(cs)
+      val fetched = history.lightCurves(Seq(objectId))
+      // reference behavior when the Fink API is unreachable: -1
+      val serviceDown = fetched.isEmpty && strictReferenceSemantics
+      fetched.foreach { lcs =>
+        lcs.get(objectId).foreach { case (hjd, hm, he, _) =>
+          // merge the full history with newer in-alert points
+          val lastHist = if (hjd.nonEmpty) hjd.max else Double.NegativeInfinity
+          val keep = jd.indices.filter(i => jd(i) > lastHist)
+          jd = hjd ++ keep.map(jd); m = hm ++ keep.map(m); e = he ++ keep.map(e)
+        }
+      }
       val sel = m.indices.filter(i => !m(i).isNaN && !e(i).isNaN)
-      if (sel.length < 5) -1.0
+      if (serviceDown || sel.length < 5) -1.0
       else scorer.score(LightCurveFeatures.extract(
         sel.map(jd).toArray, sel.map(m).toArray, sel.map(e).toArray)
         .map(x => if (x.isNaN) 0.0 else x))
@@ -50,7 +79,8 @@ object ExtendedClassifiers {
     df.withColumn("superluminous_score",
       when(isTransient && age >= minAgeDays &&
         graft.alerts.AlertCols.detectionCount(col("cmagpsf")) >= minPoints,
-        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+        s(col("objectId"), col("cjd").cast("array<double>"),
+          col("cmagpsf").cast("array<double>"),
           col("csigmapsf").cast("array<double>")))
         .otherwise(lit(-1.0)))
   }

@@ -105,6 +105,28 @@ object Rubin {
         expr("array_position(cats_preds, array_max(cats_preds)) - 1").cast("int"))
   }
 
+  /** Rubin TNS crossmatch: typed struct payload (fullname, type,
+    * redshift) — rubin/xmatch/processor.py:420-494 + utils.py:33-39
+    * TNS_SPARK_SCHEMA; null struct fields where unmatched (the
+    * tri-state contract, rubin/xmatch/processor.py:69-75).
+    */
+  def xmatchTns(alerts: DataFrame, tnsCatalog: DataFrame,
+      radiusArcsec: Double = 1.5, idCol: String = "alertId",
+      raCol: String = "diaSource.ra", decCol: String = "diaSource.dec"): DataFrame = {
+    val cat = tnsCatalog.filter(col("type").isNotNull).select(
+      col("ra").as("__tra"), col("declination").as("__tdec"),
+      struct(
+        col("fullname").cast("string").as("fullname"),
+        col("type").cast("string").as("type"),
+        col("redshift").cast("float").as("redshift")).as("tns"))
+    graft.xmatch.CrossMatch.closestWithin(
+      alerts.withColumn("__ra", col(raCol)).withColumn("__dec", col(decCol)),
+      cat, radiusArcsec, idCol, "__ra", "__dec", "__tra", "__tdec",
+      Seq("tns"),
+      Map("tns" -> lit(null).cast("struct<fullname:string,type:string,redshift:float>")))
+      .drop("__ra", "__dec")
+  }
+
   /** Declination-band catalog pre-filter used by the Rubin xmatch
     * variants (rubin/xmatch/processor.py:455-467): prune the catalog to
     * the alerts' dec range before matching. With the zone-bucketed

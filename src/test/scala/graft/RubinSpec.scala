@@ -48,6 +48,23 @@ class RubinSpec extends SparkSpec {
     assert(cls.forall(c => c >= 0 && c < 5))
   }
 
+  test("rubin TNS crossmatch returns typed struct payload, null unmatched") {
+    import spark.implicits._
+    // synthetic TNS catalog: one source on top of the first alert
+    val first = alerts.select(col("diaSource.ra"), col("diaSource.dec")).head()
+    val tns = Seq(
+      (first.getDouble(0), first.getDouble(1), "SN 2024abc", "SN Ia", 0.05f),
+      (10.0, -80.0, "SN 2020xyz", "SN II", 0.1f))
+      .toDF("ra", "declination", "fullname", "type", "redshift")
+    val out = Rubin.xmatchTns(alerts, tns)
+    assert(out.count() === 50)
+    val matched = out.filter(col("tns.type").isNotNull)
+    assert(matched.count() === 1)
+    assert(matched.select("tns.type").head().getString(0) === "SN Ia")
+    // golden shape from the reference doctest: unmatched rows null
+    assert(out.filter(col("tns").isNull || col("tns.type").isNull).count() === 49)
+  }
+
   test("rubin crossmatch works against a dec-band-filtered catalog") {
     val a = alerts.select(col("alertId").as("id"),
       col("diaSource.ra").as("ra"), col("diaSource.dec").as("dec"))
