@@ -41,19 +41,22 @@ object Similarity {
   }
 
   /** Cell assignment: argmin squared-L2 centroid per vector (ties break
-    * to the lowest cell id). Reusable across queries.
+    * to the lowest cell id). Reusable across queries. min_by under a
+    * groupBy rather than a window sort — partial-aggregatable map-side,
+    * so at scale the only wide exchange is one hash aggregate over the
+    * vector ids.
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val cent = e.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cell").asc)
     e.join(broadcast(cent))
       .withColumn("d", Vec.sqDist(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cell"), col("v"))
+      .groupBy(col("id"))
+      .agg(
+        min_by(struct(col("cell"), col("v")), struct(col("d"), col("cell"))).as("m"))
+      .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
   }
 
   /** IVF search: probe the `nprobe` cells closest to the query vector,
