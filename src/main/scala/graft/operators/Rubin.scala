@@ -28,6 +28,20 @@ object Rubin {
   def nalerthist(df: DataFrame): DataFrame =
     df.withColumn("nalerthist", AlertCols.detectionCount(col("cpsfFlux")))
 
+  /** ELAsTiCC adapter (rubin/snn elasticc + random_forest rainbow
+    * variants): same packet layout with renamed photometry fields
+    * (midPointTai/psFlux/psFluxErr/filterName); builds the canonical
+    * series columns so every Rubin operator runs unchanged.
+    */
+  def fromElasticc(df: DataFrame): DataFrame =
+    AlertCols.withHistory(df,
+      Seq("midPointTai", "psFlux", "psFluxErr", "filterName"),
+      current = AlertCols.RubinCurrent, history = AlertCols.RubinHistory)
+      .withColumnRenamed("cmidPointTai", "cmidpointMjdTai")
+      .withColumnRenamed("cpsFlux", "cpsfFlux")
+      .withColumnRenamed("cpsFluxErr", "cpsfFluxErr")
+      .withColumnRenamed("cfilterName", "cband")
+
   /** Per-band light-curve features over fluxes, keyed by band letter —
     * rubin/ad_features/processor.py:35-227 (same 26-statistic kernel;
     * bands are strings, all six kept).

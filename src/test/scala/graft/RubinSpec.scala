@@ -65,6 +65,16 @@ class RubinSpec extends SparkSpec {
     assert(out.filter(col("tns").isNull || col("tns.type").isNull).count() === 49)
   }
 
+  test("elasticc adapter: canonical series feed the Rubin operators unchanged") {
+    val el = spark.read.parquet(
+      "/root/reference/fink_science/data/alerts/elasticc_sample_seed0.parquet")
+    val series = Rubin.fromElasticc(el)
+    val out = Rubin.snn(spark, Rubin.nalerthist(series))
+    assert(out.count() === el.count())
+    assert(out.filter(col("nalerthist") >= 0).count() === el.count())
+    assert(out.filter(col("snn_sn_vs_all") < 0 || col("snn_sn_vs_all") > 1).count() === 0)
+  }
+
   test("rubin crossmatch works against a dec-band-filtered catalog") {
     val a = alerts.select(col("alertId").as("id"),
       col("diaSource.ra").as("ra"), col("diaSource.dec").as("dec"))
