@@ -84,10 +84,15 @@ object Dedup {
       .withColumn("nsh", size(col("ranked")))
       .withColumn("npref",
         (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
-      .select(col("id"),
+      .select(col("id"), col("nsh"),
         explode(expr("transform(slice(ranked, 1, npref), x -> x.g)")).as("g"))
+      .cache() // both sides of the candidate self-join
+    // size-compatibility predicate inside the join (exact: jac >= t
+    // forces min size >= t * max size) prunes candidates early
     val cand = ranked.as("a").join(ranked.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.nsh"), col("b.nsh")) >=
+            greatest(col("a.nsh"), col("b.nsh")) * threshold)
       .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
     verifyJaccard(cand, sets, threshold)
   }
@@ -182,6 +187,7 @@ object Dedup {
         ((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)) :+ lit(b.toString)): _*))
     }
     val bands = sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+      .cache() // both sides of the bucket self-join
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
