@@ -25,7 +25,8 @@ object Relational extends QueryPack {
       .agg(
         sumd(col("l_quantity")).as("sum_qty"),
         sumd(col("l_extendedprice")).as("sum_base_price"),
-        sum((dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))))
+        sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))))
           .cast("double").as("sum_disc_price"),
         (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -41,7 +42,8 @@ object Relational extends QueryPack {
       .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
@@ -68,7 +70,8 @@ object Relational extends QueryPack {
         col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01") &&
         col("l_discount") >= 0.04 && col("l_discount") <= 0.06 && col("l_quantity") < 24)
       .agg(
-        sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue"),
+        sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
   // q5: closest-match window dedup — the reference's groupby-idxmin dedup
@@ -204,13 +207,13 @@ object Relational extends QueryPack {
       s"""SELECT l_returnflag, l_linestatus,
          |${sqlSumd("l_quantity")} AS sum_qty,
          |${sqlSumd("l_extendedprice")} AS sum_base_price,
-         |CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
          |CAST(SUM(${sqlDec("l_discount")}) AS DOUBLE) / COUNT(*) AS avg_disc,
          |COUNT(*) AS count_order
          |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q2_join_broadcast" ->
       s"""SELECT n_name,
-         |CAST(SUM(${sqlDec("l_extendedprice")} * (${sqlDec("1")} - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          |COUNT(*) AS n_items
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
@@ -223,7 +226,7 @@ object Relational extends QueryPack {
          |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q4_filter_pushdown" ->
-      s"""SELECT CAST(SUM(${sqlDec("l_extendedprice")} * ${sqlDec("l_discount")}) AS DOUBLE) AS revenue,
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
          |COUNT(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
