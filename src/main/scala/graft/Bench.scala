@@ -17,7 +17,11 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Materialize EVERY column: count() lets Catalyst prune unreferenced
+      // projections, which under-measures projection-heavy queries. toRdd
+      // forces full row production through the whole plan.
+      try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

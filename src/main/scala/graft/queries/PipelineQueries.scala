@@ -258,7 +258,7 @@ object PipelineQueries extends QueryPack {
 
   private def simhashSql(): String =
     """SELECT doc_id, lang,
-      |       SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+      |       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
       |FROM (
       |  SELECT doc_id, lang, j,
       |         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s

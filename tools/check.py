@@ -85,6 +85,8 @@ def main():
             r = load_result(d)
             n = 0 if r is None else len(r)
             print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+            if n == 0:
+                failures += 1
     print(f"{'ALL PASS' if failures == 0 else str(failures) + ' FAILURES'}")
     sys.exit(min(failures, 99))
 
