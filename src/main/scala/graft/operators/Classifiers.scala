@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
-import graft.models.{Scorer, StubModels}
+import graft.models.{AnomalyModels, Scorer, StubModels}
 
 /** Classifier score modules (SURVEY.md §2.3): native selection gates +
   * JVM feature kernels + injected [[graft.models.Scorer]]s. Model
@@ -150,20 +150,30 @@ object Classifiers {
   }
 
   /** Anomaly score — reference: ztf/anomaly_detection/processor.py:85-242.
-    * Two per-band isolation forests over the 26 lc_features; the final
-    * score is the min over bands with valid features, NaN when neither
-    * band has features (TwoBandModel.anomaly_score semantics).
+    * Two per-band forests over the 25 MODEL_COLUMNS features
+    * (processor.py:33-59); the final score is the min over bands with
+    * valid features, NaN when neither band is valid
+    * (TwoBandModel.anomaly_score semantics). A band is valid only when
+    * every MODEL_COLUMNS feature is non-NaN (the reference masks a band
+    * out via `data.isna().any(1)`).
+    *
+    * Band→forest mapping reproduces the reference quirk verbatim: its
+    * `data_r` variable holds fid=1 (which in ZTF is the g filter) and is
+    * scored by the forest_r_AAD model, and vice versa
+    * (processor.py:212-242). So `forestFid1` should carry forest_r's
+    * parameters and `forestFid2` forest_g's.
     */
   def anomaly(spark: SparkSession, df: DataFrame,
-      forestG: Scorer = StubModels.isolationForest("anomaly_g", 26),
-      forestR: Scorer = StubModels.isolationForest("anomaly_r", 26)): DataFrame = {
+      forestFid1: Scorer = StubModels.isolationForest("anomaly_fid1", 25),
+      forestFid2: Scorer = StubModels.isolationForest("anomaly_fid2", 25)): DataFrame = {
     val s = udf((lc: Map[Int, Map[String, Double]]) => {
       def bandScore(b: Int, f: Scorer): Option[Double] =
-        lc.get(b).map { feats =>
-          f.score(LightCurveFeatures.names.map(n =>
-            feats.getOrElse(n, Double.NaN)).map(x => if (x.isNaN) 0.0 else x).toArray)
+        lc.get(b).flatMap { feats =>
+          val x = AnomalyModels.ModelColumns.map(n =>
+            feats.getOrElse(n, Double.NaN)).toArray
+          if (x.exists(_.isNaN)) None else Some(f.score(x))
         }
-      val scores = Seq(bandScore(1, forestG), bandScore(2, forestR)).flatten
+      val scores = Seq(bandScore(1, forestFid1), bandScore(2, forestFid2)).flatten
       if (scores.isEmpty) Double.NaN else scores.min
     })
     df.withColumn("anomaly_score", s(col("lc_features")))

@@ -49,15 +49,39 @@ class ClassifiersSpec extends SparkSpec {
     assert(bad === 0)
   }
 
-  test("anomaly: min over valid bands, NaN when no features") {
+  test("anomaly: min over valid bands, NaN when no valid band") {
     val withFeatures = AdFeatures(spark, enriched)
     val out = Classifiers.anomaly(spark, withFeatures)
-    // every alert with at least one featured band gets a finite score
-    val n = out.filter(size(map_keys(col("lc_features"))) > 0 &&
-      isnan(col("anomaly_score"))).count()
-    assert(n === 0)
-    val nan = out.filter(size(map_keys(col("lc_features"))) === 0).count()
-    assert(out.filter(isnan(col("anomaly_score"))).count() === nan)
+    // a band is valid only when all 25 MODEL_COLUMNS features are
+    // non-NaN (reference masks bands via data.isna().any(1)); a NaN
+    // score therefore means no band passed that mask
+    import graft.models.AnomalyModels
+    val validBand = udf((lc: Map[Int, Map[String, Double]]) =>
+      lc.values.exists(f =>
+        AnomalyModels.ModelColumns.forall(n =>
+          f.get(n).exists(v => !v.isNaN))))
+    assert(out.filter(validBand(col("lc_features")) &&
+      isnan(col("anomaly_score"))).count() === 0)
+    assert(out.filter(!validBand(col("lc_features")) &&
+      !isnan(col("anomaly_score"))).count() === 0)
+  }
+
+  test("anomaly with the reference's real ONNX forests on the fixture") {
+    val zip = "/root/reference/fink_science/data/models/" +
+      "anomaly_detection/anomaly_detection_forest_AAD_beta.zip"
+    assume(new java.io.File(zip).isFile, "reference model zip not present")
+    val (fid1, fid2) = graft.models.AnomalyModels.load(zip)
+    val withFeatures = AdFeatures(spark, enriched)
+    val out = Classifiers.anomaly(spark, withFeatures, fid1, fid2).cache()
+    val scored = out.filter(!isnan(col("anomaly_score")))
+    // AAD leaf weights are ~|w|<0.007 over 150 trees: real scores live
+    // in a narrow band around 0, unlike the stub forests
+    assert(scored.count() > 0)
+    assert(scored.filter(abs(col("anomaly_score")) > 0.5).count() === 0)
+    // the fixture contains at least one alert the beta model flags as
+    // more anomalous than the bulk (negative score)
+    assert(scored.filter(col("anomaly_score") < 0).count() > 0)
+    out.unpersist()
   }
 
   test("isolation forest average path length matches the iForest paper") {
