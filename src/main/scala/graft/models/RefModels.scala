@@ -1,0 +1,79 @@
+package graft.models
+
+import java.io.File
+
+import graft.models.SklearnModels.{ForestClassifier, GradientBoostingBinary, PcaTransform, RobustScaler}
+
+/** Lazily-loaded bank of the reference-bundled trained models
+  * (data/models/README.md lists them). Every entry is an Option: when
+  * the artifact directory is absent (production deployments relocate it
+  * via GRAFT_MODELS_DIR), callers fall back to the documented
+  * [[StubModels]] stand-ins, keeping every pipeline runnable.
+  */
+object RefModels {
+
+  /** Artifact root; GRAFT_MODELS_DIR overrides the default location of
+    * the reference checkout's bundle.
+    */
+  lazy val dir: String = sys.env.getOrElse("GRAFT_MODELS_DIR",
+    sys.props.getOrElse("graft.models.dir",
+      "/root/reference/fink_science/data/models"))
+
+  private def existing(rel: String): Option[File] = {
+    val f = new File(dir, rel)
+    if (f.isFile) Some(f) else None
+  }
+
+  private def opt[T](rel: String)(load: File => T): Option[T] =
+    existing(rel).flatMap { f =>
+      try Some(load(f))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"RefModels: failed to load $rel: $e")
+          None
+      }
+    }
+
+  /** Anomaly AAD beta forests as (fid1, fid2) scorers. */
+  lazy val anomalyBeta: Option[(Scorer, Scorer)] =
+    opt("anomaly_detection/anomaly_detection_forest_AAD_beta.zip")(f =>
+      AnomalyModels.load(f.getPath))
+
+  /** Active-learning-loop early-SN-Ia forest over the 12 sigmoid
+    * features (a,b,c,snratio,mse,nrise per band) — feature_names_in_
+    * matches our SigmoidFit feature layout.
+    */
+  lazy val alSnia: Option[ForestClassifier] =
+    opt("for_al_loop/model_20241122_wlimits.pkl")(f =>
+      SklearnModels.forestClassifier(PickleReader.load(f.getPath)))
+
+  /** Kilonova bundle: RobustScaler + RF over 8 features (per band:
+    * npoints, coeff1, residuo, maxflux).
+    */
+  lazy val kilonova: Option[(RobustScaler, ForestClassifier)] =
+    opt("KN_model_1PC.pkl")(f =>
+      SklearnModels.scaledForest(PickleReader.load(f.getPath)))
+
+  /** Microlensing LIA artifacts (47-feature space). */
+  lazy val mulensForest: Option[ForestClassifier] =
+    opt("rf.sav")(f => SklearnModels.forestClassifier(PickleReader.load(f.getPath)))
+  lazy val mulensPca: Option[PcaTransform] =
+    opt("pca.sav")(f => SklearnModels.pca(PickleReader.load(f.getPath)))
+
+  /** Orphan-afterglow gradient-boosting classifier (12 features). */
+  lazy val orphans: Option[GradientBoostingBinary] =
+    opt("model_orphans.pkl")(f =>
+      SklearnModels.gradientBoostingBinary(PickleReader.load(f.getPath)))
+
+  /** Kilonova principal components (3 x 401 on the kndetect grid),
+    * parsed from the bundled mixed_pcs.csv (first row is a sample-index
+    * header).
+    */
+  lazy val kilonovaPcs: Option[Array[Array[Double]]] =
+    opt("mixed_pcs.csv") { f =>
+      val lines = scala.io.Source.fromFile(f)
+      try lines.getLines().drop(1)
+        .map(_.split(',').map(_.toDouble)).toArray
+      finally lines.close()
+    }
+}
