@@ -10,17 +10,21 @@ package graft.kernels
   */
 object SigmoidFit {
 
-  /** (a, b, c, snratio, chisq, nrise) for one band's (t, flux, sigma);
-    * NaNs when fewer than 3 points.
+  /** (a, b, c, snratio, chisq, mse, nrise) for one band's
+    * (t, flux, sigma); NaNs when fewer than 3 points. `chisq` is the
+    * sigma-weighted mean squared residual, `mse` the plain one
+    * (sklearn mean_squared_error, the "mse" feature of the bundled
+    * early-SN-Ia forests — feature_names_in_ lists a,b,c,snratio,mse,
+    * nrise per band).
     */
   final case class Result(a: Double, b: Double, c: Double,
-      snratio: Double, chisq: Double, nrise: Int)
+      snratio: Double, chisq: Double, mse: Double, nrise: Int)
 
   def fit(t0: Array[Double], flux: Array[Double], sigma: Array[Double]): Result = {
     val n = flux.length
     if (n < 3)
       return Result(Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
-        countRising(flux))
+        Double.NaN, countRising(flux))
 
     // shift time origin for conditioning
     val tMin = t0.min
@@ -73,17 +77,20 @@ object SigmoidFit {
     }
 
     var chisq = 0.0
+    var mse = 0.0
     var i = 0
     while (i < n) {
       val f = c / (1.0 + math.exp(-a * (t(i) - b)))
-      val r = (flux(i) - f) / sigma(i)
+      val raw = flux(i) - f
+      val r = raw / sigma(i)
       chisq += r * r
+      mse += raw * raw
       i += 1
     }
     val meanFlux = flux.sum / n
     val meanSig = sigma.sum / n
     Result(a, b, c, if (meanSig > 0) meanFlux / meanSig else Double.NaN,
-      chisq / n, countRising(flux))
+      chisq / n, mse / n, countRising(flux))
   }
 
   /** Number of consecutive rising flux steps from the start. */

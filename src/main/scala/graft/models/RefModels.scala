@@ -47,6 +47,10 @@ object RefModels {
     opt("for_al_loop/model_20241122_wlimits.pkl")(f =>
       SklearnModels.forestClassifier(PickleReader.load(f.getPath)))
 
+  /** alSnia as a P(true) scorer. */
+  lazy val alSniaScorer: Option[Scorer] =
+    alSnia.map(f => SklearnModels.ForestScorer(f, f.classes.indexOf(true)))
+
   /** Kilonova bundle: RobustScaler + RF over 8 features (per band:
     * npoints, coeff1, residuo, maxflux).
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
-import graft.models.{AnomalyModels, Scorer, StubModels}
+import graft.models.{AnomalyModels, RefModels, Scorer, StubModels}
 
 /** Classifier score modules (SURVEY.md §2.3): native selection gates +
   * JVM feature kernels + injected [[graft.models.Scorer]]s. Model
@@ -31,7 +31,7 @@ object Classifiers {
       val r = SigmoidFit.fit(t, f, s)
       val off = (band - 1) * 6
       out(off) = r.a; out(off + 1) = r.b; out(off + 2) = r.c
-      out(off + 3) = r.snratio; out(off + 4) = r.chisq; out(off + 5) = r.nrise
+      out(off + 3) = r.snratio; out(off + 4) = r.mse; out(off + 5) = r.nrise
       band += 1
     }
     out.map(x => if (x.isNaN) 0.0 else x)
@@ -39,10 +39,16 @@ object Classifiers {
 
   /** Early-SN-Ia score (`pIa`) — reference:
     * ztf/random_forest_snia/processor.py:77-216. 0.0 where the gate
-    * rejects (reference sentinel).
+    * rejects (reference sentinel). Features are the per-band sigmoid
+    * fits in the bundled forests' feature_names_in_ order
+    * (a,b,c,snratio,mse,nrise for g then r).
+    *
+    * Default scorer: the bundled active-learning-loop forest
+    * (for_al_loop/model_20241122_wlimits.pkl; the rfscore_sigmoid
+    * default-model_sigmoid.obj is CI-fetched and not in the bundle).
     */
   def rfSnia(spark: SparkSession, df: DataFrame,
-      scorer: Scorer = StubModels.forest("rf_snia", 12)): DataFrame = {
+      scorer: Scorer = RefModels.alSniaScorer.getOrElse(StubModels.forest("rf_snia", 12))): DataFrame = {
     val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
         cs: Seq[java.lang.Double], cf: Seq[Int]) =>
       scorer.score(sniaFeatures(arr(cjd), arr(cm), arr(cs), cf.toArray)))
@@ -55,39 +61,82 @@ object Classifiers {
   }
 
   /** Kilonova score (`pKNe`) — reference: ztf/kilonova/processor.py:37-186
-    * (PCA-projection features + RF). Features: per-band normalized flux
-    * projected on a broadcast component matrix.
+    * (kndetect PC-fit features + the bundled
+    * Pipeline(RobustScaler, RandomForest), KN_model_1PC.pkl).
+    *
+    * Feature layout per band (matching the bundle's 8-feature scaler:
+    * npoints, coeff1, residuo, maxflux for g then r): the band's SNANA
+    * FLUXCAL curve normalized by its maximum, PC1 (mixed_pcs.csv,
+    * 401-sample grid at 0.25 d spanning +-50 d around peak) evaluated at
+    * the observed epochs by linear interpolation, the single coefficient
+    * solved by least squares, residuo = L2 norm of the residual. The
+    * kndetect package's exact binning is not reproducible offline — this
+    * is the documented inference from its published method; the
+    * classifier weights and components are the real bundled ones.
     */
   def kilonova(spark: SparkSession, df: DataFrame,
-      components: Array[Array[Double]] = StubComponents.pc,
-      scorer: Scorer = StubModels.forest("kilonova", 8)): DataFrame = {
+      components: Array[Array[Double]] =
+        RefModels.kilonovaPcs.getOrElse(StubComponents.pc),
+      pipeline: Option[(graft.models.SklearnModels.RobustScaler,
+        graft.models.SklearnModels.ForestClassifier)] = RefModels.kilonova): DataFrame = {
+    val scorer: Array[Double] => Double = pipeline match {
+      case Some((scaler, forest)) =>
+        val idx = forest.classes.indexOf(true)
+        x => forest.proba(scaler.transform(x))(idx)
+      case None =>
+        val stub = StubModels.forest("kilonova", 8)
+        x => stub.score(x)
+    }
+    val pc1 = components(0)
     val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double], cf: Seq[Int]) => {
       val jd = arr(cjd); val m = arr(cm)
       val feats = new Array[Double](8)
       var band = 1
       while (band <= 2) {
         val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN)
-        val flux = sel.map(i => FastTransientKernel.toFlux(m(i))).toArray
         val off = (band - 1) * 4
-        if (flux.nonEmpty) {
-          val mx = flux.max
-          val norm = flux.map(_ / mx)
-          // project padded/truncated series on 3 components + max flux
-          var k = 0
-          while (k < 3) {
-            var acc = 0.0
-            var i = 0
-            while (i < norm.length && i < components(k).length) {
-              acc += norm(i) * components(k)(i); i += 1
+        if (sel.nonEmpty) {
+          // SNANA FLUXCAL (ZP 27.5), as mag2fluxcal_snana
+          val flux = sel.map(i => math.pow(10.0, (27.5 - m(i)) / 2.5)).toArray
+          val t = sel.map(jd).toArray
+          var iMax = 0
+          var i = 1
+          while (i < flux.length) { if (flux(i) > flux(iMax)) iMax = i; i += 1 }
+          val mx = flux(iMax)
+          val tPeak = t(iMax)
+          // PC1 on the [-50, 50] 0.25 d grid; 0 outside support
+          def pcAt(dt: Double): Double = {
+            val pos = (dt + 50.0) / 0.25
+            if (pos < 0 || pos > 400) 0.0
+            else {
+              val lo = math.floor(pos).toInt
+              val hi = math.min(lo + 1, 400)
+              pc1(lo) + (pos - lo) * (pc1(hi) - pc1(lo))
             }
-            feats(off + k) = acc
-            k += 1
           }
+          var num = 0.0; var den = 0.0
+          i = 0
+          while (i < flux.length) {
+            val p = pcAt(t(i) - tPeak)
+            num += p * flux(i) / mx; den += p * p
+            i += 1
+          }
+          val coeff = if (den > 0) num / den else 0.0
+          var res = 0.0
+          i = 0
+          while (i < flux.length) {
+            val r = flux(i) / mx - coeff * pcAt(t(i) - tPeak)
+            res += r * r
+            i += 1
+          }
+          feats(off) = flux.length.toDouble
+          feats(off + 1) = coeff
+          feats(off + 2) = math.sqrt(res)
           feats(off + 3) = mx
         }
         band += 1
       }
-      scorer.score(feats)
+      scorer(feats)
     })
     df.withColumn("pKNe",
       when(SelectionCuts.kilonovaGate(col("cmagpsf"), col("candidate.ndethist"),
@@ -163,9 +212,17 @@ object Classifiers {
     * (processor.py:212-242). So `forestFid1` should carry forest_r's
     * parameters and `forestFid2` forest_g's.
     */
-  def anomaly(spark: SparkSession, df: DataFrame,
-      forestFid1: Scorer = StubModels.isolationForest("anomaly_fid1", 25),
-      forestFid2: Scorer = StubModels.isolationForest("anomaly_fid2", 25)): DataFrame = {
+  def anomaly(spark: SparkSession, df: DataFrame): DataFrame = {
+    val (f1, f2) = RefModels.anomalyBeta.getOrElse(
+      (StubModels.isolationForest("anomaly_fid1", 25),
+        StubModels.isolationForest("anomaly_fid2", 25)))
+    anomaly(df, f1, f2)
+  }
+
+  /** anomaly with explicit per-band forests (fid1 <- forest_r params,
+    * fid2 <- forest_g, per the reference's swapped naming).
+    */
+  def anomaly(df: DataFrame, forestFid1: Scorer, forestFid2: Scorer): DataFrame = {
     val s = udf((lc: Map[Int, Map[String, Double]]) => {
       def bandScore(b: Int, f: Scorer): Option[Double] =
         lc.get(b).flatMap { feats =>

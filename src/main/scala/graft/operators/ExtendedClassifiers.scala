@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.kernels.{FastTransientKernel, LightCurveFeatures, SigmoidFit}
-import graft.models.{Scorer, StubModels}
+import graft.kernels.{FastTransientKernel, LightCurveFeatures, OrphanFeatures, SigmoidFit}
+import graft.models.{RefModels, Scorer, StubModels}
 
 /** Full light-curve history service — the reference fetches complete
   * per-object light curves from the Fink API over HTTP
@@ -86,49 +86,45 @@ object ExtendedClassifiers {
   }
 
   /** Orphan-GRB afterglow score (Rubin) — reference:
-    * rubin/orphans/processor.py:30-102 + classifier.py/fit.py: flux ->
-    * AB magnitude, >= 5 valid points gate, duration/rise/decay/color
-    * features plus a light-curve shape fit, then the classifier. -1
-    * sentinel under the gate.
+    * rubin/orphans/processor.py:30-102 + classifier.py + the
+    * features_extraction.py/fit.py kernels ported in
+    * [[graft.kernels.OrphanFeatures]]. Pipeline: flux -> AB magnitude
+    * (flux_to_mag), magerr = fluxerr/flux*1.0857, the >= 5-point gate
+    * (processor.py:97 counts ALL history points — `len(~np.isnan(x))`
+    * is the array length, reproduced faithfully), NaN-cleaned
+    * time-sorted curve, 12 features, inf->1000 / NaN->0 / row-max
+    * normalization, classifier P(orphan). 0.0 under the gate
+    * (classifier.py:132, not -1).
+    *
+    * Default scorer: the real bundled GradientBoostingClassifier when
+    * the model bundle is present ([[RefModels.orphans]]).
     */
   def orphanGrb(spark: SparkSession, df: DataFrame,
-      scorer: Scorer = StubModels.forest("orphans", 10)): DataFrame = {
+      scorer: Scorer = RefModels.orphans.getOrElse(StubModels.forest("orphans", 12))): DataFrame = {
     val s = udf((cmjd: Seq[java.lang.Double], cflux: Seq[java.lang.Double],
         cerr: Seq[java.lang.Double], cband: Seq[String]) => {
       def arr(xs: Seq[java.lang.Double]) =
-        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
-      val t = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
-      val sel = f.indices.filter(i => !f(i).isNaN && f(i) > 0 && !e(i).isNaN)
-      if (sel.length < 5) -1.0
+        if (xs == null) Array.empty[Double]
+        else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val t = arr(cmjd); val flux = arr(cflux); val ferr = arr(cerr)
+      // reference valid gate: total history length >= 5 (processor.py:97)
+      if (flux.length < 5) 0.0
       else {
-        // AB magnitude from nJy flux: m = -2.5 log10(f) + 31.4
-        val mags = sel.map(i => -2.5 * math.log10(f(i)) + 31.4)
-        val ts = sel.map(t)
-        val order = ts.indices.sortBy(ts)
-        val tSorted = order.map(ts).toArray
-        val mSorted = order.map(mags).toArray
-        val iPeak = mSorted.indices.minBy(mSorted) // brightest
-        val duration = tSorted.last - tSorted.head
-        val rise = tSorted(iPeak) - tSorted.head
-        val decay = tSorted.last - tSorted(iPeak)
-        val riseSlope =
-          if (rise > 0) (mSorted.head - mSorted(iPeak)) / rise else 0.0
-        val decaySlope =
-          if (decay > 0) (mSorted.last - mSorted(iPeak)) / decay else 0.0
-        // mean color: g - r mean magnitudes where both exist
-        def bandMean(b: String): Double = {
-          val bs = sel.indices.filter(j => cband(sel(j)) == b)
-          if (bs.isEmpty) Double.NaN
-          else bs.map(j => -2.5 * math.log10(f(sel(j))) + 31.4).sum / bs.length
+        val mags = flux.map(OrphanFeatures.fluxToMag)
+        val magErr = flux.indices.map(i => ferr(i) / flux(i) * 1.0857).toArray
+        // clean_and_sort_light_curve: drop NaN magnitudes, sort by time
+        val sel = mags.indices.filter(i => !mags(i).isNaN).sortBy(t)
+        // all-NaN curve (e.g. every flux negative): nothing to fit —
+        // the reference would raise here; score the empty gate as 0.0
+        if (sel.isEmpty) 0.0
+        else {
+          val ts = sel.map(t).toArray
+          val ms = sel.map(mags).toArray
+          val es = sel.map(magErr).toArray
+          val bs = sel.map(i => if (cband(i) == null) "" else cband(i)).toArray
+          val feats = OrphanFeatures.features(ts, ms, es, bs)
+          scorer.score(OrphanFeatures.preprocess(feats.toArray))
         }
-        val color = bandMean("g") - bandMean("r")
-        val sig = SigmoidFit.fit(tSorted,
-          mSorted.map(m => math.pow(10.0, -0.4 * m)),
-          sel.map(e).toArray)
-        val feats = Array(duration, rise, decay, riseSlope, decaySlope,
-          if (color.isNaN) 0.0 else color, mSorted.min, mSorted.max,
-          if (sig.chisq.isNaN) 0.0 else sig.chisq, sel.length.toDouble)
-        scorer.score(feats)
       }
     })
     df.withColumn("p_orphan", s(

@@ -72,7 +72,7 @@ class ClassifiersSpec extends SparkSpec {
     assume(new java.io.File(zip).isFile, "reference model zip not present")
     val (fid1, fid2) = graft.models.AnomalyModels.load(zip)
     val withFeatures = AdFeatures(spark, enriched)
-    val out = Classifiers.anomaly(spark, withFeatures, fid1, fid2).cache()
+    val out = Classifiers.anomaly(withFeatures, fid1, fid2).cache()
     val scored = out.filter(!isnan(col("anomaly_score")))
     // AAD leaf weights are ~|w|<0.007 over 150 trees: real scores live
     // in a narrow band around 0, unlike the stub forests

@@ -35,10 +35,18 @@ class ExtendedClassifiersSpec extends SparkSpec {
     val out = ExtendedClassifiers.slsnRubin(spark,
       ExtendedClassifiers.orphanGrb(spark, series))
     assert(out.count() === 50)
-    Seq("p_orphan", "slsn_score").foreach { c =>
-      val bad = out.filter(col(c) =!= -1.0 && (col(c) < 0 || col(c) > 1)).count()
-      assert(bad === 0, c)
-      assert(out.filter(col(c) =!= -1.0).count() > 0, s"$c never computed")
-    }
+    // orphans: 0.0 under the <5-point gate (classifier.py:132), else a
+    // probability from the real bundled GB classifier
+    val badOrphan = out.filter(col("p_orphan") < 0 || col("p_orphan") > 1).count()
+    assert(badOrphan === 0)
+    assert(out.filter(col("p_orphan") > 0).count() > 0, "p_orphan never computed")
+    // real classifier keeps the bulk of a survey fixture below the
+    // orphan threshold (its doctest fixture is CI-fetched, absent here)
+    if (graft.models.RefModels.orphans.isDefined)
+      assert(out.filter(col("p_orphan") > 0.5).count() < 10)
+    val badSlsn = out.filter(col("slsn_score") =!= -1.0 &&
+      (col("slsn_score") < 0 || col("slsn_score") > 1)).count()
+    assert(badSlsn === 0)
+    assert(out.filter(col("slsn_score") =!= -1.0).count() > 0, "slsn never computed")
   }
 }
