@@ -216,20 +216,45 @@ object Dedup {
     agg.select((col(idCol) +: carryCols.map(col)) :+ sim.as("simhash"): _*)
   }
 
-  /** SimHash near-dup pairs within a blocking column, by Hamming radius.
-    * The signature table is cached: it feeds both sides of the
-    * block-bucketed self-join.
+  /** SimHash near-dup pairs by Hamming radius, blocked with
+    * Hamming-LSH banding (the sorted-table scheme of Manku et al.,
+    * WWW'07, expressed as a bucket join): the 60-bit signature splits
+    * into maxHamming+1 bands, and by pigeonhole any pair within the
+    * radius agrees exactly on at least one band — so joining on
+    * (band index, band bits) has recall 1.0 and the verifier only sees
+    * bucket-mates. Band-bucket cardinality scales with the corpus
+    * (2^bandBits buckets per band, uniformly filled for hash-like
+    * signatures), unlike blocking on a low-cardinality attribute.
+    *
+    * A pair agreeing on several bands surfaces once per band; the
+    * pre-verify distinct collapses them.
     */
-  def simhashPairs(sim0: DataFrame, idCol: String, blockCol: String,
-      maxHamming: Int): DataFrame = {
-    val sim = sim0.cache()
-    sim.as("a").join(sim.as("b"),
-        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+  def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 60 / nBands
+    val extra = 60 % nBands // first `extra` bands get one more bit
+    val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
+      acc + base + (if (b < extra) 1 else 0))
+    val bandCols = (0 until nBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sim0.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+      .cache()
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("ham",
-        expr(s"bit_count(a.simhash ^ b.simhash)").cast("long"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("ham", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter(col("ham") <= maxHamming)
-      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"), col("ham"))
+      .select(col("d1"), col("d2"), col("ham"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking column. The dot

@@ -39,7 +39,7 @@ object PipelineQueries extends QueryPack {
   private def d5SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
       Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang")),
-      "doc_id", "lang", maxHamming = 4)
+      "doc_id", maxHamming = 4)
       .orderBy("d1", "d2")
 
   private def d6EmbeddingDup(s: SparkSession, dir: String): DataFrame =
@@ -190,7 +190,7 @@ object PipelineQueries extends QueryPack {
       s"""WITH sim AS (${simhashSql()})
          |SELECT a.doc_id AS d1, b.doc_id AS d2,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
-         |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY d1, d2""".stripMargin,
     "d6_dedup_embedding" ->

@@ -44,6 +44,31 @@ class DedupSpec extends SparkSpec {
     assert(sim(0) !== sim(2))
   }
 
+  test("hamming-LSH banding has recall 1.0 within the radius") {
+    import spark.implicits._
+    // signatures engineered around a base value at varied Hamming
+    // distances, plus random far points
+    val base = 0x0123456789abcdL & ((1L << 60) - 1)
+    def flip(x: Long, bits: Seq[Int]): Long = bits.foldLeft(x)((v, b) => v ^ (1L << b))
+    val rows = Seq(
+      0L -> base,
+      1L -> flip(base, Seq(3)),            // ham 1
+      2L -> flip(base, Seq(7, 19, 40)),    // ham 3
+      3L -> flip(base, Seq(0, 15, 30, 45)),// ham 4 (at radius)
+      4L -> flip(base, Seq(1, 2, 13, 25, 59)), // ham 5 (outside)
+      5L -> (~base & ((1L << 60) - 1)))    // ham 60
+    val sim = rows.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs
+    val expected = (for {
+      (i, hi) <- rows; (j, hj) <- rows if i < j
+      ham = java.lang.Long.bitCount(hi ^ hj) if ham <= 4
+    } yield (i, j, ham.toLong)).toSet
+    assert(got === expected)
+    assert(expected.exists(_._3 == 4)) // the at-radius pair is exercised
+  }
+
   test("embedding near-dup pairs are symmetric-free and thresholded") {
     val emb = Tables.t(spark, sf, "embeddings")
     val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", "label", 0.3).collect()
