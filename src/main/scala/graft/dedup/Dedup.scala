@@ -85,7 +85,11 @@ object Dedup {
       .withColumn("npref",
         (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
       .select(col("id"), col("nsh"),
-        explode(expr("transform(slice(ranked, 1, npref), x -> x.g)")).as("g"))
+        explode(expr("slice(ranked, 1, npref)")).as("st"))
+      // a globally-unique shingle cannot match in the self-join: drop it
+      // before the shuffle (recall unaffected, candidate volume shrinks)
+      .filter(col("st.cnt") >= 2)
+      .select(col("id"), col("nsh"), col("st.g").as("g"))
       .cache() // both sides of the candidate self-join
     // size-compatibility predicate inside the join (exact: jac >= t
     // forces min size >= t * max size) prunes candidates early
