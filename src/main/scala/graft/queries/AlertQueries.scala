@@ -60,6 +60,90 @@ object AlertQueries extends QueryPack {
   // sky positions derived from ids: events are "alerts", part rows are
   // the small catalog with a planted 0.3-arcsec offset, so every alert
   // whose id is also a part key has one true sub-radius match.
+  // f3: transient_features-style boolean battery over the packet
+  // series (ztf/transient_features/processor.py:34-403 shape): sentinel
+  // cleanup, last-detection magnitude cut, positive-subtraction
+  // fraction, age cut, stationarity veto, and their conjunction.
+  private def f3TransientFlags(s: SparkSession, dir: String): DataFrame = {
+    val det = expr("filter(cmag, x -> NOT isnan(x))")
+    val lastDet = element_at(det, -1)
+    val faint = coalesce(lastDet >= 10.0, lit(false))
+    val positive = size(det).cast("double") >= size(col("cmag")) * 0.5
+    val young = element_at(col("cjd"), -1) - element_at(col("cjd"), 1) <= 604800L
+    val stationary = coalesce(
+      element_at(col("cjd"), -1) - element_at(col("cjd"), -2) > 86400L,
+      lit(false))
+    packets(s, dir).select(
+      col("user_id"),
+      faint.as("is_faint"),
+      positive.as("positive_subtraction"),
+      young.as("is_young"),
+      stationary.as("is_stationary"),
+      (positive && !faint && young && !stationary).as("real_transient"))
+      .orderBy("user_id")
+  }
+
+  // f4: selection-cut gate (snia/kn gate shape,
+  // ztf/random_forest_snia/processor.py:177-181): detection count in
+  // (0, 20], last detection below the magnitude cut, and no veto label
+  // in the history; admitted = conjunction.
+  private def f4SelectionCuts(s: SparkSession, dir: String): DataFrame = {
+    val det = expr("filter(cmag, x -> NOT isnan(x))")
+    val nDet = size(det)
+    val c1 = nDet > 0 && nDet <= 20
+    val c2 = coalesce(element_at(det, -1) <= 60.0, lit(false))
+    val c3 = size(col("cmag")) === size(det) // no upper limits (veto)
+    packets(s, dir).select(
+      col("user_id"), c1.as("count_ok"), c2.as("mag_ok"), c3.as("no_veto"),
+      (c1 && c2 && c3).as("admitted"))
+      .orderBy("user_id")
+  }
+
+  // f5: fast-transient deterministic rate fields
+  // (ztf/fast_transient_rate/processor.py:33-101 shape): last and
+  // previous detections and the per-day rate between them; rows with
+  // fewer than 2 detections are dropped like the reference's gate.
+  private def f5FastTransientRate(s: SparkSession, dir: String): DataFrame = {
+    val detIdx = expr("filter(sequence(1, size(cmag)), i -> NOT isnan(cmag[i-1]))")
+    packets(s, dir)
+      .withColumn("didx", detIdx)
+      .filter(size(col("didx")) >= 2)
+      .select(
+        col("user_id"),
+        element_at(col("cmag"), element_at(col("didx"), -1)).as("m_last"),
+        element_at(col("cmag"), element_at(col("didx"), -2)).as("m_prev"),
+        (element_at(col("cjd"), element_at(col("didx"), -1)) -
+          element_at(col("cjd"), element_at(col("didx"), -2))).as("dt_s"))
+      .withColumn("rate_per_day",
+        when(col("dt_s") > 0,
+          (col("m_last") - col("m_prev")) / (col("dt_s") / lit(86400.0))))
+      .orderBy("user_id")
+  }
+
+  // x2: map-payload crossmatch (crossmatch_mangrove shape,
+  // ztf/xmatch/processor.py:601-690): the closest catalog row's payload
+  // travels as a map column with per-key 'None' defaults for unmatched
+  // alerts.
+  private def x2MangrovePayload(s: SparkSession, dir: String): DataFrame = {
+    val alerts = t(s, dir, "events").select(
+      col("event_id").as("id"),
+      (col("event_id") % 36000) / 100.0 as "ra",
+      (col("event_id") % 17000) / 100.0 - 85.0 as "dec")
+    val catalog = t(s, dir, "part").select(
+      ((col("p_partkey") % 36000) / 100.0 + lit(0.3 / 3600.0)).as("cra"),
+      ((col("p_partkey") % 17000) / 100.0 - 85.0).as("cdec"),
+      map(lit("brand"), trim(col("p_brand")),
+        lit("container"), trim(col("p_type"))).as("payload"))
+    graft.xmatch.CrossMatch.closestWithin(alerts, catalog, 2.0,
+      "id", "ra", "dec", "cra", "cdec", Seq("payload"),
+      Map("payload" -> map(lit("brand"), lit("None"),
+        lit("container"), lit("None"))))
+      .select(col("id"),
+        element_at(col("payload"), "brand").as("brand"),
+        element_at(col("payload"), "container").as("container"))
+      .orderBy("id")
+  }
+
   private def x1Crossmatch(s: SparkSession, dir: String): DataFrame = {
     val alerts = t(s, dir, "events").select(
       col("event_id").as("id"),
@@ -120,7 +204,11 @@ object AlertQueries extends QueryPack {
     "f2_roid_cascade" -> (f2RoidCascade _),
     "g1_lc_stats" -> (g1LcStats _),
     "q16_sessionize" -> (q16Sessionize _),
-    "x1_crossmatch" -> (x1Crossmatch _))
+    "x1_crossmatch" -> (x1Crossmatch _),
+    "f3_transient_flags" -> (f3TransientFlags _),
+    "f4_selection_cuts" -> (f4SelectionCuts _),
+    "f5_fast_transient_rate" -> (f5FastTransientRate _),
+    "x2_mangrove_payload" -> (x2MangrovePayload _))
 
   private val PACKET_CTE =
     """p AS (
@@ -181,6 +269,66 @@ object AlertQueries extends QueryPack {
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "f3_transient_flags" ->
+      s"""WITH $PACKET_CTE
+         |SELECT user_id,
+         |  coalesce(list_filter(cmag, x -> NOT isnan(x))[-1] >= 10.0, false) AS is_faint,
+         |  CAST(len(list_filter(cmag, x -> NOT isnan(x))) AS DOUBLE) >= len(cmag) * 0.5 AS positive_subtraction,
+         |  cjd[-1] - cjd[1] <= 604800 AS is_young,
+         |  coalesce(cjd[-1] - cjd[-2] > 86400, false) AS is_stationary,
+         |  (CAST(len(list_filter(cmag, x -> NOT isnan(x))) AS DOUBLE) >= len(cmag) * 0.5
+         |   AND NOT coalesce(list_filter(cmag, x -> NOT isnan(x))[-1] >= 10.0, false)
+         |   AND cjd[-1] - cjd[1] <= 604800
+         |   AND NOT coalesce(cjd[-1] - cjd[-2] > 86400, false)) AS real_transient
+         |FROM p ORDER BY user_id""".stripMargin,
+    "f4_selection_cuts" ->
+      s"""WITH $PACKET_CTE
+         |SELECT user_id,
+         |  len(list_filter(cmag, x -> NOT isnan(x))) > 0
+         |    AND len(list_filter(cmag, x -> NOT isnan(x))) <= 20 AS count_ok,
+         |  coalesce(list_filter(cmag, x -> NOT isnan(x))[-1] <= 60.0, false) AS mag_ok,
+         |  len(cmag) = len(list_filter(cmag, x -> NOT isnan(x))) AS no_veto,
+         |  (len(list_filter(cmag, x -> NOT isnan(x))) > 0
+         |   AND len(list_filter(cmag, x -> NOT isnan(x))) <= 20
+         |   AND coalesce(list_filter(cmag, x -> NOT isnan(x))[-1] <= 60.0, false)
+         |   AND len(cmag) = len(list_filter(cmag, x -> NOT isnan(x)))) AS admitted
+         |FROM p ORDER BY user_id""".stripMargin,
+    "f5_fast_transient_rate" ->
+      s"""WITH $PACKET_CTE,
+         |d AS (
+         |  SELECT user_id, cjd, cmag,
+         |    list_filter(range(1, len(cmag) + 1), i -> NOT isnan(cmag[i])) AS didx
+         |  FROM p)
+         |SELECT user_id,
+         |  cmag[didx[-1]] AS m_last,
+         |  cmag[didx[-2]] AS m_prev,
+         |  cjd[didx[-1]] - cjd[didx[-2]] AS dt_s,
+         |  CASE WHEN cjd[didx[-1]] - cjd[didx[-2]] > 0
+         |       THEN (cmag[didx[-1]] - cmag[didx[-2]])
+         |            / ((cjd[didx[-1]] - cjd[didx[-2]]) / 86400.0) END AS rate_per_day
+         |FROM d WHERE len(didx) >= 2 ORDER BY user_id""".stripMargin,
+    "x2_mangrove_payload" ->
+      """WITH a AS (
+        |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,
+        |         (event_id % 17000)/100.0 - 85.0 AS dec FROM events),
+        |c AS (
+        |  SELECT (p_partkey % 36000)/100.0 + 0.3/3600.0 AS cra,
+        |         (p_partkey % 17000)/100.0 - 85.0 AS cdec,
+        |         trim(p_brand) AS brand, trim(p_type) AS container FROM part),
+        |m AS (
+        |  SELECT a.id, c.brand, c.container, c.cra, c.cdec,
+        |    asin(sqrt(
+        |      sin(radians(c.cdec - a.dec)/2) * sin(radians(c.cdec - a.dec)/2)
+        |      + cos(radians(a.dec)) * cos(radians(c.cdec))
+        |        * sin(radians(c.cra - a.ra)/2) * sin(radians(c.cra - a.ra)/2)
+        |    )) * 412529.6124941927 AS sep
+        |  FROM a CROSS JOIN c),
+        |best AS (
+        |  SELECT id, brand, container FROM m WHERE sep < 2.0
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sep, cra, cdec) = 1)
+        |SELECT a.id, coalesce(b.brand, 'None') AS brand,
+        |       coalesce(b.container, 'None') AS container
+        |FROM a LEFT JOIN best b ON a.id = b.id ORDER BY a.id""".stripMargin,
     "x1_crossmatch" ->
       """WITH a AS (
         |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,
