@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   * blobs), Spark never interprets them until a partition-local kernel
   * does.
   *
-  * The decode step itself (JPEG/WAV/FITS -> pixels/samples) requires a
-  * codec library that is NOT available in this container, so
-  * [[MediaKernel.decodeStub]] is a clearly-marked deterministic stand-in;
-  * everything around it — schema, batch shape, partition-local execution
-  * via `mapPartitions`, feature schema — is real and tested.
+  * PNG/JPEG/GIF/BMP payloads are decoded for real through the JDK's
+  * javax.imageio (no external dependency); payloads in formats the JDK
+  * cannot read (audio/video/FITS) fall back to
+  * [[MediaKernel.decodeFallback]], a clearly-marked deterministic
+  * stand-in, so the partition-local plumbing — schema, batch shape,
+  * mapPartitions execution, feature schema — always runs end-to-end.
   */
 object Multimodal {
 
@@ -79,18 +80,55 @@ object MediaKernel {
       }
       j += 1
     }
-    val decoded = decodeStub(m)
+    val decoded = decode(m)
     MediaFeatures(m.id, bytes.length.toLong,
       if (bytes.length == 0) 0.0 else sum / n, ent, decoded.length)
   }
 
-  /** STUB — media decode. A real deployment plugs a codec (JPEG/PNG via
-    * javax.imageio, audio via javax.sound, FITS via a FITS reader) in
-    * here; this container has no such libraries, so we return a
-    * deterministic fake "frame" derived from the payload so downstream
-    * plumbing (shape, batching, schema) is exercised end-to-end.
+  /** True when the payload opens with a magic number javax.imageio can
+    * route (PNG, JPEG, GIF, BMP).
     */
-  def decodeStub(m: MediaItem): Array[Array[Float]] = {
+  def isDecodableImage(payload: Array[Byte]): Boolean = {
+    if (payload == null || payload.length < 4) return false
+    val b = payload
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+    (b(0) == 'B' && b(1) == 'M')
+  }
+
+  /** Decode: real pixels for image payloads via the JDK's ImageIO
+    * (one luminance frame, rows flattened), deterministic fallback for
+    * everything else. Partition-local, no shuffle.
+    */
+  def decode(m: MediaItem): Array[Array[Float]] = {
+    if (isDecodableImage(m.payload)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      if (img == null) decodeFallback(m)
+      else {
+        val h = img.getHeight; val w = img.getWidth
+        Array.tabulate(h) { y =>
+          val row = new Array[Float](w)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 luma from the sRGB channels
+            row(x) = (0.299f * ((rgb >> 16) & 0xff) +
+              0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff))
+            x += 1
+          }
+          row
+        }
+      }
+    } else decodeFallback(m)
+  }
+
+  /** STAND-IN for codecs the JDK lacks (audio/video/FITS): a
+    * deterministic fake "frame" derived from the payload, so downstream
+    * plumbing is exercised even for non-image media.
+    */
+  def decodeFallback(m: MediaItem): Array[Array[Float]] = {
     val nFrames = 1 + (math.abs(m.id) % 3).toInt
     Array.tabulate(nFrames) { f =>
       val w = math.max(1, m.width)

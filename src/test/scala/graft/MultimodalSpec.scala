@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaKernel, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -20,5 +20,35 @@ class MultimodalSpec extends SparkSpec {
       assert(f.byte_entropy > 0.0 && f.byte_entropy <= 8.0)
       assert(f.frames >= 1 && f.frames <= 3)
     }
+  }
+
+  test("PNG payloads decode to real pixels through the JDK ImageIO") {
+    // synthesize a 4x3 PNG with known pixel values
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 4)
+      img.setRGB(x, y, (x * 50 << 16) | (y * 80 << 8) | 37)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val payload = bos.toByteArray
+
+    assert(MediaKernel.isDecodableImage(payload))
+    val item = Multimodal.MediaItem(7L, payload, "image/png", 4, 3)
+    val frames = MediaKernel.decode(item)
+    assert(frames.length === 3) // one luminance row per pixel row
+    assert(frames.forall(_.length === 4))
+    // luma of pixel (x,y) = .299*50x + .587*80y + .114*37
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val expected = 0.299f * (50 * x) + 0.587f * (80 * y) + 0.114f * 37
+      assert(math.abs(frames(y)(x) - expected) < 0.01, s"($x,$y)")
+    }
+  }
+
+  test("non-image payloads take the deterministic fallback") {
+    val item = Multimodal.MediaItem(5L, "plain text bytes".getBytes, "text/plain", 16, 1)
+    assert(!MediaKernel.isDecodableImage(item.payload))
+    val frames = MediaKernel.decode(item)
+    assert(frames.length === (1 + 5 % 3))
+    assert(frames.forall(_.nonEmpty))
   }
 }
