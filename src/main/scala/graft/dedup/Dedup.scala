@@ -261,17 +261,22 @@ object Dedup {
       .select(col("d1"), col("d2"), col("ham"))
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking column. The dot
-    * product is a sequential left fold in double precision (bit-stable,
-    * matches DuckDB's list_dot_product).
+  /** Embedding-cosine near-dup pairs routed through IVF cells
+    * (SemDeDup-style cluster-then-dedupe): vectors are assigned to
+    * their nearest centroid ([[graft.sim.Similarity.assignCells]] — a
+    * broadcast + partial-aggregatable min_by, no window sort) and the
+    * candidate self-join runs within cells only. Cell count scales with
+    * the corpus, so the per-bucket pair space stays bounded — unlike
+    * blocking on a low-cardinality attribute. The dot product is a
+    * sequential left fold in double precision (bit-stable, matches
+    * DuckDB's list_dot_product).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val e = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).cast("array<double>").as("v"))
-    val withNorm = e.withColumn("nrm", sqrt(Vec.dot(col("v"), col("v")))).cache()
-    withNorm.as("a").join(withNorm.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      threshold: Double, ncells: Int = 8): DataFrame = {
+    val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, ncells)
+      .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v")))).cache()
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cos"))

@@ -43,7 +43,7 @@ object PipelineQueries extends QueryPack {
       .orderBy("d1", "d2")
 
   private def d6EmbeddingDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)
+    Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
       .orderBy("d1", "d2")
 
   // ---- similarity search ----
@@ -194,11 +194,19 @@ object PipelineQueries extends QueryPack {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY d1, d2""".stripMargin,
     "d6_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+        |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm FROM asg)
         |SELECT a.vec_id AS d1, b.vec_id AS d2,
         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
-        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
         |ORDER BY d1, d2""".stripMargin,
     "s1_knn_bruteforce" ->

@@ -69,10 +69,14 @@ class DedupSpec extends SparkSpec {
     assert(expected.exists(_._3 == 4)) // the at-radius pair is exercised
   }
 
-  test("embedding near-dup pairs are symmetric-free and thresholded") {
+  test("embedding near-dup pairs are symmetric-free, thresholded, cell-routed") {
     val emb = Tables.t(spark, sf, "embeddings")
-    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", "label", 0.3).collect()
+    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(r => r.getDouble(2) >= 0.3))
+    // both ends of every pair share an IVF cell
+    val cells = graft.sim.Similarity.assignCells(emb, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))))
   }
 }
