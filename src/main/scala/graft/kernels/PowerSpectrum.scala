@@ -144,8 +144,12 @@ object PowerSpectrum {
       val diff = math.abs(i.toDouble / a.length - j.toDouble / b.length)
       if (diff > d) d = diff
     }
+    // scipy ks_2samp asymptotic convention: en = sqrt(n1*n2/(n1+n2)),
+    // p = kstwobign.sf(en * d) — plain en*d, no small-sample correction
+    // (the Numerical-Recipes (en + 0.12 + 0.11/en) adjustment diverges
+    // from the reference's scipy p-values and was removed)
     val n = a.length.toDouble * b.length / (a.length + b.length)
-    val lambda = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d
+    val lambda = math.sqrt(n) * d
     var p = 0.0
     var k = 1
     while (k <= 100) {

@@ -61,46 +61,86 @@ object RubinHostless {
   private def nanToZero(img: Array[Array[Double]]): Array[Array[Double]] =
     img.map(_.map(v => if (v.isNaN) 0.0 else v))
 
-  /** Moving-transient veto (pipeline_utils.py:109-160): first-degree
-    * polynomial of ra/dec vs time; moving when the fitted sky speed
-    * exceeds `minMovingArcsecHour` with residual rms under `maxRms`.
+  /** Moving-transient veto (pipeline_utils.py:109-176, reproduced
+    * op-for-op): coordinates to radians, RA unwrapped then projected by
+    * cos(mean dec), first-degree polynomial of each coordinate vs
+    * mean-centered time; moving when the fitted sky speed exceeds
+    * `minMovingArcsecHour` AND the combined quadrature residual rms
+    * (sqrt(mean(ra_res^2 + dec_res^2))) stays under `maxRmsArcsec`.
     */
   def maybeMoving(ra: Array[Double], dec: Array[Double], mjd: Array[Double],
       minDetections: Int = 3, minMovingArcsecHour: Double = 2.0,
       maxRmsArcsec: Double = 0.5): Boolean = {
-    if (ra.length < minDetections) return false
-    def fit(y: Array[Double]): (Double, Double) = { // slope, rms
-      val n = y.length
-      val tm = mjd.sum / n
-      val ym = y.sum / n
-      var stt = 0.0; var sty = 0.0
-      var i = 0
-      while (i < n) { val dt = mjd(i) - tm; stt += dt * dt; sty += dt * (y(i) - ym); i += 1 }
-      if (stt == 0) return (0.0, Double.MaxValue)
-      val slope = sty / stt
-      var rss = 0.0
-      i = 0
-      while (i < n) { val r = y(i) - (ym + slope * (mjd(i) - tm)); rss += r * r; i += 1 }
-      (slope, math.sqrt(rss / n))
+    val n = ra.length
+    if (n < minDetections) return false
+    val raRad = ra.map(math.toRadians)
+    val decRad = dec.map(math.toRadians)
+    // np.unwrap: remove 2pi jumps between consecutive samples
+    var k = 1
+    while (k < n) {
+      var d = raRad(k) - raRad(k - 1)
+      while (d > math.Pi) { raRad(k) -= 2 * math.Pi; d -= 2 * math.Pi }
+      while (d < -math.Pi) { raRad(k) += 2 * math.Pi; d += 2 * math.Pi }
+      k += 1
     }
-    val (sra, rmsRa) = fit(ra)
-    val (sdec, rmsDec) = fit(dec)
-    // slopes in deg/day -> arcsec/hour
-    val speed = math.sqrt(sra * sra * math.pow(math.cos(math.toRadians(dec.head)), 2) +
-      sdec * sdec) * 3600.0 / 24.0
-    val rms = math.max(rmsRa, rmsDec) * 3600.0
-    speed > minMovingArcsecHour && rms < maxRmsArcsec
+    val decMean = decRad.sum / n
+    val raTrue = raRad.map(_ * math.cos(decMean))
+    val t0 = mjd.sum / n
+    val tN = mjd.map(_ - t0)
+
+    def polyfit1(y: Array[Double]): (Double, Double) = { // (slope, intercept)
+      var stt = 0.0; var st = 0.0; var sty = 0.0; var sy = 0.0
+      var i = 0
+      while (i < n) { stt += tN(i) * tN(i); st += tN(i); sty += tN(i) * y(i); sy += y(i); i += 1 }
+      val det = n * stt - st * st
+      if (det == 0) return (0.0, sy / n)
+      ((n * sty - st * sy) / det, (stt * sy - st * sty) / det)
+    }
+    val (sra, ira) = polyfit1(raTrue)
+    val (sdec, idec) = polyfit1(decRad)
+    var rss = 0.0
+    var i = 0
+    while (i < n) {
+      val rr = raTrue(i) - (sra * tN(i) + ira)
+      val dr = decRad(i) - (sdec * tN(i) + idec)
+      rss += rr * rr + dr * dr
+      i += 1
+    }
+    val rmsArcsec = math.sqrt(rss / n) * (180.0 / math.Pi) * 3600.0
+    val arcsecHour = math.sqrt(sra * sra + sdec * sdec) * (180.0 / math.Pi) * 3600.0 / 24.0
+    arcsecHour > minMovingArcsecHour && rmsArcsec < maxRmsArcsec
   }
 
-  /** Base operator: kstest_static over the Rubin cutout columns. */
+  /** Base operator: kstest_static over the Rubin cutout columns, with
+    * the moving-transient veto applied before stamp processing
+    * (processor.py:272-280): a moving object short-circuits to the
+    * sentinel without touching the stamps.
+    */
   def base(spark: SparkSession, df: DataFrame,
       iterations: Int = Iterations): DataFrame = {
-    val kernel = udf((sci: Array[Byte], tpl: Array[Byte], seed: Long) => {
-      val (a, b) = processStamps(sci, tpl, seed, iterations)
-      Array(a, b)
+    val kernel = udf((sci: Array[Byte], tpl: Array[Byte], seed: Long,
+        cra: Seq[java.lang.Double], cdec: Seq[java.lang.Double],
+        cmjd: Seq[java.lang.Double]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        if (xs == null) Array.empty[Double]
+        else xs.filter(_ != null).map(_.doubleValue()).toArray
+      val ra = arr(cra); val dec = arr(cdec); val mjd = arr(cmjd)
+      if (ra.length == dec.length && ra.length == mjd.length &&
+        maybeMoving(ra, dec, mjd)) Array(-99f, -99f)
+      else {
+        val (a, b) = processStamps(sci, tpl, seed, iterations)
+        Array(a, b)
+      }
     })
+    // history series: prvDiaSources + the current diaSource, matching
+    // np.append(hist, current) in the reference
+    def series(field: String) = concat(
+      coalesce(expr(s"transform(prvDiaSources, x -> CAST(x.$field AS DOUBLE))"),
+        array()),
+      array(expr(s"CAST(diaSource.$field AS DOUBLE)")))
     df.withColumn("kstest_static", kernel(
       col("cutoutScience"), col("cutoutTemplate"),
-      coalesce(col("alertId"), lit(0L))))
+      coalesce(col("alertId"), lit(0L)),
+      series("ra"), series("dec"), series("midpointMjdTai")))
   }
 }
