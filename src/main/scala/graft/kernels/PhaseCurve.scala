@@ -23,15 +23,93 @@ object PhaseCurve {
     h - 2.5 * math.log10((1 - g) * p1 + g * p2)
   }
 
-  /** HG1G2 basis (small-phase linear + exponential opposition surge
-    * approximation of the Muinonen et al. 2010 splines — adequate for
-    * the ZTF phase range; exact splines slot in here without touching
-    * the fitting machinery).
-    */
+  // ---- Muinonen et al. (2010) HG1G2 basis -------------------------
+  //
+  // The published system: phi1/phi2 are linear in [0, 7.5 deg]
+  // (1 - 6a/pi and 1 - 9a/(5 pi)) and cubic splines through tabulated
+  // knots out to 150 deg; phi3 is a spline through 9 knots in
+  // [0, 30 deg] and zero beyond. Knot VALUES and the linear parts below
+  // are the exact published constants (also used by sbpy's HG1G2, which
+  // fink-utils' estimate_sso_params calls); between knots we use a
+  // monotone (Fritsch-Carlson) cubic Hermite rather than the reference
+  // end-derivative spline — knot-exact, C1, non-overshooting, with
+  // sub-1e-3 deviation at these knot densities.
+
+  private val D2R = math.Pi / 180.0
+  private val phi12Knots = Array(7.5, 30.0, 60.0, 90.0, 120.0, 150.0).map(_ * D2R)
+  private val phi1Vals = Array(7.5e-1, 3.3486016e-1, 1.3410560e-1,
+    5.1104756e-2, 2.1465687e-2, 3.6396989e-3)
+  private val phi2Vals = Array(9.25e-1, 6.2884169e-1, 3.1755495e-1,
+    1.2716367e-1, 2.2373903e-2, 1.6505689e-4)
+  private val phi3Knots = Array(0.0, 0.3, 1.0, 2.0, 4.0, 8.0, 12.0, 20.0, 30.0).map(_ * D2R)
+  private val phi3Vals = Array(1.0, 8.3381185e-1, 5.7735424e-1, 4.2144772e-1,
+    2.3174230e-1, 1.0348178e-1, 6.1733473e-2, 1.6107006e-2, 0.0)
+
+  /** Fritsch-Carlson monotone Hermite slopes for tabulated (x, y). */
+  private def monotoneSlopes(x: Array[Double], y: Array[Double]): Array[Double] = {
+    val n = x.length
+    val d = Array.tabulate(n - 1)(i => (y(i + 1) - y(i)) / (x(i + 1) - x(i)))
+    val m = new Array[Double](n)
+    m(0) = d(0); m(n - 1) = d(n - 2)
+    var i = 1
+    while (i < n - 1) {
+      m(i) = if (d(i - 1) * d(i) <= 0) 0.0 else (d(i - 1) + d(i)) / 2.0
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (d(i) == 0.0) { m(i) = 0.0; m(i + 1) = 0.0 }
+      else {
+        val a = m(i) / d(i); val b = m(i + 1) / d(i)
+        val s = a * a + b * b
+        if (s > 9.0) { val tau = 3.0 / math.sqrt(s); m(i) = tau * a * d(i); m(i + 1) = tau * b * d(i) }
+      }
+      i += 1
+    }
+    m
+  }
+
+  private final class Hermite(x: Array[Double], y: Array[Double],
+      firstSlope: Option[Double]) {
+    private val m = {
+      val s = monotoneSlopes(x, y)
+      firstSlope.foreach(s(0) = _) // clamp to the exactly-known derivative
+      s
+    }
+    def apply(v: Double): Double = {
+      var i = java.util.Arrays.binarySearch(x, v)
+      if (i >= 0) return y(i)
+      i = -i - 2
+      if (i < 0) i = 0
+      if (i > x.length - 2) i = x.length - 2
+      val h = x(i + 1) - x(i)
+      val t = (v - x(i)) / h
+      val t2 = t * t; val t3 = t2 * t
+      (2 * t3 - 3 * t2 + 1) * y(i) + (t3 - 2 * t2 + t) * h * m(i) +
+        (-2 * t3 + 3 * t2) * y(i + 1) + (t3 - t2) * h * m(i + 1)
+    }
+  }
+
+  // clamp the first spline slope to the linear part's exact derivative
+  // so the basis is C1 at 7.5 deg, as the published splines are
+  private val phi1Spline = new Hermite(phi12Knots, phi1Vals, Some(-6.0 / math.Pi))
+  private val phi2Spline = new Hermite(phi12Knots, phi2Vals, Some(-9.0 / (5.0 * math.Pi)))
+  private val phi3Spline = new Hermite(phi3Knots, phi3Vals, None)
+
+  /** HG1G2 basis functions at phase angle alpha (radians). */
   def hg1g2Basis(alpha: Double): (Double, Double, Double) = {
-    val p1 = math.max(1.0 - 6.0 * alpha / math.Pi, 0.0)
-    val p2 = math.max(1.0 - 9.0 * alpha / (5.0 * math.Pi), 0.0)
-    val p3 = math.exp(-4.0 * math.Pi * math.pow(math.tan(alpha / 2.0), 2.0 / 3.0) / 3.0)
+    val a = math.abs(alpha)
+    val p1 =
+      if (a <= phi12Knots(0)) 1.0 - 6.0 * a / math.Pi
+      else if (a >= phi12Knots.last) 0.0
+      else phi1Spline(a)
+    val p2 =
+      if (a <= phi12Knots(0)) 1.0 - 9.0 * a / (5.0 * math.Pi)
+      else if (a >= phi12Knots.last) 0.0
+      else phi2Spline(a)
+    val p3 =
+      if (a >= phi3Knots.last) 0.0
+      else phi3Spline(a)
     (p1, p2, p3)
   }
 

@@ -28,6 +28,51 @@ object Ssoft {
   final case class SsoftParams(fit_g: BandFit, fit_r: BandFit,
       n_days: Double, n_measurements: Int, status: Int)
 
+  /** Per-object astrometry + time-lapse summary
+    * (ztf/ssoft/processor.py:645-671): moments of the observed-vs-
+    * ephemerides angular separation (numpy/scipy conventions: population
+    * std, biased skew, biased Fisher kurtosis) and per-filter day spans.
+    */
+  final case class AstroStats(mean_astrometry: Double, std_astrometry: Double,
+      skew_astrometry: Double, kurt_astrometry: Double,
+      n_days_1: Double, n_days_2: Double, last_jd: Double)
+
+  def astroStats(raObs: Array[Double], decObs: Array[Double],
+      raEph: Array[Double], decEph: Array[Double],
+      cjd: Array[Double], cfid: Array[Int]): AstroStats = {
+    val n = raObs.length
+    val sep = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val dDec = math.toRadians(decEph(i) - decObs(i))
+      val dRa = math.toRadians(raEph(i) - raObs(i))
+      val a = math.sin(dDec / 2) * math.sin(dDec / 2) +
+        math.cos(math.toRadians(decObs(i))) * math.cos(math.toRadians(decEph(i))) *
+          math.sin(dRa / 2) * math.sin(dRa / 2)
+      sep(i) = 2.0 * math.asin(math.min(1.0, math.sqrt(a))) *
+        (180.0 / math.Pi) * 3600.0
+      i += 1
+    }
+    val mean = sep.sum / n
+    var m2 = 0.0; var m3 = 0.0; var m4 = 0.0
+    i = 0
+    while (i < n) {
+      val d = sep(i) - mean
+      m2 += d * d; m3 += d * d * d; m4 += d * d * d * d
+      i += 1
+    }
+    m2 /= n; m3 /= n; m4 /= n
+    val std = math.sqrt(m2)
+    val skew = if (m2 > 0) m3 / math.pow(m2, 1.5) else 0.0
+    val kurt = if (m2 > 0) m4 / (m2 * m2) - 3.0 else -3.0
+    def span(b: Int): Double = {
+      val t = cjd.indices.filter(cfid(_) == b).map(cjd)
+      if (t.isEmpty) Double.NaN else t.max - t.min
+    }
+    AstroStats(mean, std, skew, kurt, span(1), span(2),
+      if (cjd.isEmpty) Double.NaN else cjd.max)
+  }
+
   /** Per-object HG fit per band over (phase, reduced mag). */
   def fitObject(cmagpsf: Array[Double], csigmapsf: Array[Double],
       cfid: Array[Int], cjd: Array[Double], phaseDeg: Array[Double],
@@ -144,11 +189,20 @@ object Ssoft {
       fitObject(cm.toArray, cs.toArray, cf.toArray, cjd.toArray,
         phase.toArray, dobs.toArray, dhelio.toArray))
 
+    val astro = udf((ra: Seq[Double], dec: Seq[Double], raE: Seq[Double],
+        decE: Seq[Double], cjd: Seq[Double], cf: Seq[Int]) =>
+      astroStats(ra.toArray, dec.toArray, raE.toArray, decE.toArray,
+        cjd.toArray, cf.toArray))
+
     df.withColumn("ssoft", kernel(
       col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>"),
       col("cfid").cast("array<int>"), col("cjd").cast("array<double>"),
       col("Phase").cast("array<double>"), col("Dobs").cast("array<double>"),
       col("Dhelio").cast("array<double>")))
-      .select(col("ssnamenr"), col("ssoft.*"))
+      .withColumn("astro", astro(
+        col("cra").cast("array<double>"), col("cdec").cast("array<double>"),
+        col("RA").cast("array<double>"), col("DEC").cast("array<double>"),
+        col("cjd").cast("array<double>"), col("cfid").cast("array<int>")))
+      .select(col("ssnamenr"), col("ssoft.*"), col("astro.*"))
   }
 }

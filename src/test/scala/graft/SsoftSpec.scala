@@ -10,6 +10,32 @@ class SsoftSpec extends SparkSpec {
   val fixture =
     "/root/reference/fink_science/data/alerts/sso_ztf_lc_aggregated_202504_three_obj.parquet"
 
+  test("HG1G2 basis hits the published Muinonen knot values") {
+    import graft.kernels.PhaseCurve.hg1g2Basis
+    val d2r = math.Pi / 180.0
+    def at(deg: Double) = hg1g2Basis(deg * d2r)
+    // linear parts (exact published forms)
+    assert(math.abs(at(0.0)._1 - 1.0) < 1e-12)
+    assert(math.abs(at(0.0)._2 - 1.0) < 1e-12)
+    assert(math.abs(at(0.0)._3 - 1.0) < 1e-12)
+    assert(math.abs(at(7.5)._1 - 0.75) < 1e-12)
+    assert(math.abs(at(7.5)._2 - 0.925) < 1e-12)
+    // spline knot values (published constants)
+    assert(math.abs(at(30.0)._1 - 3.3486016e-1) < 1e-9)
+    assert(math.abs(at(30.0)._2 - 6.2884169e-1) < 1e-9)
+    assert(math.abs(at(60.0)._1 - 1.3410560e-1) < 1e-9)
+    assert(math.abs(at(4.0)._3 - 2.3174230e-1) < 1e-9)
+    assert(math.abs(at(12.0)._3 - 6.1733473e-2) < 1e-9)
+    assert(at(30.0)._3 === 0.0)
+    assert(at(150.0)._1 === 0.0)
+    // monotone decreasing over the ZTF phase range
+    val grid = (0 to 300).map(_ * 0.1)
+    for (Seq(a, b) <- grid.sliding(2)) {
+      val (p1a, p2a, p3a) = at(a); val (p1b, p2b, p3b) = at(b)
+      assert(p1b <= p1a + 1e-12 && p2b <= p2a + 1e-12 && p3b <= p3a + 1e-12, s"$a->$b")
+    }
+  }
+
   test("HG fit recovers synthetic phase-curve parameters") {
     val h = 14.2; val g = 0.18
     val alpha = (1 to 60).map(i => math.toRadians(i * 0.4)).toArray
@@ -61,6 +87,23 @@ class SsoftSpec extends SparkSpec {
       val ob = r.getDouble(2)
       assert(ob.isNaN || (ob >= 0.1 && ob <= 1.0))
       assert(r.getInt(4) >= 10)
+    }
+  }
+
+  test("SSOFT table carries astrometry + per-filter time-lapse stats") {
+    val agg = spark.read.parquet(fixture)
+    val out = Ssoft.build(spark, agg, nmin = 50).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val mean = r.getAs[Double]("mean_astrometry")
+      val std = r.getAs[Double]("std_astrometry")
+      assert(mean >= 0.0 && mean < 10.0) // ZTF astrometry: sub-arcsec-ish
+      assert(std >= 0.0)
+      assert(r.getAs[Double]("last_jd") > 2.4e6)
+      val nd1 = r.getAs[Double]("n_days_1")
+      val nd2 = r.getAs[Double]("n_days_2")
+      assert(nd1.isNaN || nd1 >= 0.0)
+      assert(nd2.isNaN || nd2 >= 0.0)
     }
   }
 
