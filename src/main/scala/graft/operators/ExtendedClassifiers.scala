@@ -133,25 +133,57 @@ object ExtendedClassifiers {
   }
 
   /** SLSN score (Rubin) — reference: rubin/slsn/processor.py:26-92 +
-    * feature_extraction.py (rainbow multiband features + RF). Features
-    * here: the 26-statistic kernel over all bands + per-band counts.
+    * feature_extraction.py/basic_functions.py: times shifted so the
+    * max-flux epoch is 0, fluxes normalized by the peak, rainbow fit on
+    * the normalized multiband curve, then per-band flux std and mean
+    * SNR (-1 empty-band sentinels), peak, point count. The reference's
+    * rainbow uses light-curve's linexp bolometric; ours is the sigmoid
+    * variant ([[graft.kernels.RainbowFit]]) — documented deviation; the
+    * SLSN_rainbow joblib classifier is CI-fetched and absent offline,
+    * so scoring defaults to the stand-in.
     */
   def slsnRubin(spark: SparkSession, df: DataFrame,
-      scorer: Scorer = StubModels.forest("slsn", 32)): DataFrame = {
+      scorer: Scorer = StubModels.forest("slsn", 21)): DataFrame = {
+    // slsn rainbow wavelengths (feature_extraction.py:178)
+    val slsnWave = Map("u" -> 3751.0, "g" -> 4742.0, "r" -> 6173.0,
+      "i" -> 7502.0, "z" -> 8679.0, "y" -> 9711.0)
     val s = udf((cmjd: Seq[java.lang.Double], cflux: Seq[java.lang.Double],
         cerr: Seq[java.lang.Double], cband: Seq[String]) => {
       def arr(xs: Seq[java.lang.Double]) =
         xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
       val t = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
       val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
-      if (sel.length < 3) -1.0
+      // MINIMUM_POINTS gate (kernel.py:22): invalid objects keep -1
+      if (sel.length < 7) -1.0
       else {
         val order = sel.sortBy(t)
-        val base = LightCurveFeatures.extract(
-          order.map(t).toArray, order.map(f).toArray, order.map(e).toArray)
+        val fs = order.map(f).toArray
+        // transform_data: shift time to the max-flux epoch, normalize
+        // flux and error by the peak (basic_functions translate/normalize)
+        val iPeak = fs.indices.maxBy(fs)
+        val peak = fs(iPeak)
+        val t0 = order.map(t).apply(iPeak)
+        val ts = order.map(t(_) - t0).toArray
+        val norm = if (peak != 0.0) peak else 1.0
+        val fn = fs.map(_ / norm)
+        val en = order.map(e(_) / norm).toArray
+        val bs = order.map(i => if (cband(i) == null) "" else cband(i)).toArray
+        val rainbow = graft.kernels.RainbowFit.fit(ts, bs, fn, en, slsnWave).features
+        // per-band std / mean SNR with the -1 empty sentinels
+        val perBand = Rubin.Bands.flatMap { b =>
+          val bi = bs.indices.filter(bs(_) == b)
+          if (bi.isEmpty) Seq(-1.0, -1.0)
+          else {
+            val bf = bi.map(fn)
+            val mean = bf.sum / bf.length
+            val std = math.sqrt(bf.map(x => (x - mean) * (x - mean)).sum / bf.length)
+            val snr = bi.map(i => fn(i) / en(i)).sum / bi.length
+            Seq(std, snr)
+          }
+        }
+        val feats = (Array(peak) ++ rainbow ++ perBand :+ sel.length.toDouble)
           .map(x => if (x.isNaN) 0.0 else x)
-        val counts = Rubin.Bands.map(b => sel.count(i => cband(i) == b).toDouble)
-        scorer.score(base ++ counts)
+        scorer.score(feats)
       }
     })
     df.withColumn("slsn_score", s(

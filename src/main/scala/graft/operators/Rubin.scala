@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.alerts.AlertCols
-import graft.kernels.LightCurveFeatures
+import graft.kernels.{LightCurveFeatures, RainbowFit}
 import graft.models.{Scorer, StubModels}
 
 /** Rubin/LSST adapters (SURVEY.md §1.3, §2.3 rubin modules): same operator
@@ -41,6 +41,60 @@ object Rubin {
       .withColumnRenamed("cpsFlux", "cpsfFlux")
       .withColumnRenamed("cpsFluxErr", "cpsfFluxErr")
       .withColumnRenamed("cfilterName", "cband")
+
+  /** Rainbow feature extraction for one alert
+    * (rubin/random_forest_snia/processor.py:44-155 semantics): sort by
+    * MJD, mask NaN fluxes, require >= 7 points and >= max(2, min(3,
+    * nbands)) rising filters, apply the low_bound flux floor, then fit
+    * the published Rainbow rising model. Failure paths return the
+    * zeros vector exactly like the reference (amplitude == 0 doubles
+    * as the downstream sentinel flag).
+    */
+  def rainbowFeaturesKernel(mjd: Array[Double], band: Array[String],
+      flux: Array[Double], fluxErr: Array[Double],
+      waveAA: Map[String, Double] = RainbowFit.LsstBandWaveAA,
+      minDataPoints: Int = 7, lowBound: Double = -10.0): Array[Double] = {
+    val order = mjd.indices.sortBy(mjd)
+    val sel = order.filter(i => !flux(i).isNaN && flux(i) > lowBound)
+    if (sel.length < minDataPoints)
+      return new Array[Double](RainbowFit.FeatureNames.length)
+    val bands = sel.map(band).distinct
+    val needed = math.max(2, math.min(3, bands.length))
+    val rising = bands.count { b =>
+      val bi = sel.filter(band(_) == b)
+      RainbowFit.isRising(bi.map(mjd).toArray, bi.map(flux).toArray)
+    }
+    if (rising < needed)
+      return new Array[Double](RainbowFit.FeatureNames.length)
+    RainbowFit.fit(sel.map(mjd).toArray, sel.map(band).toArray,
+      sel.map(flux).toArray, sel.map(fluxErr).toArray, waveAA).features
+  }
+
+  /** Early-SN-Ia rainbow score (`pIa`) —
+    * rubin/random_forest_snia/processor.py:158-278: classifier input is
+    * [n_points] ++ the 7 rainbow features; alerts whose rainbow fit
+    * failed (amplitude == 0) get the -1.0 sentinel. The bundled
+    * elasticc_rainbow pickle is CI-fetched and absent offline, so the
+    * scorer defaults to the documented stand-in.
+    */
+  def rfscoreRainbow(spark: SparkSession, df: DataFrame,
+      scorer: Scorer = StubModels.forest("rainbow_ia", 8)): DataFrame = {
+    val s = udf((cmjd: Seq[java.lang.Double], cband: Seq[String],
+        cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double]) => {
+      def arr(xs: Seq[java.lang.Double]) =
+        if (xs == null) Array.empty[Double]
+        else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val mjd = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
+      val b = if (cband == null) Array.empty[String]
+        else cband.map(x => if (x == null) "" else x).toArray
+      val feats = rainbowFeaturesKernel(mjd, b, f, e)
+      if (feats(0) == 0.0) -1.0
+      else scorer.score(Array(mjd.length.toDouble) ++ feats)
+    })
+    df.withColumn("pIa", s(
+      col("cmidpointMjdTai").cast("array<double>"), col("cband"),
+      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>")))
+  }
 
   /** Per-band light-curve features over fluxes, keyed by band letter —
     * rubin/ad_features/processor.py:35-227 (same 26-statistic kernel;
