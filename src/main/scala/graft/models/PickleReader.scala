@@ -144,11 +144,31 @@ object PickleReader {
   def load(in: InputStream): Any =
     new Machine(new DataInputStream(in), new Counter).run()
 
+  /** Load one pickle stream with a persistent-id resolver (the hook the
+    * torch legacy format uses for tensor storages) from an already-open
+    * stream; the stream is left positioned after the STOP opcode so
+    * callers can read trailing data (torch writes raw storage blocks
+    * there).
+    */
+  def loadWithPersistent(in: DataInputStream,
+      persistentLoad: Any => Any): Any =
+    new Machine(in, new Counter, persistentLoad).run()
+
   // ------------------------------------------------------------------
 
   private val MarkSentinel = new AnyRef { override def toString = "MARK" }
 
-  private final class Machine(in: DataInputStream, counter: Counter) {
+  /** A resolved GLOBAL/STACK_GLOBAL reference (module + qualified name).
+    * Public so persistent-id hooks (e.g. the torch reader) can inspect
+    * storage-type references.
+    */
+  final case class PyGlobal(module: String, name: String) {
+    def full: String = s"$module.$name"
+  }
+
+  private final class Machine(in: DataInputStream, counter: Counter,
+      persistentLoad: Any => Any = x =>
+        sys.error(s"unexpected persistent id: $x")) {
     private def bytesRead: Long = counter.n
     private val stack = new mutable.ArrayBuffer[Any](256)
     private val memo = new mutable.HashMap[Int, Any]()
@@ -256,11 +276,12 @@ object PickleReader {
           case 'h' => stack += memo(u1()) // BINGET
           case 'j' => stack += memo(i4()) // LONG_BINGET
 
-          case 'c' => stack += Global(line(), line()) // GLOBAL
+          case 'c' => stack += PyGlobal(line(), line()) // GLOBAL
+          case 'Q' => stack += persistentLoad(pop()) // BINPERSID
           case 0x93 => // STACK_GLOBAL
             val name = pop().asInstanceOf[String]
             val mod = pop().asInstanceOf[String]
-            stack += Global(mod, name)
+            stack += PyGlobal(mod, name)
 
           case 'R' => // REDUCE
             val args = pop().asInstanceOf[Vector[Any]]
@@ -284,18 +305,14 @@ object PickleReader {
 
     // ---- object model ----
 
-    private case class Global(module: String, name: String) {
-      def full: String = s"$module.$name"
-    }
-
     private def newObj(cls: Any, args: Vector[Any]): Any = cls match {
-      case g: Global => new PyObject(g.full, args)
+      case g: PyGlobal => new PyObject(g.full, args)
       case other => sys.error(s"NEWOBJ on non-global $other")
     }
 
     private def reduce(callable: Any, args: Vector[Any]): Any = {
       val g = callable match {
-        case g: Global => g
+        case g: PyGlobal => g
         case other => sys.error(s"REDUCE on non-global $other")
       }
       g.full match {
@@ -316,6 +333,15 @@ object PickleReader {
           val dt = args(0).asInstanceOf[PyDtype]
           val raw = args(1).asInstanceOf[Array[Byte]]
           decodeScalar(dt, raw)
+        case "collections.OrderedDict" =>
+          val m = new mutable.LinkedHashMap[Any, Any]()
+          if (args.nonEmpty) args(0) match {
+            case items: mutable.ArrayBuffer[Any @unchecked] =>
+              items.foreach { case pair: Vector[Any @unchecked] =>
+                m += (pair(0) -> pair(1)) }
+            case _ =>
+          }
+          m
         case "builtins.bytearray" =>
           if (args.isEmpty) Array.emptyByteArray else args(0)
         case _ =>
@@ -386,6 +412,9 @@ object PickleReader {
         po.state = state
         // joblib inlines the array block right after the wrapper's BUILD
         if (po.cls.endsWith("NumpyArrayWrapper")) readJoblibArray(po) else po
+      case m: mutable.LinkedHashMap[Any @unchecked, Any @unchecked] =>
+        // OrderedDict.__setstate__ carries an (empty) instance dict
+        m
       case other => sys.error(s"BUILD on $other")
     }
 

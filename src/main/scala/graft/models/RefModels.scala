@@ -69,6 +69,22 @@ object RefModels {
     opt("model_orphans.pkl")(f =>
       SklearnModels.gradientBoostingBinary(PickleReader.load(f.getPath)))
 
+  /** SuperNNova bundles (model.pt + data_norm.json directories). */
+  private def snnDir(rel: String): Option[SnnModel] = {
+    val d = new File(dir, rel)
+    if (!new File(d, "model.pt").isFile) None
+    else try Some(SnnModel.load(d.getPath))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"RefModels: failed to load $rel: $e")
+        None
+    }
+  }
+  lazy val snnSniaVsNonia: Option[SnnModel] = snnDir("snn_models/snn_snia_vs_nonia")
+  lazy val snnSnVsAll: Option[SnnModel] = snnDir("snn_models/snn_sn_vs_all")
+  lazy val snnElasticcSnVsOther: Option[SnnModel] =
+    snnDir("snn_models/elasticc_binary_broad/SN_vs_other")
+
   /** Kilonova principal components (3 x 401 on the kndetect grid),
     * parsed from the bundled mixed_pcs.csv (first row is a sample-index
     * header).

@@ -173,28 +173,42 @@ object Classifiers {
         col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
   }
 
-  /** SNN-style score — reference: ztf/snn/processor.py:84-210 (PyTorch
-    * RNN over SNANA-formatted sequences; here: gate + light-curve
-    * summary features + scorer). -99 sentinel outside the gate isn't
-    * used by SNN (it scores everything the gate admits; rejected rows
-    * get 0.0 like the reference's use_mask application).
+  /** SNN score — reference: ztf/snn/processor.py:84-210: the selection
+    * gate (apply_selection_cuts_ztf), SNANA FLUXCAL sequences, and the
+    * bundled SuperNNova bi-LSTM run natively
+    * ([[graft.models.SnnModel]]); prob_class0 is the returned score,
+    * 0.0 outside the gate. When the model bundle is absent a summary-
+    * feature stub keeps the pipeline runnable.
+    *
+    * Note: the processor's doctest golden (pIa>0.5 -> 6) cannot hold
+    * against the BUNDLED datatest fixture — only 4 of its 124 alerts
+    * satisfy the gate's own jd[-1]-jdstarthist <= 90 cut (verified
+    * directly), so that golden predates the current fixture.
     */
   def snn(spark: SparkSession, df: DataFrame, outCol: String = "snn_snia_vs_nonia",
-      scorer: Scorer = StubModels.logistic("snn", 26)): DataFrame = {
-    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
-        cs: Seq[java.lang.Double]) => {
-      val jd = arr(cjd); val m = arr(cm); val sg = arr(cs)
-      val sel = m.indices.filter(i => !m(i).isNaN && !sg(i).isNaN)
-      val f = LightCurveFeatures.extract(
-        sel.map(jd).toArray, sel.map(m).toArray, sel.map(sg).toArray)
-        .map(x => if (x.isNaN) 0.0 else x)
-      scorer.score(f)
-    })
+      model: Option[graft.models.SnnModel] = RefModels.snnSniaVsNonia,
+      fallback: Scorer = StubModels.logistic("snn", 26)): DataFrame = {
+    val s = model match {
+      case Some(m) =>
+        udf((cjd: Seq[java.lang.Double], cf: Seq[Int], cm: Seq[java.lang.Double],
+            cs: Seq[java.lang.Double]) =>
+          graft.models.SnnFeatures.probClass0(m, arr(cjd), cf.toArray,
+            arr(cm), arr(cs)))
+      case None =>
+        udf((cjd: Seq[java.lang.Double], cf: Seq[Int], cm: Seq[java.lang.Double],
+            cs: Seq[java.lang.Double]) => {
+          val jd = arr(cjd); val mm = arr(cm); val sg = arr(cs)
+          val sel = mm.indices.filter(i => !mm(i).isNaN && !sg(i).isNaN)
+          fallback.score(LightCurveFeatures.extract(
+            sel.map(jd).toArray, sel.map(mm).toArray, sel.map(sg).toArray)
+            .map(x => if (x.isNaN) 0.0 else x))
+        })
+    }
     df.withColumn(outCol,
       when(SelectionCuts.snnGate(col("cmagpsf"), col("cjd"),
         col("candidate.jdstarthist"), col("roid"), col("cdsxmatch")),
-        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>")))
+        s(col("cjd").cast("array<double>"), col("cfid").cast("array<int>"),
+          col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>")))
         .otherwise(lit(0.0)))
   }
 

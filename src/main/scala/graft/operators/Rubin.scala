@@ -126,25 +126,47 @@ object Rubin {
   /** SNN-style score over the flux series (rubin/snn/processor.py:35-180;
     * FLUXCAL rescale factor 10^(-(31.4-27.5)/2.5) applied as there).
     */
+  /** Rubin SNN (rubin/snn/processor.py:40-160): no a-priori gate, psfFlux
+    * rescaled into SNANA FLUXCAL (zeropoint 31.4 -> 27.5), then the
+    * bundled elasticc SuperNNova bi-LSTM (transform_to_flux=False path);
+    * prob_class0 returned. Falls back to summary features + stub when
+    * the model bundle is absent.
+    */
   def snn(spark: SparkSession, df: DataFrame, outCol: String = "snn_sn_vs_all",
-      scorer: Scorer = StubModels.logistic("rubin_snn", 26)): DataFrame = {
+      model: Option[graft.models.SnnModel] = graft.models.RefModels.snnElasticcSnVsOther,
+      fallback: Scorer = StubModels.logistic("rubin_snn", 26)): DataFrame = {
     val fluxcal = math.pow(10.0, -(31.4 - 27.5) / 2.5)
-    val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
-        cmjd: Seq[java.lang.Double]) => {
-      def arr(xs: Seq[java.lang.Double]) =
-        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
-      val f = arr(cflux).map(_ * fluxcal)
-      val e = arr(cerr).map(_ * fluxcal)
-      val t = arr(cmjd)
-      val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
-      val feats = LightCurveFeatures.extract(
-        sel.map(t).toArray, sel.map(f).toArray, sel.map(e).toArray)
-        .map(x => if (x.isNaN) 0.0 else x)
-      scorer.score(feats)
-    })
+    val kernel = model match {
+      case Some(m) =>
+        // elasticc filter set, ASCII-sorted like SuperNNova's dummies
+        val filters = Seq("u", "g", "r", "i", "z", "Y")
+        udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
+            cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
+          def arr(xs: Seq[java.lang.Double]) =
+            xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+          val b = if (cband == null) Array.empty[String]
+            else cband.map(x => if (x == null) "" else x).toArray
+          graft.models.SnnFeatures.probClass0Flux(m, arr(cmjd), b,
+            arr(cflux).map(_ * fluxcal), arr(cerr).map(_ * fluxcal), filters)
+        })
+      case None =>
+        udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
+            cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
+          def arr(xs: Seq[java.lang.Double]) =
+            xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+          val f = arr(cflux).map(_ * fluxcal)
+          val e = arr(cerr).map(_ * fluxcal)
+          val t = arr(cmjd)
+          val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
+          val feats = LightCurveFeatures.extract(
+            sel.map(t).toArray, sel.map(f).toArray, sel.map(e).toArray)
+            .map(x => if (x.isNaN) 0.0 else x)
+          fallback.score(feats)
+        })
+    }
     df.withColumn(outCol, kernel(
       col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
-      col("cmidpointMjdTai").cast("array<double>")))
+      col("cmidpointMjdTai").cast("array<double>"), col("cband")))
   }
 
   /** CATS-style multi-class argmax (rubin/cats/processor.py:60-169):
