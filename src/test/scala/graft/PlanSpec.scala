@@ -44,6 +44,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(300))
   }
 
+  test("x2 map-payload crossmatch: broadcast zone join, min_by aggregation") {
+    val p = plan("x2_mangrove_payload")
+    assert(p.contains("BroadcastHashJoin"), "zone join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("Window "), "payload pick must not window-sort")
+  }
+
+  test("f3/f5 packet operators: single shuffle (the packet groupBy), no joins") {
+    for (q <- Seq("f3_transient_flags", "f5_fast_transient_rate")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+      // one hash-aggregate pair (partial + final) around one exchange
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q has $exchanges exchanges:\n${p.take(400)}")
+    }
+  }
+
+  test("d5 simhash banding: no cartesian/nested-loop product") {
+    val p = plan("d5_simhash_pairs")
+    assert(!p.contains("CartesianProduct"), "banding must hash-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s1 knn: single scan + broadcast of the query vector, top-k without full sort") {
     val p = SparkEntry.queries("s1_knn_bruteforce")(spark, sf)
       .queryExecution.executedPlan.toString
