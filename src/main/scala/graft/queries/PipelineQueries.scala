@@ -209,6 +209,25 @@ object PipelineQueries extends QueryPack {
         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
         |ORDER BY d1, d2""".stripMargin,
+    "m2_media_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i.i AS INT), 1)) AS byte
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i),
+        |h AS (SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(n) AS tot, list(n ORDER BY byte) AS ns FROM h GROUP BY 1),
+        |e AS (
+        |  SELECT doc_id, tot,
+        |    -list_reduce(list_transform(ns, x -> ((x/tot) * ln(x/tot)) / ln(2)),
+        |                 (a, b) -> a + b) AS ent
+        |  FROM t),
+        |s AS (SELECT doc_id, CAST(sum(byte) AS DOUBLE) AS sb, count(*) AS nb FROM c GROUP BY 1)
+        |SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+        |       s.sb / s.nb AS mean_byte, e.ent AS byte_entropy,
+        |       CAST(1 + d.doc_id % 3 AS INT) AS frames
+        |FROM documents d
+        |JOIN s ON s.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
