@@ -1,0 +1,87 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamingOps
+
+/** Native streaming operators: stream results must equal their batch
+  * twins on the events table replayed as a multi-file stream (so the
+  * stateful path crosses micro-batch boundaries).
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private lazy val streamDir = {
+    // replay source: several time-ordered files -> several AvailableNow
+    // micro-batches arriving roughly in event-time order (a random file
+    // split would make whole batches late and the watermark would drop
+    // them — correct semantics, but not the equality under test)
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    Tables.t(spark, sf, "events")
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("watermarked windowed counts: stream equals batch on replay") {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val windowed = StreamingOps.windowedCounts(stream, "ts", "event_type")
+    val q = windowed.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    // Append mode only emits windows the watermark has closed; the last
+    // windows stay open at end-of-stream, so compare the emitted subset
+    val got = spark.table("win_counts")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = StreamingOps.windowedCountsBatch(
+      spark.read.parquet(streamDir), "ts", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got.nonEmpty, "no windows closed — watermark never advanced")
+    assert(got.subsetOf(batch), "stream emitted a window batch mode disagrees with")
+    // everything but the tail beyond the watermark must have been emitted
+    assert(got.size >= batch.size / 2, s"only ${got.size} of ${batch.size} windows emitted")
+  }
+
+  test("mapGroupsWithState running stats: final state equals batch aggregate") {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = StreamingOps.runningUserStats(spark, stream)
+      .toDF("user_id", "n", "max_value")
+      .writeStream
+      .format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    // updates arrive once per (batch, user); the LAST update per user is
+    // the final state
+    val updates = spark.table("user_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(updates.length > updates.map(_._1).distinct.length,
+      "state never crossed a micro-batch boundary (single batch?)")
+    val finalPerUser = updates.groupBy(_._1).map { case (u, us) =>
+      u -> us.maxBy(_._2) } // highest running count = latest
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), max("value").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(finalPerUser.size === batch.size)
+    finalPerUser.foreach { case (u, (_, n, mx)) =>
+      assert(n === batch(u)._1, s"user $u count")
+      assert(mx === batch(u)._2, s"user $u max")
+    }
+  }
+}
