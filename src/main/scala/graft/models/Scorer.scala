@@ -119,6 +119,34 @@ object StubModels {
       Array.fill(nTrees)(randomTree(r, nFeatures, depth)), 256)
   }
 
+  /** Deterministic stand-in SEQUENCE classifier: masked mean-pool over
+    * the timestep channels (ignoring the -999 padding) into a softmax —
+    * a placeholder for CNN/RNN sequence models whose weight formats
+    * have no in-repo reader (CATS TensorFlow). Runs over the REAL input
+    * tensor so the preprocessing contract is exercised end-to-end.
+    */
+  def seqSoftmax(name: String, nClasses: Int): Array[Array[Float]] => Array[Double] = {
+    val r = rng(name)
+    val w = Array.fill(nClasses)(Array.fill(4)(r.nextGaussian() * 0.5))
+    (x: Array[Array[Float]]) => {
+      val pooled = new Array[Double](4)
+      var n = 0
+      x.foreach { row =>
+        if (row(0) != -999f) {
+          var j = 0
+          while (j < 4) { pooled(j) += row(j); j += 1 }
+          n += 1
+        }
+      }
+      if (n > 0) { var j = 0; while (j < 4) { pooled(j) /= n; j += 1 } }
+      val logits = w.map(wc => wc.indices.map(j => wc(j) * pooled(j)).sum)
+      val mx = logits.max
+      val exps = logits.map(z => math.exp(z - mx))
+      val s = exps.sum
+      exps.map(_ / s)
+    }
+  }
+
   private def randomTree(r: java.util.Random, nFeatures: Int, depth: Int): DecisionTree = {
     val nNodes = (1 << (depth + 1)) - 1
     val feature = new Array[Int](nNodes)

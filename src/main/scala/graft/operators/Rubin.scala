@@ -123,9 +123,6 @@ object Rubin {
       col("cmidpointMjdTai").cast("array<double>"), col("cband").cast("array<string>")))
   }
 
-  /** SNN-style score over the flux series (rubin/snn/processor.py:35-180;
-    * FLUXCAL rescale factor 10^(-(31.4-27.5)/2.5) applied as there).
-    */
   /** Rubin SNN (rubin/snn/processor.py:40-160): no a-priori gate, psfFlux
     * rescaled into SNANA FLUXCAL (zeropoint 31.4 -> 27.5), then the
     * bundled elasticc SuperNNova bi-LSTM (transform_to_flux=False path);
@@ -174,23 +171,65 @@ object Rubin {
     * the reference's own native expression
     * `array_position(preds, array_max(preds)) - 1`.
     */
+  /** CATS input tensor for one alert — exact reference preprocessing
+    * (rubin/cats/processor.py:115-160 + utilities.py norm_column):
+    * mjd shifted to the first epoch, per-curve min-max normalized flux
+    * and error ([1.0] singletons), bands coded u..y -> 1..6, all four
+    * channels padded "post" to 395 steps with -999 (0 for bands) and
+    * truncated "pre" (keras pad_sequences keeps the LAST maxlen steps).
+    * Rows: [mjd, flux, error, band] per timestep.
+    */
+  def catsInputTensor(mjd: Array[Double], flux: Array[Double],
+      err: Array[Double], band: Array[String],
+      maxLen: Int = 395): Array[Array[Float]] = {
+    val filterCode = Map("u" -> 1f, "g" -> 2f, "r" -> 3f,
+      "i" -> 4f, "z" -> 5f, "y" -> 6f)
+    def norm(xs: Array[Double]): Array[Float] = {
+      if (xs.length == 1) return Array(1.0f)
+      val mn = xs.min; val ptp = xs.max - mn
+      xs.map(x => ((x - mn) / ptp).toFloat)
+    }
+    val t0 = mjd(0)
+    val tShift = mjd.map(x => (x - t0).toFloat)
+    val fN = norm(flux)
+    val eN = norm(err)
+    val bC = band.map(b => filterCode.getOrElse(b, 0f))
+    val n = mjd.length
+    val take = math.min(n, maxLen)
+    val from = n - take // truncating='pre': keep the last steps
+    Array.tabulate(maxLen) { i =>
+      if (i < take) Array(tShift(from + i), fN(from + i), eN(from + i), bC(from + i))
+      else Array(-999f, -999f, -999f, 0f)
+    }
+  }
+
+  /** CATS broad classification — rubin/cats/processor.py:43-170:
+    * < 2-point curves keep the all-zero probability vector; others run
+    * the 395x4 input tensor through the classifier; downstream argmax
+    * is the reference's own native expression. The bundled CNN is
+    * TensorFlow (cats_models keras h5 weights — not parseable with
+    * the in-repo readers), so the sequence scorer defaults to a
+    * documented deterministic stand-in over the real input tensor.
+    */
   def catsBroadClass(spark: SparkSession, df: DataFrame, nClasses: Int = 5,
-      bank: Int => Scorer = i => StubModels.logistic(s"cats_$i", 26)): DataFrame = {
-    val scorers = (0 until nClasses).map(bank)
+      seqScorer: Array[Array[Float]] => Array[Double] =
+        StubModels.seqSoftmax("cats", 5)): DataFrame = {
     val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
-        cmjd: Seq[java.lang.Double]) => {
+        cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
       def arr(xs: Seq[java.lang.Double]) =
-        xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
-      val f = arr(cflux); val e = arr(cerr); val t = arr(cmjd)
-      val sel = f.indices.filter(i => !f(i).isNaN && !e(i).isNaN)
-      val feats = LightCurveFeatures.extract(
-        sel.map(t).toArray, sel.map(f).toArray, sel.map(e).toArray)
-        .map(x => if (x.isNaN) 0.0 else x)
-      scorers.map(_.score(feats)).toArray
+        if (xs == null) Array.empty[Double]
+        else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+      val t = arr(cmjd)
+      if (t.length <= 1) Array.fill(nClasses)(0.0) // reference mask
+      else {
+        val b = if (cband == null) Array.fill(t.length)("")
+          else cband.map(x => if (x == null) "" else x).toArray
+        seqScorer(catsInputTensor(t, arr(cflux), arr(cerr), b))
+      }
     })
     df.withColumn("cats_preds", kernel(
       col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
-      col("cmidpointMjdTai").cast("array<double>")))
+      col("cmidpointMjdTai").cast("array<double>"), col("cband")))
       .withColumn("cats_broad_class",
         expr("array_position(cats_preds, array_max(cats_preds)) - 1").cast("int"))
   }

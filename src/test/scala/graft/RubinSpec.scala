@@ -88,4 +88,27 @@ class RubinSpec extends SparkSpec {
     // but every row must carry the label column
     assert(out.filter(col("gcvs").isNull).count() === 0)
   }
+
+  test("cats input tensor: exact reference preprocessing") {
+    val mjd = Array(60000.0, 60001.5, 60003.0)
+    val flux = Array(100.0, 300.0, 200.0)
+    val err = Array(5.0, 10.0, 7.5)
+    val band = Array("g", "r", "y")
+    val lc = Rubin.catsInputTensor(mjd, flux, err, band)
+    assert(lc.length === 395)
+    assert(lc(0).toSeq === Seq(0f, 0f, 0f, 2f))
+    assert(lc(1).toSeq === Seq(1.5f, 1f, 1f, 3f))
+    assert(lc(2).toSeq === Seq(3f, 0.5f, 0.5f, 6f))
+    assert(lc(3).toSeq === Seq(-999f, -999f, -999f, 0f))
+    // singleton curves normalize to [1.0]
+    val one = Rubin.catsInputTensor(Array(60000.0), Array(5.0), Array(1.0), Array("u"))
+    assert(one(0).toSeq === Seq(0f, 1f, 1f, 1f))
+    // pre-truncation keeps the LAST 395 steps
+    val long = Rubin.catsInputTensor(
+      Array.tabulate(400)(i => 60000.0 + i),
+      Array.tabulate(400)(_.toDouble),
+      Array.fill(400)(1.0), Array.fill(400)("g"))
+    assert(long(0)(0) === 5f) // first kept step is original index 5
+    assert(long(394)(0) === 399f)
+  }
 }
