@@ -69,10 +69,13 @@ object Classifiers {
     * FLUXCAL curve normalized by its maximum, PC1 (mixed_pcs.csv,
     * 401-sample grid at 0.25 d spanning +-50 d around peak) evaluated at
     * the observed epochs by linear interpolation, the single coefficient
-    * solved by least squares, residuo = L2 norm of the residual. The
-    * kndetect package's exact binning is not reproducible offline — this
-    * is the documented inference from its published method; the
-    * classifier weights and components are the real bundled ones.
+    * solved by least squares, residuo = sqrt of the sigma-normalized
+    * squared-residual sum (errors in peak-normalized units) — the
+    * variant that reproduces both the bundle's RobustScaler medians
+    * (residuo ~7.8) and the reference doctest golden (pKNe>0.5 -> 1 on
+    * the datatest fixture, same object). The kndetect package itself is
+    * offline-unavailable; classifier weights and components are the
+    * real bundled ones.
     */
   def kilonova(spark: SparkSession, df: DataFrame,
       components: Array[Array[Double]] =
@@ -88,16 +91,19 @@ object Classifiers {
         x => stub.score(x)
     }
     val pc1 = components(0)
-    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double], cf: Seq[Int]) => {
-      val jd = arr(cjd); val m = arr(cm)
+    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double], cf: Seq[Int]) => {
+      val jd = arr(cjd); val m = arr(cm); val sig = arr(cs)
       val feats = new Array[Double](8)
       var band = 1
       while (band <= 2) {
-        val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN)
+        val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN && !sig(i).isNaN)
         val off = (band - 1) * 4
         if (sel.nonEmpty) {
           // SNANA FLUXCAL (ZP 27.5), as mag2fluxcal_snana
           val flux = sel.map(i => math.pow(10.0, (27.5 - m(i)) / 2.5)).toArray
+          val ferr = sel.indices.map(j =>
+            sig(sel(j)) * flux(j) * math.log(10.0) / 2.5).toArray
           val t = sel.map(jd).toArray
           var iMax = 0
           var i = 1
@@ -122,11 +128,13 @@ object Classifiers {
             i += 1
           }
           val coeff = if (den > 0) num / den else 0.0
+          // residuo: sigma-normalized residual L2 in peak-normalized units
           var res = 0.0
           i = 0
           while (i < flux.length) {
             val r = flux(i) / mx - coeff * pcAt(t(i) - tPeak)
-            res += r * r
+            val sn = ferr(i) / mx
+            if (sn > 0) res += (r / sn) * (r / sn)
             i += 1
           }
           feats(off) = flux.length.toDouble
@@ -142,7 +150,7 @@ object Classifiers {
       when(SelectionCuts.kilonovaGate(col("cmagpsf"), col("candidate.ndethist"),
         col("cdsxmatch")),
         s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-          col("cfid").cast("array<int>")))
+          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
         .otherwise(lit(0.0)))
   }
 

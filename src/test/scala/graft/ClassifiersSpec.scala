@@ -49,6 +49,20 @@ class ClassifiersSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("kilonova reproduces the reference doctest golden: pKNe>0.5 -> 1") {
+    assume(graft.models.RefModels.kilonova.isDefined, "model bundle absent")
+    // the doctest (ztf/kilonova/processor.py:98-103) adds a fake
+    // Unknown SIMBAD column before scoring
+    val series = AlertCols.withHistory(spark.read.parquet(ztfSample),
+      Seq("jd", "fid", "magpsf", "sigmapsf"))
+      .withColumn("cdsxmatch", lit("Unknown"))
+    val out = Classifiers.kilonova(spark, series).cache()
+    val above = out.filter(col("pKNe") > 0.5)
+    assert(above.count() === 1)
+    assert(above.select("objectId").head.getString(0) === "ZTF21acptaer")
+    out.unpersist()
+  }
+
   test("anomaly: min over valid bands, NaN when no valid band") {
     val withFeatures = AdFeatures(spark, enriched)
     val out = Classifiers.anomaly(spark, withFeatures)
