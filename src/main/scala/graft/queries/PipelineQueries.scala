@@ -86,8 +86,10 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  // t5: winnowed rolling-hash fingerprints (MOSS scheme) — rows-only
-  // check (the 61-bit Mersenne rolling hash has no SQL mirror).
+  // t5: winnowed rolling-hash fingerprints (MOSS scheme). The oracle
+  // mirrors the 61-bit Mersenne k-gram hash in HUGEINT (the direct
+  // polynomial stays under 2^50, so one final mod suffices) and the
+  // winnow selection as distinct rightmost-window-minimum values.
   private def t5Winnow(s: SparkSession, dir: String): DataFrame = {
     val fp = udf((t: String) => graft.text.Winnow.fingerprints(
       if (t == null) "" else t))
@@ -272,6 +274,33 @@ object PipelineQueries extends QueryPack {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+        "t5_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |    CAST((((CAST(ord(substr(text, CAST(i.i AS INT), 1)) AS HUGEINT) * 257
+        |      + ord(substr(text, CAST(i.i + 1 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 2 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 3 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 4 AS INT), 1)) AS BIGINT)
+        |      % 2305843009213693951 AS hash
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) i
+        |  WHERE length(text) >= 5),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id, a.i AS win, b.hash, b.i AS j
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
+        |  JOIN n ON n.doc_id = a.doc_id
+        |  WHERE a.i <= n.ng - 3
+        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.i
+        |                             ORDER BY b.hash ASC, b.i DESC) = 1),
+        |small AS (
+        |  SELECT g.doc_id, min(hash) AS min_fp, CAST(1 AS BIGINT) AS n_fp
+        |  FROM g JOIN n ON n.doc_id = g.doc_id WHERE n.ng BETWEEN 1 AND 3 GROUP BY 1),
+        |sel AS (SELECT doc_id, count(DISTINCT hash) AS n_fp, min(hash) AS min_fp
+        |        FROM p GROUP BY 1)
+        |SELECT doc_id, n_fp AS n_fingerprints, min_fp FROM sel
+        |UNION ALL SELECT doc_id, n_fp, min_fp FROM small
+        |ORDER BY doc_id""".stripMargin,
     "t6_regex_tokens" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
