@@ -96,4 +96,21 @@ object RefModels {
         .map(_.split(',').map(_.toDouble)).toArray
       finally lines.close()
     }
+
+  /** CATS broad classifier (rubin/cats/processor.py:36-38). The
+    * reference loads the TF SavedModel checkpoint; the sibling serial
+    * `.keras` archive carries byte-identical weights (verified offset-
+    * for-offset against variables.data-00000-of-00001) plus the
+    * architecture JSON, so we parse that.
+    */
+  lazy val cats: Option[CatsModel] =
+    opt("cats_models/cats_small_nometa_serial.keras")(f =>
+      CatsModel.load(f.getPath))
+
+  /** CATS as a padded-sequence scorer (falls back to the documented
+    * stand-in when the archive is absent).
+    */
+  lazy val catsSeqScorer: Array[Array[Float]] => Array[Double] =
+    cats.map(m => (x: Array[Array[Float]]) => m.forward(x))
+      .getOrElse(StubModels.seqSoftmax("cats", 5))
 }

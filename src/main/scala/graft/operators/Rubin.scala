@@ -206,14 +206,16 @@ object Rubin {
   /** CATS broad classification — rubin/cats/processor.py:43-170:
     * < 2-point curves keep the all-zero probability vector; others run
     * the 395x4 input tensor through the classifier; downstream argmax
-    * is the reference's own native expression. The bundled CNN is
-    * TensorFlow (cats_models keras h5 weights — not parseable with
-    * the in-repo readers), so the sequence scorer defaults to a
-    * documented deterministic stand-in over the real input tensor.
+    * is the reference's own native expression. The scorer defaults to
+    * the REAL bundled model — the serial `.keras` archive, whose
+    * weights are byte-identical to the SavedModel checkpoint the
+    * reference loads — run natively by [[graft.models.CatsModel]]
+    * (CNN + squeeze-excitation + BiLSTM branches; pinned against an
+    * independent NumPy evaluation in CatsModelSpec).
     */
   def catsBroadClass(spark: SparkSession, df: DataFrame, nClasses: Int = 5,
       seqScorer: Array[Array[Float]] => Array[Double] =
-        StubModels.seqSoftmax("cats", 5)): DataFrame = {
+        graft.models.RefModels.catsSeqScorer): DataFrame = {
     val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
         cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
       def arr(xs: Seq[java.lang.Double]) =
