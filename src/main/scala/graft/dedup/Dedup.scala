@@ -60,46 +60,99 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** FNV-1a 64-bit over UTF-8 bytes — the internal shingle fingerprint
+    * for Jaccard work. 240k distinct shingles have a ~3e-9 birthday
+    * collision probability at 64 bits; a collision would only perturb one
+    * pair's intersection count by 1. The payoff: every downstream
+    * shuffle/join/intersection moves 8-byte longs instead of ~17-char
+    * UTF8Strings (4x lighter rows, long equality instead of string).
+    */
+  def fnv1a64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct hashed token n-gram shingles (compiled kernel — see
+    * [[shingles]] for why HOF expressions lose here).
+    */
+  def hashedShingles(text: Column, n: Int = 3): Column = {
+    val k = udf((t: String) =>
+      shinglesKernel(if (t == null) "" else t, n).map(fnv1a64))
+    k(text)
+  }
+
   /** All pairs with n-gram Jaccard >= threshold. Exact, with PPJoin-style
     * prefix filtering: shingles are globally ordered by (frequency, value)
     * and only each document's prefix (the first |S| - ceil(t|S|) + 1
-    * shingles) is exploded into the candidate join — any pair at
-    * threshold t must share a prefix element, so no qualifying pair is
-    * lost, while hot (frequent) shingles land at the back of the order
-    * and stop driving quadratic candidate blowup. Candidates are then
-    * verified with the exact intersection.
+    * shingles) joins into candidate generation — any pair at threshold t
+    * must share a prefix element, so no qualifying pair is lost, while
+    * hot (frequent) shingles land at the back of the order and stop
+    * driving quadratic candidate blowup.
+    *
+    * Refinements over the textbook shape (each removes a scale
+    * bottleneck):
+    *  - shingles are 64-bit hashes end to end (see [[fnv1a64]]) — the
+    *    candidate join, window and verification all move longs;
+    *  - the per-doc rarity rank is a window `row_number` over the
+    *    exploded table (one shuffle on id) instead of
+    *    join+collect_list+sort_array+re-explode (shuffle + wide rows);
+    *  - PPJoin *positional* filtering inside the join: a match at prefix
+    *    positions (pa, pb) bounds the overlap by
+    *    1 + min(n1-pa, n2-pb), which must reach the threshold-implied
+    *    minimum overlap t/(1+t)*(n1+n2). For a pair's first shared
+    *    prefix element the bound is exact-from-above, so recall is
+    *    unaffected; later duplicate matches may be filtered, which only
+    *    helps the pre-verify dedup.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
       .cache() // feeds frequency ranking, candidate join, and verification
-    val ex = sets.select(col("id"), explode(col("sh")).as("g"))
+    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
     val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    // rank shingles per document by global rarity; keep only the prefix
-    val ranked = ex.join(freq, "g")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("cnt"), col("g")))).as("ranked"))
-      .withColumn("nsh", size(col("ranked")))
-      .withColumn("npref",
-        (col("nsh") - ceil(col("nsh") * threshold) + 1).cast("int"))
-      .select(col("id"), col("nsh"),
-        explode(expr("slice(ranked, 1, npref)")).as("st"))
-      // a globally-unique shingle cannot match in the self-join: drop it
-      // before the shuffle (recall unaffected, candidate volume shrinks)
-      .filter(col("st.cnt") >= 2)
-      .select(col("id"), col("nsh"), col("st.g").as("g"))
+    // rank shingles per document by global rarity (position among ALL of
+    // the doc's shingles), keep the prefix, then drop globally-unique
+    // shingles — they cannot match in the self-join (recall unaffected)
+    val pref = ex.join(freq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
+      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * threshold) + 1) &&
+        col("cnt") >= 2)
+      .select(col("id"), col("nsh"), col("g"), col("rn"))
       .cache() // both sides of the candidate self-join
-    // size-compatibility predicate inside the join (exact: jac >= t
-    // forces min size >= t * max size) prunes candidates early
-    val cand = ranked.as("a").join(ranked.as("b"),
+    // inside the join: size-compatibility (jac >= t forces
+    // min size >= t * max size) and the positional overlap upper bound
+    val minOverlap = (col("a.nsh") + col("b.nsh")) * (threshold / (1.0 + threshold))
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           least(col("a.nsh"), col("b.nsh")) >=
-            greatest(col("a.nsh"), col("b.nsh")) * threshold)
-      .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
-    verifyJaccard(cand, sets, threshold)
+            greatest(col("a.nsh"), col("b.nsh")) * threshold &&
+          (lit(1) + least(col("a.nsh") - col("a.rn"), col("b.nsh") - col("b.rn"))) >=
+            minOverlap)
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(first(col("a.nsh")).as("n1"), first(col("b.nsh")).as("n2"))
+    verifyJaccardHashed(cand, sets, threshold)
   }
+
+  /** Exact-Jaccard verification over hashed shingle sets; candidate rows
+    * already carry both set sizes, so the two set joins fetch only the
+    * long arrays.
+    */
+  private def verifyJaccardHashed(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
 
   /** Exact-Jaccard verification of candidate pairs against shingle sets:
     * a size-compatibility pre-filter (jac >= t forces
