@@ -176,6 +176,180 @@ object RainbowFit {
     Result(p(0), p(1), p(2), p(3), p(4), p(5), chi / dof, lcMax)
   }
 
+  /** Rainbow with the bazin bolometric and sigmoid temperature — the
+    * variant the reference's ZTF superluminous module fits
+    * (ztf/superluminous/slsn_classifier.py:695-700 with
+    * kernel.py temperature="sigmoid", bolometric="bazin"):
+    *
+    *   s(t) = exp(-(t-t0)/fall_time) / (1 + exp(-(t-t0)/rise_time))
+    *   T(t) = Tmin + (Tmax - Tmin) / (1 + exp((t-t0)/t_color))
+    *
+    * Parameter order matches the reference's rainbow names:
+    * reference_time, amplitude, rise_time, fall_time, Tmin, Tmax,
+    * t_color. `errors` are sqrt(diag(inv(JtJ))) at the solution — the
+    * Gauss-Newton analogue of iminuit's parabolic errors (solver-level
+    * deviation documented); snr features are value/error.
+    */
+  final case class BazinResult(params: Array[Double], errors: Array[Double],
+      reducedChi2: Double) {
+    /** value(7) ++ snr(7) ++ chi2 — fit_rainbow's return layout
+      * (slsn_classifier.py:473).
+      */
+    def features: Array[Double] =
+      params ++ params.indices.map(i => params(i) / errors(i)) :+ reducedChi2
+  }
+
+  val BazinParamNames: Seq[String] = Seq("reference_time", "amplitude",
+    "rise_time", "fall_time", "Tmin", "Tmax", "t_color")
+
+  /** Bazin-rainbow model flux at (t, nu). */
+  def bazinModelFlux(p: Array[Double], t: Double, nu: Double): Double = {
+    val t0 = p(0); val a = p(1); val rise = p(2); val fall = p(3)
+    val tMin = p(4); val tMax = p(5); val tColor = p(6)
+    val s = math.exp(-(t - t0) / fall) / (1.0 + math.exp(-(t - t0) / rise))
+    val temp = tMin + (tMax - tMin) / (1.0 + math.exp((t - t0) / tColor))
+    val x = H * nu / (KB * temp)
+    val planck = 2.0 * math.Pi * H * nu * nu * nu / (C * C) / math.expm1(x)
+    a * s * planck / (SIGMA_SB * temp * temp * temp * temp)
+  }
+
+  /** Fit the bazin-bolometric rainbow (7 params) with per-parameter
+    * errors. NaN params when fewer than 8 usable points (dof >= 1).
+    */
+  def fitBazin(t: Array[Double], band: Array[Double], flux: Array[Double],
+      fluxErr: Array[Double], waveAA: Map[Int, Double]): BazinResult = {
+    val sel = t.indices.filter(i => waveAA.contains(band(i).toInt))
+    val tt = sel.map(t).toArray
+    val ff = sel.map(flux).toArray
+    val ee = sel.map(i =>
+      if (fluxErr(i).isNaN || fluxErr(i) <= 0) 1.0 else fluxErr(i)).toArray
+    val nu = sel.map(i => C / (waveAA(band(i).toInt) * 1e-10)).toArray
+    val n = tt.length
+    val np_ = 7
+    if (n < np_ + 1)
+      return BazinResult(Array.fill(np_)(Double.NaN), Array.fill(np_)(Double.NaN), Double.NaN)
+
+    val iMax = ff.indices.maxBy(ff)
+    val lo = Array(tt.min - 200.0, 1e-12, 1e-2, 1e-2, 1e3, 1e3, 1e-2)
+    val hi = Array(tt.max + 200.0, 1e30, 500.0, 500.0, 5e4, 5e4, 500.0)
+
+    def chi2Of(q: Array[Double]): Double = {
+      var c = 0.0
+      var i = 0
+      while (i < n) {
+        val r = (ff(i) - bazinModelFlux(q, tt(i), nu(i))) / ee(i)
+        c += r * r
+        i += 1
+      }
+      c
+    }
+
+    def seed(t0: Double, rise: Double, fall: Double): Array[Double] = {
+      val q = Array(t0, 1.0, rise, fall, 5000.0, 12000.0, 10.0)
+      val unit = bazinModelFlux(q, tt(iMax), nu(iMax))
+      q(1) = if (unit > 0) math.max(ff(iMax), 1e-12) / unit else 1.0
+      q
+    }
+    val starts = for {
+      rise <- Seq(2.0, 6.0, 15.0)
+      fall <- Seq(15.0, 40.0, 90.0)
+      t0 <- Seq(tt(iMax), tt(iMax) - rise)
+    } yield seed(t0, rise, fall)
+    val p = starts.minBy(chi2Of).clone()
+
+    var lambda = 1e-3
+    var iter = 0
+    var chi = chi2Of(p)
+    var jtjAtSolution: Array[Array[Double]] = null
+    while (iter < 200) {
+      val jtj = Array.ofDim[Double](np_, np_)
+      val jtr = new Array[Double](np_)
+      var i = 0
+      while (i < n) {
+        val f0 = bazinModelFlux(p, tt(i), nu(i))
+        val grad = new Array[Double](np_)
+        var k = 0
+        while (k < np_) {
+          val eps = math.max(math.abs(p(k)) * 1e-6, 1e-9)
+          val saved = p(k)
+          p(k) = saved + eps
+          grad(k) = (bazinModelFlux(p, tt(i), nu(i)) - f0) / eps
+          p(k) = saved
+          k += 1
+        }
+        val w = 1.0 / (ee(i) * ee(i))
+        val r = ff(i) - f0
+        k = 0
+        while (k < np_) {
+          var l = 0
+          while (l < np_) { jtj(k)(l) += w * grad(k) * grad(l); l += 1 }
+          jtr(k) += w * grad(k) * r
+          k += 1
+        }
+        i += 1
+      }
+      jtjAtSolution = Array.tabulate(np_)(k => jtj(k).clone())
+      var k = 0
+      while (k < np_) { jtj(k)(k) *= (1.0 + lambda); jtj(k)(k) += 1e-12; k += 1 }
+      val step = solve(jtj, jtr)
+      if (step == null) { iter = 200 }
+      else {
+        val trial = Array.tabulate(np_)(k =>
+          math.min(hi(k), math.max(lo(k), p(k) + step(k))))
+        val trialChi = chi2Of(trial)
+        if (trialChi < chi) {
+          System.arraycopy(trial, 0, p, 0, np_)
+          if (chi - trialChi < 1e-13 * (1.0 + chi)) iter = 200
+          chi = trialChi
+          lambda = math.max(lambda / 3.0, 1e-9)
+        } else {
+          lambda *= 10.0
+          if (lambda > 1e12) iter = 200
+        }
+      }
+      iter += 1
+    }
+    // parabolic errors: sqrt(diag(inv(JtJ))); JtJ singular -> |value|
+    // (snr = 1), keeping the row scoreable like iminuit's fallback
+    val errors = invDiag(jtjAtSolution) match {
+      case Some(d) => Array.tabulate(np_)(k =>
+        if (d(k) > 0) math.sqrt(d(k)) else math.max(math.abs(p(k)), 1e-12))
+      case None => p.map(v => math.max(math.abs(v), 1e-12))
+    }
+    val dof = math.max(1, n - np_)
+    BazinResult(p, errors, chi / dof)
+  }
+
+  /** Diagonal of inverse(a) via Gauss-Jordan; None when singular. */
+  private def invDiag(a: Array[Array[Double]]): Option[Array[Double]] = {
+    val n = a.length
+    val m = Array.tabulate(n)(i => a(i).clone())
+    val inv = Array.tabulate(n)(i => Array.tabulate(n)(j => if (i == j) 1.0 else 0.0))
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(m(r)(col)) > math.abs(m(piv)(col))) piv = r; r += 1 }
+      if (m(piv)(col) == 0.0 || m(piv)(col).isNaN) return None
+      val tmp = m(col); m(col) = m(piv); m(piv) = tmp
+      val ti = inv(col); inv(col) = inv(piv); inv(piv) = ti
+      val d = m(col)(col)
+      var c = 0
+      while (c < n) { m(col)(c) /= d; inv(col)(c) /= d; c += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col && m(r)(col) != 0.0) {
+          val f = m(r)(col)
+          c = 0
+          while (c < n) { m(r)(c) -= f * m(col)(c); inv(r)(c) -= f * inv(col)(c); c += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Some(Array.tabulate(n)(i => inv(i)(i)))
+  }
+
   private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val n = b.length
     val m = Array.tabulate(n)(i => a(i).clone())

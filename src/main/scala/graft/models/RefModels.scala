@@ -64,6 +64,14 @@ object RefModels {
   lazy val mulensPca: Option[PcaTransform] =
     opt("pca.sav")(f => SklearnModels.pca(PickleReader.load(f.getPath)))
 
+  /** Superluminous-SN XGBoost classifier (27 features; the pickled
+    * xgboost sklearn wrapper carries the booster as an XGBoost-UBJSON
+    * snapshot plus the training-time optimal_threshold).
+    */
+  lazy val superluminousXgb: Option[XgbBinaryModel] =
+    opt("superluminous_classifier.joblib")(f =>
+      XgbUbjson.loadClassifierPickle(f.getPath))
+
   /** Orphan-afterglow gradient-boosting classifier (12 features). */
   lazy val orphans: Option[GradientBoostingBinary] =
     opt("model_orphans.pkl")(f =>

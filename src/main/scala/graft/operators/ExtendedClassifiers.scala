@@ -43,45 +43,65 @@ object ExtendedClassifiers {
 
   /** Superluminous-SN score — reference:
     * ztf/superluminous/processor.py:34-268. -1 sentinel when not a
-    * transient, younger than 30 days, or too few points. The reference
-    * additionally merges the full light curve fetched from the Fink API
-    * (HTTP); offline we score the in-alert points only — the service
-    * hook belongs in a client trait like the blazar DR client.
+    * transient, younger than 30 days (kernel.py min_duration), or when
+    * the feature gates fail (>= 3 points in each of g/r, > 7 total,
+    * > 30 d span — slsn_classifier.py:731-747). Scoring runs the REAL
+    * bundled XGBoost ensemble (superluminous_classifier.joblib, parsed
+    * natively by [[graft.models.XgbUbjson]]) over the 27-feature vector
+    * of [[graft.kernels.SlsnFeatures]] in the model's embedded
+    * feature-name order. The reference additionally merges the full
+    * light curve fetched from the Fink API (HTTP); offline we score the
+    * in-alert points only — the service hook is injectable.
     */
   def superluminous(spark: SparkSession, df: DataFrame,
-      minAgeDays: Double = 30.0, minPoints: Int = 5,
-      scorer: Scorer = StubModels.forest("superluminous", 26),
+      minAgeDays: Double = graft.kernels.SlsnFeatures.MinDuration,
+      model: Option[graft.models.XgbBinaryModel] = RefModels.superluminousXgb,
       history: AlertHistoryService = NoAlertHistory,
       strictReferenceSemantics: Boolean = false): DataFrame = {
+    val fallback: Scorer = StubModels.forest("superluminous", 27)
     val s = udf((objectId: String, cjd: Seq[java.lang.Double],
-        cm: Seq[java.lang.Double], cs: Seq[java.lang.Double]) => {
+        cfid: Seq[java.lang.Integer], cm: Seq[java.lang.Double],
+        cs: Seq[java.lang.Double], distnr: java.lang.Double) => {
       def arr(xs: Seq[java.lang.Double]) =
         xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
       var jd = arr(cjd); var m = arr(cm); var e = arr(cs)
+      var fids = cfid.map(x => if (x == null) -1 else x.intValue()).toArray
       val fetched = history.lightCurves(Seq(objectId))
       // reference behavior when the Fink API is unreachable: -1
       val serviceDown = fetched.isEmpty && strictReferenceSemantics
       fetched.foreach { lcs =>
-        lcs.get(objectId).foreach { case (hjd, hm, he, _) =>
+        lcs.get(objectId).foreach { case (hjd, hm, he, hf) =>
           // merge the full history with newer in-alert points
           val lastHist = if (hjd.nonEmpty) hjd.max else Double.NegativeInfinity
           val keep = jd.indices.filter(i => jd(i) > lastHist)
           jd = hjd ++ keep.map(jd); m = hm ++ keep.map(m); e = he ++ keep.map(e)
+          fids = hf ++ keep.map(fids)
         }
       }
+      // remove_nan: drop points whose photometry is NaN
       val sel = m.indices.filter(i => !m(i).isNaN && !e(i).isNaN)
-      if (serviceDown || sel.length < 5) -1.0
-      else scorer.score(LightCurveFeatures.extract(
-        sel.map(jd).toArray, sel.map(m).toArray, sel.map(e).toArray)
-        .map(x => if (x.isNaN) 0.0 else x))
+      if (serviceDown) -1.0
+      else graft.kernels.SlsnFeatures.features(
+        sel.map(jd).toArray, sel.map(fids).toArray, sel.map(m).toArray,
+        sel.map(e).toArray,
+        if (distnr == null) Double.NaN else distnr.doubleValue()) match {
+        case None => -1.0
+        case Some(feats) if feats.valuesIterator.exists(_.isNaN) => -1.0
+        case Some(feats) => model match {
+          case Some(xgb) => xgb.score(xgb.featureNames.map(feats).toArray)
+          case None => fallback.score(
+            graft.models.XgbUbjson.TrainingFeatureOrder.map(feats).toArray)
+        }
+      }
     })
     val age = element_at(col("cjd"), -1) - col("candidate.jdstarthist")
     df.withColumn("superluminous_score",
-      when(isTransient && age >= minAgeDays &&
-        graft.alerts.AlertCols.detectionCount(col("cmagpsf")) >= minPoints,
+      when(isTransient && age >= minAgeDays,
         s(col("objectId"), col("cjd").cast("array<double>"),
+          col("cfid").cast("array<int>"),
           col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>")))
+          col("csigmapsf").cast("array<double>"),
+          col("candidate.distnr").cast("double")))
         .otherwise(lit(-1.0)))
   }
 

@@ -10,7 +10,8 @@ class ExtendedClassifiersSpec extends SparkSpec {
   test("superluminous: -1 sentinel outside the gate, probability inside") {
     val alerts = spark.read.parquet("/root/reference/fink_science/data/alerts/datatest")
     val df = ExtendedClassifiers.superluminous(spark,
-      AlertCols.withHistory(TransientFeatures(alerts), Seq("jd", "magpsf", "sigmapsf")))
+      AlertCols.withHistory(TransientFeatures(alerts),
+        Seq("jd", "fid", "magpsf", "sigmapsf")))
     assert(df.count() === 124)
     val bad = df.filter(col("superluminous_score") =!= -1.0 &&
       (col("superluminous_score") < 0 || col("superluminous_score") > 1)).count()
