@@ -75,12 +75,19 @@ object Dedup {
     h
   }
 
-  /** Distinct hashed token n-gram shingles (compiled kernel — see
-    * [[shingles]] for why HOF expressions lose here).
+  /** Distinct hashed token n-gram shingles, ASCENDING-SORTED (compiled
+    * kernel — see [[shingles]] for why HOF expressions lose here).
+    * Element order carries no meaning downstream (explode, counting), so
+    * sorting once here lets verification run a linear merge
+    * ([[org.apache.spark.sql.graft.SortedIntersectCount]]) instead of a
+    * per-pair hash build.
     */
   def hashedShingles(text: Column, n: Int = 3): Column = {
-    val k = udf((t: String) =>
-      shinglesKernel(if (t == null) "" else t, n).map(fnv1a64))
+    val k = udf((t: String) => {
+      val h = shinglesKernel(if (t == null) "" else t, n).map(fnv1a64)
+      java.util.Arrays.sort(h)
+      h
+    })
     k(text)
   }
 
@@ -106,6 +113,15 @@ object Dedup {
     *    prefix element the bound is exact-from-above, so recall is
     *    unaffected; later duplicate matches may be filtered, which only
     *    helps the pre-verify dedup.
+    *  - verification is a linear merge over the pre-sorted hashed
+    *    arrays ([[org.apache.spark.sql.graft.SortedIntersectCount]],
+    *    codegen'd) instead of array_intersect's per-pair hash build.
+    *    (An aggregated positional bound in the candidate groupBy —
+    *    kpre + min(n1-max ra, n2-max rb) — was tried and is provably
+    *    subsumed by the in-join per-match filter: surviving matches are
+    *    a rank-prefix of the shared sequence, and the last match's
+    *    1 + min(n1-ra, n2-rb) >= minOverlap implies the aggregate
+    *    bound, so it filtered nothing.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
@@ -140,16 +156,17 @@ object Dedup {
     verifyJaccardHashed(cand, sets, threshold)
   }
 
-  /** Exact-Jaccard verification over hashed shingle sets; candidate rows
-    * already carry both set sizes, so the two set joins fetch only the
-    * long arrays.
+  /** Exact-Jaccard verification over SORTED hashed shingle sets
+    * (linear-merge intersection; candidate rows already carry both set
+    * sizes, so the two set joins fetch only the long arrays).
     */
   private def verifyJaccardHashed(cand: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame =
     cand
       .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
       .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
