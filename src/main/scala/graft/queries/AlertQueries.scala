@@ -120,6 +120,45 @@ object AlertQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  // f6: blazar "robustness criterion" — trapezoid fluence over the
+  // trailing integration window / span / threshold, running the REAL
+  // compiled kernel (operators.ExtremeState.fluenceRatio,
+  // ztf/blazar_extreme_state/utils.py:77-145). -1 sentinel under 2
+  // usable points; the DuckDB oracle mirrors the exact fold order.
+  private def f6FluenceRatio(s: SparkSession, dir: String): DataFrame = {
+    val k = udf((cjd: Seq[Double], cmag: Seq[Double]) =>
+      graft.operators.ExtremeState.fluenceRatio(
+        cjd.toArray, cmag.toArray, 5.0, 30000.0))
+    packets(s, dir).select(
+      col("user_id"),
+      k(col("cjd").cast("array<double>"), col("cmag")).as("fluence_ratio"))
+      .orderBy("user_id")
+  }
+
+  // f7: standardized flux (blazar monitoring shape,
+  // ztf/standardized_flux/utils.py + blazar utils.py:380-385): per
+  // (key, band) the series median standardizes the last measurement.
+  // Median is the exact sorted-midpoint (same formula as g1).
+  private def f7StdFlux(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(!col("event_type").equalTo("error"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(struct(
+        unix_timestamp(col("ts")).as("ts_s"), col("event_id"),
+        col("value").as("v")))).as("obs"))
+      .withColumn("vals", transform(col("obs"), o => o.getField("v")))
+      .withColumn("sorted", array_sort(col("vals")))
+      .withColumn("n", size(col("vals")))
+      .withColumn("median",
+        when(col("n") % 2 === 1, element_at(col("sorted"), ((col("n") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("sorted"), (col("n") / 2).cast("int")) +
+            element_at(col("sorted"), (col("n") / 2).cast("int") + 1)) / 2.0))
+      .select(col("user_id"), col("event_type"),
+        col("n").cast("long").as("n"), col("median"),
+        when(col("median") =!= 0.0,
+          element_at(col("vals"), -1) / col("median")).as("std_last"))
+      .orderBy("user_id", "event_type")
+
   // x2: map-payload crossmatch (crossmatch_mangrove shape,
   // ztf/xmatch/processor.py:601-690): the closest catalog row's payload
   // travels as a map column with per-key 'None' defaults for unmatched
@@ -208,6 +247,8 @@ object AlertQueries extends QueryPack {
     "f3_transient_flags" -> (f3TransientFlags _),
     "f4_selection_cuts" -> (f4SelectionCuts _),
     "f5_fast_transient_rate" -> (f5FastTransientRate _),
+    "f6_fluence_ratio" -> (f6FluenceRatio _),
+    "f7_std_flux" -> (f7StdFlux _),
     "x2_mangrove_payload" -> (x2MangrovePayload _))
 
   private val PACKET_CTE =
@@ -307,6 +348,40 @@ object AlertQueries extends QueryPack {
          |       THEN (cmag[didx[-1]] - cmag[didx[-2]])
          |            / ((cjd[didx[-1]] - cjd[didx[-2]]) / 86400.0) END AS rate_per_day
          |FROM d WHERE len(didx) >= 2 ORDER BY user_id""".stripMargin,
+    "f6_fluence_ratio" ->
+      s"""WITH $PACKET_CTE,
+         |w AS (
+         |  SELECT user_id, cjd, cmag,
+         |    list_filter(range(1, len(cjd) + 1),
+         |      i -> cjd[i] >= cjd[-1] - 30000 AND NOT isnan(cmag[i])) AS sel
+         |  FROM p)
+         |SELECT user_id,
+         |  CASE WHEN len(sel) <= 1 THEN -1.0
+         |  ELSE list_aggregate(list_transform(range(2, len(sel) + 1),
+         |         i -> (cmag[sel[i-1]] + cmag[sel[i]])
+         |              * (cjd[sel[i]] - cjd[sel[i-1]]) / 2.0), 'sum')
+         |       / (cjd[sel[-1]] - cjd[sel[1]]) / 5.0
+         |  END AS fluence_ratio
+         |FROM w ORDER BY user_id""".stripMargin,
+    "f7_std_flux" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type,
+        |    list(value ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT), event_id) AS vals
+        |  FROM events WHERE event_type <> 'error'
+        |  GROUP BY user_id, event_type),
+        |w AS (
+        |  SELECT user_id, event_type, vals, len(vals) AS n,
+        |    list_sort(vals) AS sorted
+        |  FROM b),
+        |m AS (
+        |  SELECT user_id, event_type, vals, n,
+        |    CASE WHEN n % 2 = 1 THEN sorted[CAST((n + 1) // 2 AS INT)]
+        |         ELSE (sorted[CAST(n // 2 AS INT)] + sorted[CAST(n // 2 + 1 AS INT)]) / 2.0
+        |    END AS median
+        |  FROM w)
+        |SELECT user_id, event_type, CAST(n AS BIGINT) AS n, median,
+        |  CASE WHEN median <> 0.0 THEN vals[-1] / median END AS std_last
+        |FROM m ORDER BY user_id, event_type""".stripMargin,
     "x2_mangrove_payload" ->
       """WITH a AS (
         |  SELECT event_id AS id, (event_id % 36000)/100.0 AS ra,
