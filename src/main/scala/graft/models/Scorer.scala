@@ -19,6 +19,19 @@ trait Scorer extends Serializable {
   def score(features: Array[Double]): Double
 }
 
+/** Marker wrapper for deterministic stand-in parameters (every
+  * [[StubModels]] product) — operators surface engagement as a
+  * `*_is_stub` sibling column so a stand-in can never silently pose as
+  * a trained model.
+  */
+final case class StandIn(inner: Scorer) extends Scorer {
+  def score(features: Array[Double]): Double = inner.score(features)
+}
+
+object Scorer {
+  def isStandIn(s: Scorer): Boolean = s.isInstanceOf[StandIn]
+}
+
 /** Logistic regression: sigmoid(w . x + b). */
 final case class LogisticScorer(weights: Array[Double], bias: Double) extends Scorer {
   def score(x: Array[Double]): Double = {
@@ -100,23 +113,23 @@ object StubModels {
   private def rng(name: String) =
     new java.util.Random(name.hashCode.toLong * 0x9e3779b97f4a7c15L)
 
-  def logistic(name: String, nFeatures: Int): LogisticScorer = {
+  def logistic(name: String, nFeatures: Int): StandIn = {
     val r = rng(name)
-    LogisticScorer(Array.fill(nFeatures)(r.nextGaussian() * 0.5), r.nextGaussian())
+    StandIn(LogisticScorer(Array.fill(nFeatures)(r.nextGaussian() * 0.5), r.nextGaussian()))
   }
 
   /** Small random-split forest over nFeatures in [lo, hi] value range. */
   def forest(name: String, nFeatures: Int, nTrees: Int = 16,
-      depth: Int = 4): RandomForestScorer = {
+      depth: Int = 4): StandIn = {
     val r = rng(name)
-    RandomForestScorer(Array.fill(nTrees)(randomTree(r, nFeatures, depth)))
+    StandIn(RandomForestScorer(Array.fill(nTrees)(randomTree(r, nFeatures, depth))))
   }
 
   def isolationForest(name: String, nFeatures: Int, nTrees: Int = 32,
-      depth: Int = 8): IsolationForestScorer = {
+      depth: Int = 8): StandIn = {
     val r = rng(name)
-    IsolationForestScorer(
-      Array.fill(nTrees)(randomTree(r, nFeatures, depth)), 256)
+    StandIn(IsolationForestScorer(
+      Array.fill(nTrees)(randomTree(r, nFeatures, depth)), 256))
   }
 
   /** Deterministic stand-in SEQUENCE classifier: masked mean-pool over

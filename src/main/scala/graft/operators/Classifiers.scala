@@ -53,11 +53,12 @@ object Classifiers {
         cs: Seq[java.lang.Double], cf: Seq[Int]) =>
       scorer.score(sniaFeatures(arr(cjd), arr(cm), arr(cs), cf.toArray)))
     df.withColumn("pIa",
-      when(SelectionCuts.sniaGate(col("cmagpsf"), col("candidate.ndethist"),
-        col("cdsxmatch")),
-        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
-        .otherwise(lit(0.0)))
+        when(SelectionCuts.sniaGate(col("cmagpsf"), col("candidate.ndethist"),
+          col("cdsxmatch")),
+          s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+            col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+          .otherwise(lit(0.0)))
+      .withColumn("pIa_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
   }
 
   /** Kilonova score (`pKNe`) — reference: ztf/kilonova/processor.py:37-186
@@ -147,11 +148,12 @@ object Classifiers {
       scorer(feats)
     })
     df.withColumn("pKNe",
-      when(SelectionCuts.kilonovaGate(col("cmagpsf"), col("candidate.ndethist"),
-        col("cdsxmatch")),
-        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
-        .otherwise(lit(0.0)))
+        when(SelectionCuts.kilonovaGate(col("cmagpsf"), col("candidate.ndethist"),
+          col("cdsxmatch")),
+          s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+            col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+          .otherwise(lit(0.0)))
+      .withColumn("pKNe_is_stub", lit(pipeline.isEmpty))
   }
 
   /** Microlensing score (`mulens`) — reference:
@@ -177,8 +179,9 @@ object Classifiers {
       if (scores.forall(_ > 0.5)) scores.sum / 2.0 else 0.0
     })
     df.withColumn("mulens",
-      s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-        col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
+          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
+      .withColumn("mulens_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
   }
 
   /** SNN score — reference: ztf/snn/processor.py:84-210: the selection
@@ -213,11 +216,12 @@ object Classifiers {
         })
     }
     df.withColumn(outCol,
-      when(SelectionCuts.snnGate(col("cmagpsf"), col("cjd"),
-        col("candidate.jdstarthist"), col("roid"), col("cdsxmatch")),
-        s(col("cjd").cast("array<double>"), col("cfid").cast("array<int>"),
-          col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>")))
-        .otherwise(lit(0.0)))
+        when(SelectionCuts.snnGate(col("cmagpsf"), col("cjd"),
+          col("candidate.jdstarthist"), col("roid"), col("cdsxmatch")),
+          s(col("cjd").cast("array<double>"), col("cfid").cast("array<int>"),
+            col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>")))
+          .otherwise(lit(0.0)))
+      .withColumn(outCol + "_is_stub", lit(model.isEmpty))
   }
 
   /** Anomaly score — reference: ztf/anomaly_detection/processor.py:85-242.

@@ -96,13 +96,14 @@ object ExtendedClassifiers {
     })
     val age = element_at(col("cjd"), -1) - col("candidate.jdstarthist")
     df.withColumn("superluminous_score",
-      when(isTransient && age >= minAgeDays,
-        s(col("objectId"), col("cjd").cast("array<double>"),
-          col("cfid").cast("array<int>"),
-          col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>"),
-          col("candidate.distnr").cast("double")))
-        .otherwise(lit(-1.0)))
+        when(isTransient && age >= minAgeDays,
+          s(col("objectId"), col("cjd").cast("array<double>"),
+            col("cfid").cast("array<int>"),
+            col("cmagpsf").cast("array<double>"),
+            col("csigmapsf").cast("array<double>"),
+            col("candidate.distnr").cast("double")))
+          .otherwise(lit(-1.0)))
+      .withColumn("superluminous_score_is_stub", lit(model.isEmpty))
   }
 
   /** Orphan-GRB afterglow score (Rubin) — reference:
@@ -207,7 +208,8 @@ object ExtendedClassifiers {
       }
     })
     df.withColumn("slsn_score", s(
-      col("cmidpointMjdTai").cast("array<double>"), col("cpsfFlux").cast("array<double>"),
-      col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>")))
+        col("cmidpointMjdTai").cast("array<double>"), col("cpsfFlux").cast("array<double>"),
+        col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>")))
+      .withColumn("slsn_score_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
   }
 }

@@ -92,8 +92,9 @@ object Rubin {
       else scorer.score(Array(mjd.length.toDouble) ++ feats)
     })
     df.withColumn("pIa", s(
-      col("cmidpointMjdTai").cast("array<double>"), col("cband"),
-      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>")))
+        col("cmidpointMjdTai").cast("array<double>"), col("cband"),
+        col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>")))
+      .withColumn("pIa_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
   }
 
   /** Per-band light-curve features over fluxes, keyed by band letter —
