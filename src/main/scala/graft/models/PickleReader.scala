@@ -344,6 +344,9 @@ object PickleReader {
           m
         case "builtins.bytearray" =>
           if (args.isEmpty) Array.emptyByteArray else args(0)
+        case "_codecs.encode" =>
+          // protocol-2 numpy pickles ship raw bytes as a latin-1 string
+          args(0).asInstanceOf[String].getBytes("ISO-8859-1")
         case _ =>
           new PyObject(g.full, args)
       }

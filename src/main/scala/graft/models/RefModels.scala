@@ -93,6 +93,28 @@ object RefModels {
   lazy val snnElasticcSnVsOther: Option[SnnModel] =
     snnDir("snn_models/elasticc_binary_broad/SN_vs_other")
 
+  /** Per-band kilonova PC sets from the bundled KN_PC_all_bands.npy
+    * (object-npy wrapping a dict: LSST band letter -> 10 x 51 PC
+    * matrix). Parsed natively ([[NpyReader]] + the pickle VM).
+    */
+  lazy val kilonovaBandPcs: Option[Map[String, Array[Array[Double]]]] =
+    opt("KN_PC_all_bands.npy") { f =>
+      val payload = NpyReader.load(f.getPath) match {
+        case NpyReader.ObjectNpy(nd: PickleReader.NDArray) => nd.objectsOrDie.head
+        case NpyReader.ObjectNpy(other) => other
+        case other => sys.error(s"unexpected npy payload: $other")
+      }
+      payload.asInstanceOf[scala.collection.mutable.LinkedHashMap[
+          Any @unchecked, Any @unchecked]]
+        .map { case (k, v) =>
+          val nd = v.asInstanceOf[PickleReader.NDArray]
+          val flat = nd.doubles
+          val Vector(rows, cols) = nd.shape
+          k.asInstanceOf[String] ->
+            Array.tabulate(rows)(i => flat.slice(i * cols, (i + 1) * cols))
+        }.toMap
+    }
+
   /** Kilonova principal components (3 x 401 on the kndetect grid),
     * parsed from the bundled mixed_pcs.csv (first row is a sample-index
     * header).
