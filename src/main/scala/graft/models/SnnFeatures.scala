@@ -36,16 +36,29 @@ object SnnFeatures {
     groupRows(rows, groupByNight)
   }
 
-  /** Feature matrix [seqLen x (5 + nCombos)] in SuperNNova's column
-    * order: FLUXCAL_f..., FLUXCALERR_f..., delta_time (log-standardized),
-    * then the alphabetical filter-combination one-hot (g, gr, r for two
-    * filters). Missing filter slots carry 0.0 through the log-norm,
-    * matching the pivot fillna(0).
+  /** The one-hot combo universe for a filter list: every non-empty
+    * subset, NAMED by concatenating members in list_filters order (the
+    * reference's combos read "gY", "ugriz" — SuperNNova builds names in
+    * survey filter order, cli_args.json list_filters_combination), then
+    * the COLUMNS sorted ASCII (pandas get_dummies order; uppercase Y
+    * sorts before lowercase, so elasticc starts Y, g, gY, gi, ...).
+    * For ZTF's (g, r) this is g, gr, r.
+    */
+  def comboUniverse(filters: Seq[String]): Seq[String] =
+    (1 to filters.length).flatMap(k =>
+      filters.combinations(k).map(_.mkString)).sorted
+
+  /** Feature matrix [seqLen x (2*nF + 1 + nCombos)] in SuperNNova's
+    * training_features order: FLUXCAL_f / FLUXCALERR_f in list_filters
+    * order, delta_time (log-standardized), then the
+    * [[comboUniverse]] one-hot. Missing filter slots carry 0.0 through
+    * the log-norm, matching the pivot fillna(0). `filters` MUST be the
+    * survey's list_filters order (u,g,r,i,z,Y for elasticc; g,r for
+    * ZTF), not alphabetical.
     */
   def featureMatrix(model: SnnModel, steps: Array[Timestep],
       filters: Seq[String]): Array[Array[Double]] = {
-    val combos = (1 to filters.length).flatMap(k =>
-      filters.sorted.combinations(k).map(_.mkString)).sorted
+    val combos = comboUniverse(filters)
     steps.indices.map { t =>
       val s = steps(t)
       val dt = if (t == 0) 0.0 else s.mjd - steps(t - 1).mjd
@@ -53,7 +66,7 @@ object SnnFeatures {
         model.logNorm(s"FLUXCAL_$f", s.flux.getOrElse(f, 0.0)))
       val errF = filters.map(f =>
         model.logNorm(s"FLUXCALERR_$f", s.err.getOrElse(f, 0.0)))
-      val combo = s.flux.keys.toSeq.sorted.mkString
+      val combo = filters.filter(s.flux.contains).mkString
       val oneHot = combos.map(c => if (c == combo) 1.0 else 0.0)
       (fluxF ++ errF ++ Seq(model.logNorm("delta_time", dt)) ++ oneHot).toArray
     }.toArray
