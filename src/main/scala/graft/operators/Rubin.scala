@@ -230,7 +230,11 @@ object Rubin {
         seqScorer(catsInputTensor(t, arr(cflux), arr(cerr), b))
       }
     })
-    df.withColumn("cats_preds", kernel(
+    // asNondeterministic stops ProjectCollapse from inlining the
+    // expensive forward pass once per downstream reference (argmax +
+    // max + callers each re-evaluating a ~120 ms model run per row);
+    // the kernel itself is pure
+    df.withColumn("cats_preds", kernel.asNondeterministic()(
       col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
       col("cmidpointMjdTai").cast("array<double>"), col("cband")))
       .withColumn("cats_broad_class",

@@ -159,6 +159,42 @@ object AlertQueries extends QueryPack {
           element_at(col("vals"), -1) / col("median")).as("std_last"))
       .orderBy("user_id", "event_type")
 
+  // q17: CATS broad classification over the packet series — the REAL
+  // bundled CNN+SE+BiLSTM runs natively (models.CatsModel) on the
+  // 395x4 padded tensor; event types map to LSST band letters. The CNN
+  // is not SQL-expressible, so this is a rows-only driver entry (the
+  // model itself is pinned vs independent NumPy in CatsModelSpec).
+  private def q17Cats(s: SparkSession, dir: String): DataFrame = {
+    val band = when(col("event_type") === "click", "g")
+      .when(col("event_type") === "purchase", "r")
+      .when(col("event_type") === "signup", "i")
+      .when(col("event_type") === "view", "z")
+      .otherwise("u")
+    val series = t(s, dir, "events")
+      .filter(col("user_id") % 20 === 0) // sampled panel: ~123 ms/forward
+      .withColumn("band", band)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_timestamp(col("ts")).as("ts_s"), col("event_id"),
+        col("value").as("v"), col("band").as("b")))).as("obs"))
+      .select(col("user_id"),
+        transform(col("obs"), o => o.getField("ts_s").cast("double")).as("cmidpointMjdTai"),
+        transform(col("obs"), o => o.getField("v")).as("cpsfFlux"),
+        transform(col("obs"), o => o.getField("v") * 0.05).as("cpsfFluxErr"),
+        transform(col("obs"), o => o.getField("b")).as("cband"))
+      // spread the heavy per-row model evaluation across the executor
+      // pool (AQE would otherwise coalesce this small frame to one
+      // partition and serialize the forwards)
+      .repartition(32, col("user_id"))
+    graft.operators.Rubin.catsBroadClass(s, series)
+      .select(col("user_id"), col("cats_broad_class").cast("long").as("broad_class"),
+        expr("array_max(cats_preds)").as("p_max"))
+      // cache so the orderBy's range-partition sampling pass does not
+      // re-run the model
+      .cache()
+      .orderBy("user_id")
+  }
+
   // x2: map-payload crossmatch (crossmatch_mangrove shape,
   // ztf/xmatch/processor.py:601-690): the closest catalog row's payload
   // travels as a map column with per-key 'None' defaults for unmatched
@@ -249,6 +285,7 @@ object AlertQueries extends QueryPack {
     "f5_fast_transient_rate" -> (f5FastTransientRate _),
     "f6_fluence_ratio" -> (f6FluenceRatio _),
     "f7_std_flux" -> (f7StdFlux _),
+    "q17_cats_class" -> (q17Cats _),
     "x2_mangrove_payload" -> (x2MangrovePayload _))
 
   private val PACKET_CTE =
