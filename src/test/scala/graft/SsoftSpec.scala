@@ -107,6 +107,42 @@ class SsoftSpec extends SparkSpec {
     }
   }
 
+  test("fixture HG parameters match the independent grid fit (numeric pin)") {
+    assume(new java.io.File(fixture).exists, "fixture absent")
+    val expected = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readTree(new java.io.File("src/test/resources/ssoft_hg_expected.json"))
+    }
+    val agg = spark.read.parquet(fixture)
+    val rows = Ssoft.build(spark, agg, nmin = 50)
+      .select("ssnamenr", "fit_g.h", "fit_g.g", "fit_g.chi2red", "fit_g.n_obs",
+        "fit_r.h", "fit_r.g", "fit_r.chi2red", "fit_r.n_obs").collect()
+    var checked = 0
+    rows.foreach { r =>
+      val name = r.getString(0)
+      val exp = expected.get(name)
+      if (exp != null) {
+        Seq(("1", 1, 2, 3, 4), ("2", 5, 6, 7, 8)).foreach { case (band, ih, ig, ic, in) =>
+          val e = exp.get(band)
+          if (e != null) {
+            assert(r.getInt(in) === e.get("n").asInt, s"$name band $band n")
+            // tolerances: two unrelated optimizers (Gauss-Newton vs
+            // G-grid + exact-H) on the same objective
+            assert(math.abs(r.getDouble(ih) - e.get("h").asDouble) < 5e-3,
+              s"$name band $band H ${r.getDouble(ih)} vs ${e.get("h").asDouble}")
+            assert(math.abs(r.getDouble(ig) - e.get("g").asDouble) < 5e-3,
+              s"$name band $band G ${r.getDouble(ig)} vs ${e.get("g").asDouble}")
+            assert(math.abs(r.getDouble(ic) - e.get("chi2red").asDouble) /
+              e.get("chi2red").asDouble < 1e-3,
+              s"$name band $band chi2red")
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked === 4, s"pinned $checked band fits")
+  }
+
   test("SSOFT build on the 3-object fixture yields per-band parameters") {
     val agg = spark.read.parquet(fixture)
     val out = Ssoft.build(spark, agg, nmin = 50)
