@@ -54,6 +54,34 @@ object SlsnFeatures {
     n.toDouble / ((n - 1.0) * (n - 2.0)) * m3
   }
 
+  /** Flux-domain statistics over a TIME-SORTED series:
+    * (flux_amplitude, max_slope, skew, std_flux, q15, q85) — the
+    * statistical_features block (slsn_classifier.py:522-568; golden
+    * doctest values pinned in SlsnGoldenSpec).
+    */
+  def fluxStats(t: Array[Double], flux: Array[Double])
+      : (Double, Double, Double, Double, Double, Double) = {
+    val n = t.length
+    val fluxMax = flux.max
+    val amplitude = (fluxMax - flux.min) / 2.0
+    var maxSlope = 0.0
+    var i = 1
+    while (i < n) {
+      val dt = t(i) - t(i - 1)
+      if (dt != 0) {
+        val s = math.abs((flux(i) - flux(i - 1)) / dt)
+        if (s > maxSlope) maxSlope = s
+      }
+      i += 1
+    }
+    val normed = flux.map(_ / fluxMax)
+    val meanN = normed.sum / n
+    val stdFlux = math.sqrt(normed.map(v => (v - meanN) * (v - meanN)).sum / n)
+    val shifted = t.map(_ - t.head)
+    (amplitude, maxSlope, skew(flux), stdFlux,
+      quantile(shifted, 0.15), quantile(shifted, 0.85))
+  }
+
   /** The 27 features keyed by the model's embedded feature names.
     * None when the reference's validity gates fail (its feature frame
     * goes NaN and the alert keeps the -1 sentinel).
@@ -87,24 +115,7 @@ object SlsnFeatures {
     val p = rainbow.params; val e = rainbow.errors
 
     // statistical_features (flux-domain)
-    val fluxMax = flux.max
-    val amplitude = (fluxMax - flux.min) / 2.0
-    var maxSlope = 0.0
-    var i = 1
-    while (i < n) {
-      val dt = t(i) - t(i - 1)
-      if (dt != 0) {
-        val s = math.abs((flux(i) - flux(i - 1)) / dt)
-        if (s > maxSlope) maxSlope = s
-      }
-      i += 1
-    }
-    val normed = flux.map(_ / fluxMax)
-    val meanN = normed.sum / n
-    val stdFlux = math.sqrt(normed.map(v => (v - meanN) * (v - meanN)).sum / n)
-    val shifted = t.map(_ - t.head)
-    val q15 = quantile(shifted, 0.15)
-    val q85 = quantile(shifted, 0.85)
+    val (amplitude, maxSlope, skewV, stdFlux, q15, q85) = fluxStats(t, flux)
 
     val (z, x0, x1, c, chi2Salt) = salt
     Some(Map(
@@ -116,7 +127,7 @@ object SlsnFeatures {
       "snr_Tmax" -> p(5) / e(5), "snr_t_color" -> p(6) / e(6),
       "max_slope" -> maxSlope,
       "z" -> z, "x0" -> x0, "x1" -> x1, "c" -> c, "chi2_salt" -> chi2Salt,
-      "flux_amplitude" -> amplitude, "skew" -> skew(flux),
+      "flux_amplitude" -> amplitude, "skew" -> skewV,
       "distnr" -> distnr, "duration" -> duration,
       "std_flux" -> stdFlux, "q15" -> q15, "q85" -> q85,
       "ebv" -> ebv))
