@@ -1,0 +1,477 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, Inflater}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Hand-rolled Avro object-container-file IO (SURVEY.md §2.1 — the
+  * reference's test harness reads alert Avro; the spark-avro package is
+  * not on this classpath, and both the container layout and the binary
+  * encoding are an open spec: avro.apache.org/docs/current/spec.html).
+  *
+  * Container: magic "Obj\\x01", a metadata map carrying avro.schema
+  * (JSON) and avro.codec, a 16-byte sync marker, then blocks of
+  * (row count, byte size, payload, sync). Codecs: null and deflate
+  * (raw, nowrap). Binary encoding: zigzag varints, length-prefixed
+  * bytes/strings, little-endian float/double, records in field order,
+  * unions as branch index + value, arrays/maps in counted blocks.
+  *
+  * Scale path: [[AvroReader.read]] parallelizes per FILE via
+  * binaryFiles — the natural unit for alert archives (many
+  * medium-sized files). Block-level splitting inside one huge file
+  * (seek to the next sync marker, as Hadoop input formats do) slots
+  * into the same decoder but is not needed for the reference layouts.
+  */
+object AvroSchema {
+
+  sealed trait Type
+  case object ANull extends Type
+  case object ABool extends Type
+  case object AInt extends Type
+  case object ALong extends Type
+  case object AFloat extends Type
+  case object ADouble extends Type
+  case object ABytes extends Type
+  case object AString extends Type
+  /** enum symbols decode to their string names */
+  final case class AEnum(symbols: Vector[String]) extends Type
+  final case class AFixed(size: Int) extends Type
+  final case class AArray(items: Type) extends Type
+  final case class AMap(values: Type) extends Type
+  final case class AUnion(branches: Vector[Type]) extends Type
+  final case class AField(name: String, tpe: Type)
+  final case class ARecord(name: String, fields: Vector[AField]) extends Type
+
+  /** Parse an Avro schema JSON document. Named-type references resolve
+    * against previously-defined records/enums/fixeds (full and simple
+    * names).
+    */
+  def parse(json: String): Type = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val names = mutable.Map[String, Type]()
+    parseNode(mapper.readTree(json), names, "")
+  }
+
+  private def parseNode(n: com.fasterxml.jackson.databind.JsonNode,
+      names: mutable.Map[String, Type], ns: String): Type = {
+    if (n.isTextual) {
+      n.asText match {
+        case "null" => ANull
+        case "boolean" => ABool
+        case "int" => AInt
+        case "long" => ALong
+        case "float" => AFloat
+        case "double" => ADouble
+        case "bytes" => ABytes
+        case "string" => AString
+        case ref => names.getOrElse(ref,
+          names.getOrElse(s"$ns.$ref", sys.error(s"avro: unknown type '$ref'")))
+      }
+    } else if (n.isArray) {
+      AUnion((0 until n.size).map(i => parseNode(n.get(i), names, ns)).toVector)
+    } else {
+      n.get("type").asText match {
+        case "record" | "error" =>
+          val name = n.get("name").asText
+          val space = if (n.has("namespace")) n.get("namespace").asText else ns
+          val full = if (space.nonEmpty && !name.contains('.')) s"$space.$name" else name
+          val fieldsNode = n.get("fields")
+          val fields = Vector.newBuilder[AField]
+          // pre-register for recursive references
+          val rec = ARecord(full, Vector.empty)
+          names(full) = rec; names(name) = rec
+          (0 until fieldsNode.size).foreach { i =>
+            val f = fieldsNode.get(i)
+            fields += AField(f.get("name").asText,
+              parseNode(f.get("type"), names, space))
+          }
+          val done = ARecord(full, fields.result())
+          names(full) = done; names(name) = done
+          done
+        case "enum" =>
+          val syms = n.get("symbols")
+          val e = AEnum((0 until syms.size).map(syms.get(_).asText).toVector)
+          names(n.get("name").asText) = e
+          e
+        case "fixed" =>
+          val f = AFixed(n.get("size").asInt)
+          names(n.get("name").asText) = f
+          f
+        case "array" => AArray(parseNode(n.get("items"), names, ns))
+        case "map" => AMap(parseNode(n.get("values"), names, ns))
+        case prim => parseNode(
+          new com.fasterxml.jackson.databind.node.TextNode(prim), names, ns)
+      }
+    }
+  }
+
+  /** Spark type for an Avro type; unions must be null + one branch. */
+  def sparkType(t: Type): (DataType, Boolean) = t match {
+    case ANull => (NullType, true)
+    case ABool => (BooleanType, false)
+    case AInt => (IntegerType, false)
+    case ALong => (LongType, false)
+    case AFloat => (FloatType, false)
+    case ADouble => (DoubleType, false)
+    case ABytes | AFixed(_) => (BinaryType, false)
+    case AString | AEnum(_) => (StringType, false)
+    case AArray(items) =>
+      val (dt, n) = sparkType(items)
+      (ArrayType(dt, containsNull = n), false)
+    case AMap(values) =>
+      val (dt, n) = sparkType(values)
+      (MapType(StringType, dt, valueContainsNull = n), false)
+    case ARecord(_, fields) =>
+      (StructType(fields.map { f =>
+        val (dt, n) = sparkType(f.tpe)
+        StructField(f.name, dt, nullable = n)
+      }), false)
+    case AUnion(branches) =>
+      val nonNull = branches.filter(_ != ANull)
+      require(nonNull.length == 1,
+        s"avro: only null-unions are supported, got $branches")
+      (sparkType(nonNull.head)._1, true)
+  }
+}
+
+/** Streaming binary decoder over one byte array. */
+final class AvroDecoder(buf: Array[Byte], var pos: Int) {
+  import AvroSchema._
+
+  def varLong(): Long = {
+    var b = buf(pos) & 0xff; pos += 1
+    var n = (b & 0x7fL)
+    var shift = 7
+    while ((b & 0x80) != 0) {
+      b = buf(pos) & 0xff; pos += 1
+      n |= (b & 0x7fL) << shift
+      shift += 7
+    }
+    (n >>> 1) ^ -(n & 1) // zigzag
+  }
+
+  def readBytes(n: Int): Array[Byte] = {
+    val out = java.util.Arrays.copyOfRange(buf, pos, pos + n)
+    pos += n
+    out
+  }
+
+  def string(): String = {
+    val n = varLong().toInt
+    val s = new String(buf, pos, n, StandardCharsets.UTF_8)
+    pos += n
+    s
+  }
+
+  /** Decode one value of `t` into Spark-facing objects (Row for
+    * records, Seq for arrays, Map for maps).
+    */
+  def value(t: Type): Any = t match {
+    case ANull => null
+    case ABool => { val v = buf(pos) != 0; pos += 1; v }
+    case AInt => varLong().toInt
+    case ALong => varLong()
+    case AFloat =>
+      val v = java.lang.Float.intBitsToFloat(
+        (buf(pos) & 0xff) | (buf(pos + 1) & 0xff) << 8 |
+          (buf(pos + 2) & 0xff) << 16 | (buf(pos + 3) & 0xff) << 24)
+      pos += 4; v
+    case ADouble =>
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    case ABytes => readBytes(varLong().toInt)
+    case AFixed(n) => readBytes(n)
+    case AString => string()
+    case AEnum(symbols) => symbols(varLong().toInt)
+    case AArray(items) =>
+      val out = Vector.newBuilder[Any]
+      var count = varLong()
+      while (count != 0) {
+        if (count < 0) { varLong(); count = -count } // block byte size hint
+        var i = 0L
+        while (i < count) { out += value(items); i += 1 }
+        count = varLong()
+      }
+      out.result()
+    case AMap(values) =>
+      val out = Map.newBuilder[String, Any]
+      var count = varLong()
+      while (count != 0) {
+        if (count < 0) { varLong(); count = -count }
+        var i = 0L
+        while (i < count) { out += (string() -> value(values)); i += 1 }
+        count = varLong()
+      }
+      out.result()
+    case AUnion(branches) => value(branches(varLong().toInt))
+    case ARecord(_, fields) =>
+      Row.fromSeq(fields.map(f => value(f.tpe)))
+  }
+}
+
+object AvroReader {
+  import AvroSchema._
+
+  final case class Container(schema: Type, codec: String,
+      sync: Array[Byte], blocksStart: Int, bytes: Array[Byte]) {
+    def rows: Iterator[Row] = new Iterator[Row] {
+      private var pos = blocksStart
+      private var inBlock: AvroDecoder = null
+      private var remaining = 0L
+      private def advance(): Unit = {
+        while (remaining == 0 && pos < bytes.length) {
+          val d = new AvroDecoder(bytes, pos)
+          val count = d.varLong()
+          val size = d.varLong().toInt
+          val payload = d.readBytes(size)
+          val data = codec match {
+            case "null" | "" => payload
+            case "deflate" =>
+              val inf = new Inflater(true)
+              inf.setInput(payload)
+              val out = new ByteArrayOutputStream(size * 4)
+              val tmp = new Array[Byte](8192)
+              while (!inf.finished()) {
+                val n = inf.inflate(tmp)
+                if (n == 0 && inf.needsInput()) sys.error("avro: truncated deflate block")
+                out.write(tmp, 0, n)
+              }
+              inf.end()
+              out.toByteArray
+            case other => sys.error(s"avro: unsupported codec '$other'")
+          }
+          pos = d.pos + 16 // skip sync
+          inBlock = new AvroDecoder(data, 0)
+          remaining = count
+        }
+      }
+      def hasNext: Boolean = { advance(); remaining > 0 }
+      def next(): Row = {
+        advance()
+        remaining -= 1
+        inBlock.value(schema).asInstanceOf[Row]
+      }
+    }
+  }
+
+  /** Parse one container file held in memory. */
+  def container(bytes: Array[Byte]): Container = {
+    require(bytes.length > 4 && bytes(0) == 'O' && bytes(1) == 'b' &&
+      bytes(2) == 'j' && bytes(3) == 1, "not an avro container file")
+    val d = new AvroDecoder(bytes, 4)
+    var schemaJson: String = null
+    var codec = "null"
+    var count = d.varLong()
+    while (count != 0) {
+      if (count < 0) { d.varLong(); count = -count }
+      var i = 0L
+      while (i < count) {
+        val k = d.string()
+        val v = d.readBytes(d.varLong().toInt)
+        k match {
+          case "avro.schema" => schemaJson = new String(v, StandardCharsets.UTF_8)
+          case "avro.codec" => codec = new String(v, StandardCharsets.UTF_8)
+          case _ =>
+        }
+        i += 1
+      }
+      count = d.varLong()
+    }
+    val sync = d.readBytes(16)
+    Container(AvroSchema.parse(schemaJson), codec, sync, d.pos, bytes)
+  }
+
+  /** Read an Avro container file (or a directory/glob of them) into a
+    * DataFrame — one task per file via binaryFiles.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.sparkContext.binaryFiles(path)
+    val first = container(files.first()._2.toArray())
+    val schema = AvroSchema.sparkType(first.schema)._1.asInstanceOf[StructType]
+    val rows = files.flatMap { case (_, content) =>
+      container(content.toArray()).rows
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+/** Minimal container writer (null codec or deflate) — enough to round-
+  * trip DataFrames through the reader and to emit alert-shaped test
+  * files. Distributed writes go one container per partition.
+  */
+object AvroWriter {
+  import AvroSchema._
+
+  final class Encoder(out: ByteArrayOutputStream) {
+    def varLong(v: Long): Unit = {
+      var n = (v << 1) ^ (v >> 63) // zigzag
+      while ((n & ~0x7fL) != 0) {
+        out.write(((n & 0x7f) | 0x80).toInt)
+        n >>>= 7
+      }
+      out.write(n.toInt)
+    }
+    def bytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def string(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      varLong(b.length)
+      bytes(b)
+    }
+    def value(t: Type, v: Any): Unit = (t, v) match {
+      case (ANull, _) =>
+      case (ABool, b: Boolean) => out.write(if (b) 1 else 0)
+      case (AInt, i: Int) => varLong(i.toLong)
+      case (ALong, l: Long) => varLong(l)
+      case (AFloat, f: Float) =>
+        val bits = java.lang.Float.floatToIntBits(f)
+        (0 until 4).foreach(i => out.write((bits >>> (8 * i)) & 0xff))
+      case (ADouble, d: Double) =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        (0 until 8).foreach(i => out.write(((bits >>> (8 * i)) & 0xff).toInt))
+      case (ABytes, b: Array[Byte]) => varLong(b.length); bytes(b)
+      case (AFixed(n), b: Array[Byte]) =>
+        require(b.length == n, s"fixed($n) got ${b.length}")
+        bytes(b)
+      case (AString, s: String) => string(s)
+      case (AEnum(symbols), s: String) => varLong(symbols.indexOf(s).toLong)
+      case (AArray(items), xs: scala.collection.Seq[Any @unchecked]) =>
+        if (xs.nonEmpty) { varLong(xs.length.toLong); xs.foreach(value(items, _)) }
+        varLong(0)
+      case (AMap(values), m: scala.collection.Map[String @unchecked, Any @unchecked]) =>
+        if (m.nonEmpty) {
+          varLong(m.size.toLong)
+          m.foreach { case (k, x) => string(k); value(values, x) }
+        }
+        varLong(0)
+      case (AUnion(branches), x) =>
+        if (x == null) {
+          val i = branches.indexOf(ANull)
+          require(i >= 0, "null for non-nullable union")
+          varLong(i.toLong)
+        } else {
+          val i = branches.indexWhere(_ != ANull)
+          varLong(i.toLong)
+          value(branches(i), x)
+        }
+      case (ARecord(_, fields), r: Row) =>
+        fields.zipWithIndex.foreach { case (f, i) => value(f.tpe, r.get(i)) }
+      case (tt, x) => sys.error(s"avro: cannot encode ${if (x == null) "null" else x.getClass} as $tt")
+    }
+  }
+
+  /** Avro schema for a Spark struct (fields become null-unions when
+    * nullable; the inverse of AvroSchema.sparkType).
+    */
+  def schemaFor(st: StructType, name: String = "topLevelRecord"): ARecord =
+    ARecord(name, st.fields.map { f =>
+      val t = typeFor(f.dataType, f.name)
+      AField(f.name, if (f.nullable) AUnion(Vector(ANull, t)) else t)
+    }.toVector)
+
+  private def typeFor(dt: DataType, name: String): Type = dt match {
+    case BooleanType => ABool
+    case IntegerType | ShortType | ByteType => AInt
+    case LongType => ALong
+    case FloatType => AFloat
+    case DoubleType => ADouble
+    case BinaryType => ABytes
+    case StringType => AString
+    case ArrayType(et, n) =>
+      val inner = typeFor(et, name)
+      AArray(if (n) AUnion(Vector(ANull, inner)) else inner)
+    case MapType(StringType, vt, n) =>
+      val inner = typeFor(vt, name)
+      AMap(if (n) AUnion(Vector(ANull, inner)) else inner)
+    case st: StructType => schemaFor(st, name + "_rec")
+    case other => sys.error(s"avro: unsupported spark type $other")
+  }
+
+  private def schemaJson(t: Type): String = t match {
+    case ANull => "\"null\""
+    case ABool => "\"boolean\""
+    case AInt => "\"int\""
+    case ALong => "\"long\""
+    case AFloat => "\"float\""
+    case ADouble => "\"double\""
+    case ABytes => "\"bytes\""
+    case AString => "\"string\""
+    case AEnum(symbols) =>
+      s"""{"type":"enum","name":"e","symbols":[${symbols.map("\"" + _ + "\"").mkString(",")}]}"""
+    case AFixed(n) => s"""{"type":"fixed","name":"f","size":$n}"""
+    case AArray(items) => s"""{"type":"array","items":${schemaJson(items)}}"""
+    case AMap(values) => s"""{"type":"map","values":${schemaJson(values)}}"""
+    case AUnion(branches) => branches.map(schemaJson).mkString("[", ",", "]")
+    case ARecord(name, fields) =>
+      val fs = fields.map(f =>
+        s"""{"name":"${f.name}","type":${schemaJson(f.tpe)}}""").mkString(",")
+      s"""{"type":"record","name":"${name.replace('.', '_')}","fields":[$fs]}"""
+  }
+
+  /** Write rows as one container file. */
+  def write(path: String, schema: ARecord, rows: Iterator[Row],
+      codec: String = "deflate", blockRows: Int = 1024): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    try {
+      out.write(Array[Byte]('O', 'b', 'j', 1))
+      val header = new ByteArrayOutputStream()
+      val he = new Encoder(header)
+      he.varLong(2L)
+      he.string("avro.schema")
+      val sj = schemaJson(schema).getBytes(StandardCharsets.UTF_8)
+      he.varLong(sj.length.toLong); he.bytes(sj)
+      he.string("avro.codec")
+      val cj = codec.getBytes(StandardCharsets.UTF_8)
+      he.varLong(cj.length.toLong); he.bytes(cj)
+      he.varLong(0L)
+      out.write(header.toByteArray)
+      val sync = new Array[Byte](16)
+      new java.util.Random(42L).nextBytes(sync)
+      out.write(sync)
+      rows.grouped(blockRows).foreach { block =>
+        val raw = new ByteArrayOutputStream()
+        val enc = new Encoder(raw)
+        block.foreach(r => enc.value(schema, r))
+        val payload = codec match {
+          case "null" => raw.toByteArray
+          case "deflate" =>
+            val def_ = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+            def_.setInput(raw.toByteArray)
+            def_.finish()
+            val o = new ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!def_.finished()) o.write(tmp, 0, def_.deflate(tmp))
+            def_.end()
+            o.toByteArray
+          case other => sys.error(s"avro: unsupported codec '$other'")
+        }
+        val bh = new ByteArrayOutputStream()
+        val be = new Encoder(bh)
+        be.varLong(block.length.toLong)
+        be.varLong(payload.length.toLong)
+        out.write(bh.toByteArray)
+        out.write(payload)
+        out.write(sync)
+      }
+    } finally out.close()
+  }
+
+  /** Write a DataFrame as one container per partition under `dir`. */
+  def writeDataFrame(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
+    val schema = schemaFor(df.schema)
+    new java.io.File(dir).mkdirs()
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        write(s"$dir/part-$pid.avro", schema, it, codec)
+      }
+    }
+  }
+}
