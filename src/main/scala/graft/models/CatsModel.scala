@@ -36,7 +36,8 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     val base = if (i == 0) "conv1d" else s"conv1d_$i"
     val k = w(s"/layers/$base/vars/0") // (kernel=2, in, out)
     require(k.shape(0) == 2, s"conv kernel ${k.shape.toList}")
-    (k, vec(s"/layers/$base/vars/1"))
+    (k.shape(1), k.shape(2), k.data.map(_.toDouble),
+      vec(s"/layers/$base/vars/1").map(_.toDouble))
   }
   private val bns = Array.tabulate(3) { i =>
     val base = if (i == 0) "batch_normalization" else s"batch_normalization_$i"
@@ -45,17 +46,18 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
   }
   // squeeze-excitation dense pairs (no bias): (64->4->64), (128->8->128), (256->16->256)
   private val seDense = Array.tabulate(3) { i =>
-    (mat(s"/layers/dense_${2 * i}/vars/0".replace("dense_0", "dense")),
-      mat(s"/layers/dense_${2 * i + 1}/vars/0"))
+    (mat(s"/layers/dense_${2 * i}/vars/0".replace("dense_0", "dense"))
+        .map(_.map(_.toDouble)),
+      mat(s"/layers/dense_${2 * i + 1}/vars/0").map(_.map(_.toDouble)))
   }
   private val lstm1 = BiLstm(loadCell(w, "bidirectional/forward_layer"),
     loadCell(w, "bidirectional/backward_layer"))
   private val lstm2 = BiLstm(loadCell(w, "bidirectional_1/forward_layer"),
     loadCell(w, "bidirectional_1/backward_layer"))
-  private val headW = mat("/layers/dense_6/vars/0")
-  private val headB = vec("/layers/dense_6/vars/1")
-  private val outW = mat("/layers/dense_7/vars/0")
-  private val outB = vec("/layers/dense_7/vars/1")
+  private val headW = mat("/layers/dense_6/vars/0").map(_.map(_.toDouble))
+  private val headB = vec("/layers/dense_6/vars/1").map(_.toDouble)
+  private val outW = mat("/layers/dense_7/vars/0").map(_.map(_.toDouble))
+  private val outB = vec("/layers/dense_7/vars/1").map(_.toDouble)
 
   /** Classify one padded (seqLen x 4) input tensor (CATS preprocessing,
     * Rubin.catsInputTensor); returns the 5 softmax probabilities.
@@ -67,14 +69,13 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     // ---- CNN branch ----
     var cnn: Array[Array[Double]] = a
     for (b <- 0 until 3) {
-      val (kernel, bias) = convs(b)
-      val in = kernel.shape(1); val outC = kernel.shape(2)
+      val (in, outC, kdata, bias) = convs(b)
       val conv = Array.ofDim[Double](steps, outC)
       var t = 0
       while (t < steps) {
         val row = conv(t)
         var c = 0
-        while (c < outC) { row(c) = bias(c).toDouble; c += 1 }
+        while (c < outC) { row(c) = bias(c); c += 1 }
         var dt = 0
         while (dt < 2) { // 'same' padding for k=2: taps t and t+1, zero past the end
           if (t + dt < steps) {
@@ -84,7 +85,7 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
               val xv = xt(j)
               val kOff = (dt * in + j) * outC
               c = 0
-              while (c < outC) { row(c) += xv * kernel.data(kOff + c); c += 1 }
+              while (c < outC) { row(c) += xv * kdata(kOff + c); c += 1 }
               j += 1
             }
           }
@@ -95,7 +96,7 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
       val (gamma, beta, mean, variance) = bns(b)
       val scale = Array.tabulate(outC)(c =>
         gamma(c) / math.sqrt(variance(c).toDouble + 1e-3))
-      val shift = Array.tabulate(outC)(c => beta(c) - mean(c) * scale(c))
+      val shift = Array.tabulate(outC)(c => beta(c).toDouble - mean(c) * scale(c))
       t = 0
       while (t < steps) {
         val row = conv(t)
@@ -151,12 +152,12 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     // ---- head ----
     val cat = rnnOut ++ cnnOut
     val hidden = Array.tabulate(headB.length) { h =>
-      var z = headB(h).toDouble; var j = 0
+      var z = headB(h); var j = 0
       while (j < cat.length) { z += cat(j) * headW(j)(h); j += 1 }
       if (z >= 0) z else 0.3 * z // LeakyReLU(alpha=0.3)
     }
     val logits = Array.tabulate(outB.length) { c =>
-      var z = outB(c).toDouble; var j = 0
+      var z = outB(c); var j = 0
       while (j < hidden.length) { z += hidden(j) * outW(j)(c); j += 1 }
       z
     }
@@ -172,9 +173,14 @@ object CatsModel {
   /** One Keras LSTM cell: kernel (in, 4u), recurrent (u, 4u), bias (4u);
     * gate column order i, f, c-candidate, o.
     */
-  final case class LstmCell(kernel: Array[Array[Float]],
-      recurrent: Array[Array[Float]], bias: Array[Float]) extends Serializable {
-    val units: Int = recurrent.length
+  final case class LstmCell(kernel0: Array[Array[Float]],
+      recurrent0: Array[Array[Float]], bias0: Array[Float]) extends Serializable {
+    // pre-widened to double once: the step loops would otherwise pay a
+    // float->double conversion on every multiply-accumulate
+    private val kernel: Array[Array[Double]] = kernel0.map(_.map(_.toDouble))
+    private val recurrent: Array[Array[Double]] = recurrent0.map(_.map(_.toDouble))
+    private val bias: Array[Double] = bias0.map(_.toDouble)
+    val units: Int = recurrent0.length
 
     /** Run over the sequence (optionally reversed); returns all hidden
       * states in PROCESSING order.
@@ -189,7 +195,7 @@ object CatsModel {
       while (step < n) {
         val xt = x(if (reverse) n - 1 - step else step)
         var g = 0
-        while (g < 4 * units) { gates(g) = bias(g).toDouble; g += 1 }
+        while (g < 4 * units) { gates(g) = bias(g); g += 1 }
         var j = 0
         while (j < xt.length) {
           val xv = xt(j); val kr = kernel(j)

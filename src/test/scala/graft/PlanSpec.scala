@@ -61,6 +61,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("f6/f7 blazar family: join-free packet aggregations") {
+    for (q <- Seq("f6_fluence_ratio", "f7_std_flux")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must be join-free")
+      assert(p.contains("partial"), s"$q expects map-side partial aggregation")
+    }
+  }
+
+  test("d2 verification: merge-intersect expression inside codegen, no array_intersect") {
+    val p = plan("d2_dedup_ngram_jaccard")
+    assert(p.contains("sortedintersectcount"), "verify must use the merge kernel")
+    assert(!p.contains("array_intersect"), "hash-build intersection crept back")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d5 simhash banding: no cartesian/nested-loop product") {
     val p = plan("d5_simhash_pairs")
     assert(!p.contains("CartesianProduct"), "banding must hash-join")
