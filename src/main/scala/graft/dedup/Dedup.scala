@@ -269,25 +269,43 @@ object Dedup {
     verifyJaccard(cand, sets, threshold)
   }
 
-  /** 60-bit SimHash: majority vote per bit over token hashes (token
-    * multiplicity counts). Computed as 60 conditional sums in a single
-    * aggregation — one shuffle, no per-bit explode.
+  /** 60-bit SimHash of one text: majority vote per bit over token
+    * hashes, token multiplicity counted; the token hash is the same
+    * seeded-MD5 60-bit family as [[graft.functions.Hashing.hash60]]
+    * (seed 0), so the DuckDB oracle reproduces every bit.
+    */
+  def simhashKernel(text: String): Long = {
+    val toks = (if (text == null) "" else text)
+      .toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { tok =>
+      md.reset()
+      val hex = toHex(md.digest(("0:" + tok).getBytes("UTF-8")))
+      val hv = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var j = 0
+      while (j < 60) {
+        if (((hv >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sim |= 1L << j; j += 1 }
+    sim
+  }
+
+  /** 60-bit SimHash per row — a compiled map-only kernel: no token
+    * explode, no shuffle (the former explode + groupBy + 60 conditional
+    * sums moved the whole token table through an exchange to rebuild
+    * per-document state this kernel keeps in registers). Values are
+    * bit-identical to the aggregation form and to the DuckDB oracle.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
-    val tok = df.select(
-      (col(idCol) +: carryCols.map(col)) :+
-        explode(TextOps.tokens(col(textCol))).as("tok"): _*)
-      .withColumn("hv", hash60(col("tok"), 0))
-    val bitSums = (0 until 60).map(j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"s$j"))
-    val agg = tok.groupBy((col(idCol) +: carryCols.map(col)): _*)
-      .agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 60).map(j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select((col(idCol) +: carryCols.map(col)) :+ sim.as("simhash"): _*)
+    val k = udf((t: String) => simhashKernel(t))
+    df.select((col(idCol) +: carryCols.map(col)) :+
+      k(col(textCol)).as("simhash"): _*)
   }
 
   /** SimHash near-dup pairs by Hamming radius, blocked with
