@@ -171,24 +171,6 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
 
-  /** Exact-Jaccard verification of candidate pairs against shingle sets:
-    * a size-compatibility pre-filter (jac >= t forces
-    * min(|A|,|B|) >= t * max(|A|,|B|) — exact, no qualifying pair lost)
-    * applied before the native array_intersect. (A sorted-merge UDF was
-    * tried and reverted: per-pair UTF8String -> String conversion at the
-    * UDF boundary cost more than array_intersect's hash build.)
-    */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame =
-    cand
-      .join(sets.select(col("id").as("d1"), col("sh").as("sh1"), col("nsh").as("n1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("sh").as("sh2"), col("nsh").as("n2")), "d2")
-      .filter(least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), col("jac"))
-
   /** MinHash signature kernel: one seeded md5 digest per shingle yields
     * TWO independent members (hex chars 1-15 and 17-31 are independent
     * digest bits), halving the hashing. A compiled UDF rather than
@@ -250,23 +232,45 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val bandsN = numHashes / rowsPerBand
     // cache: the shingle sets feed signature building AND verification
-    // (at corpus scale this would be a persisted/checkpointed table)
+    // (at corpus scale this would be a persisted/checkpointed table).
+    // String shingles drive the signatures (the oracle-mirrored MD5
+    // family hashes the shingle TEXT); verification runs on the sorted
+    // 64-bit fingerprints (same merge kernel as d2).
+    val sortedHashes = udf((sh: Seq[String]) => {
+      val h = sh.map(fnv1a64).toArray
+      java.util.Arrays.sort(h)
+      h
+    })
     val sets = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .select(col("id"), col("sh"), sortedHashes(col("sh")).as("shd"),
+        size(col("sh")).as("nsh"))
       .cache()
     val sigs = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val bandKeys = (0 until bandsN).map { b =>
-      md5(concat_ws(",",
-        ((0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)) :+ lit(b.toString)): _*))
+    // band rows join on the raw signature triple — equality of the
+    // triple IS the bucket key, so hashing it (the previous md5) only
+    // added per-row digests without changing the candidate set
+    val bandStructs = (0 until bandsN).map { b =>
+      struct((lit(b).as("band") +: (0 until rowsPerBand).map(r =>
+        col("sig")(b * rowsPerBand + r).as(s"k$r"))): _*)
     }
-    val bands = sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val bands = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.*"))
       .cache() // both sides of the bucket self-join
+    val keys = Seq("band") ++ (0 until rowsPerBand).map(r => s"k$r")
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
-    verifyJaccard(cand, sets, threshold)
+    cand
+      .join(sets.select(col("id").as("d1"), col("shd").as("sh1"), col("nsh").as("n1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("shd").as("sh2"), col("nsh").as("n2")), "d2")
+      .filter(least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
+      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
   }
 
   /** 60-bit SimHash of one text: majority vote per bit over token

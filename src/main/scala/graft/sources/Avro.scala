@@ -463,7 +463,12 @@ object AvroWriter {
     } finally out.close()
   }
 
-  /** Write a DataFrame as one container per partition under `dir`. */
+  /** Write a DataFrame as one container per partition under `dir`.
+    * `dir` is resolved on each executor — correct for local mode and
+    * shared filesystems (NFS, fuse-mounted object stores); an
+    * HDFS/object-store committer would replace the FileOutputStream,
+    * not the encoding.
+    */
   def writeDataFrame(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val schema = schemaFor(df.schema)
     new java.io.File(dir).mkdirs()
