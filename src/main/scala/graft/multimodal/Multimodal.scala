@@ -136,4 +136,60 @@ object MediaKernel {
         ((m.payload.length + f * 31 + x) % 251).toFloat)
     }
   }
+
+  /** Bilinear resize of one decoded frame (the standard image-pyramid
+    * step a training pipeline applies after decode). Pure per-row
+    * compute — partition-local, no shuffle.
+    */
+  def resizeBilinear(frame: Array[Array[Float]], outH: Int, outW: Int): Array[Array[Float]] = {
+    val h = frame.length
+    val w = if (h == 0) 0 else frame(0).length
+    if (h == 0 || w == 0) return Array.fill(outH)(new Array[Float](outW))
+    Array.tabulate(outH) { y =>
+      // align-corners mapping: output corners hit input corners exactly
+      val fy = if (outH == 1) 0.0 else y.toDouble * (h - 1) / (outH - 1)
+      val y0 = math.min(fy.toInt, h - 1)
+      val y1 = math.min(y0 + 1, h - 1)
+      val wy = fy - y0
+      val row = new Array[Float](outW)
+      var x = 0
+      while (x < outW) {
+        val fx = if (outW == 1) 0.0 else x.toDouble * (w - 1) / (outW - 1)
+        val x0 = math.min(fx.toInt, w - 1)
+        val x1 = math.min(x0 + 1, w - 1)
+        val wx = fx - x0
+        val top = frame(y0)(x0) * (1 - wx) + frame(y0)(x1) * wx
+        val bot = frame(y1)(x0) * (1 - wx) + frame(y1)(x1) * wx
+        row(x) = (top * (1 - wy) + bot * wy).toFloat
+        x += 1
+      }
+      row
+    }
+  }
+
+  /** Uniform frame sampling over a payload treated as fixed-size
+    * encoded frames (the video-pipeline "sample n frames" step; byte-
+    * block frames keep the semantics codec-free and oracle-checkable).
+    * Returns the sampled frame indices and each sampled frame's mean
+    * byte. When the payload holds <= k frames all are kept; otherwise
+    * indices are floor(j*(n-1)/(k-1)) for j in 0..k-1 (uniform with the
+    * first and last frames always included).
+    */
+  def frameSample(payload: Array[Byte], frameBytes: Int, k: Int)
+      : (Array[Int], Array[Double]) = {
+    val n = (payload.length + frameBytes - 1) / frameBytes
+    if (n == 0) return (Array.empty, Array.empty)
+    val idx =
+      if (n <= k) Array.range(0, n)
+      else Array.tabulate(k)(j => (j.toDouble * (n - 1) / (k - 1)).floor.toInt)
+    val means = idx.map { f =>
+      val from = f * frameBytes
+      val until = math.min(from + frameBytes, payload.length)
+      var s = 0L
+      var i = from
+      while (i < until) { s += payload(i) & 0xff; i += 1 }
+      s.toDouble / (until - from)
+    }
+    (idx, means)
+  }
 }

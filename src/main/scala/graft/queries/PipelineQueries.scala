@@ -123,6 +123,22 @@ object PipelineQueries extends QueryPack {
     Multimodal.extractFeatures(s, Multimodal.packDocuments(docs(s, dir)))
       .toDF().orderBy("id")
 
+  // m3: uniform frame sampling over byte-block "frames" (the video
+  // pipeline's sample-n-frames step, codec-free so the oracle can
+  // mirror it byte-for-byte): 64-byte frames, keep 4 uniformly with
+  // first/last always included.
+  private def m3FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val k = udf((payload: Array[Byte]) =>
+      graft.multimodal.MediaKernel.frameSample(payload, 64, 4))
+    Multimodal.packDocuments(docs(s, dir))
+      .select(col("id"), k(col("payload")).as("fs"))
+      .select(col("id"),
+        size(col("fs._1")).cast("long").as("n_sampled"),
+        col("fs._1").as("sampled_idx"),
+        col("fs._2").as("frame_means"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1Exact _),
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
@@ -139,7 +155,8 @@ object PipelineQueries extends QueryPack {
     "t5_winnow_fingerprint" -> (t5Winnow _),
     "t6_regex_tokens" -> (t6RegexTokens _),
     "m1_media_meta" -> (m1MediaMeta _),
-    "m2_media_features" -> (m2MediaFeatures _))
+    "m2_media_features" -> (m2MediaFeatures _),
+    "m3_frame_sample" -> (m3FrameSample _))
 
   // DuckDB mirrors. Shared CTE fragments:
   private val SH_CTE =
@@ -230,6 +247,32 @@ object PipelineQueries extends QueryPack {
         |FROM documents d
         |JOIN s ON s.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST((i.i - 1) // 64 AS INT) AS f,
+        |         ord(substr(text, CAST(i.i AS INT), 1)) AS byte
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i),
+        |fm AS (
+        |  SELECT doc_id, f, CAST(sum(byte) AS DOUBLE) / count(*) AS mb
+        |  FROM c GROUP BY 1, 2),
+        |nf AS (SELECT doc_id, count(*) AS n FROM fm GROUP BY 1),
+        |sel AS (
+        |  SELECT doc_id, jj.j,
+        |         CASE WHEN n <= 4 THEN CAST(jj.j AS INT)
+        |              ELSE CAST(floor(jj.j * (n - 1) / 3.0) AS INT) END AS f
+        |  FROM nf,
+        |       LATERAL (SELECT unnest(range(CASE WHEN n <= 4 THEN n ELSE 4 END)) AS j) jj),
+        |agg AS (
+        |  SELECT s.doc_id,
+        |         count(*) AS n_sampled,
+        |         list(s.f ORDER BY s.j) AS sampled_idx,
+        |         list(fm.mb ORDER BY s.j) AS frame_means
+        |  FROM sel s JOIN fm ON fm.doc_id = s.doc_id AND fm.f = s.f
+        |  GROUP BY 1)
+        |SELECT doc_id AS id, CAST(n_sampled AS BIGINT) AS n_sampled,
+        |       sampled_idx, frame_means
+        |FROM agg ORDER BY id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
