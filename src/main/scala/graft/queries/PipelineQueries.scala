@@ -126,7 +126,12 @@ object PipelineQueries extends QueryPack {
   // m3: uniform frame sampling over byte-block "frames" (the video
   // pipeline's sample-n-frames step, codec-free so the oracle can
   // mirror it byte-for-byte): 64-byte frames, keep 4 uniformly with
-  // first/last always included.
+  // first/last always included. The array outputs are emitted as
+  // hashable scalars (CSV indices; means as fixed-point micro-units,
+  // floor(m*1e6+0.5) — identical doubles on both engines make the
+  // rounding engine-independent) so the driver's row-hash comparison
+  // can factorize them; empty payloads yield n_sampled=0 with empty
+  // CSVs, mirrored by the oracle's LEFT JOIN.
   private def m3FrameSample(s: SparkSession, dir: String): DataFrame = {
     val k = udf((payload: Array[Byte]) =>
       graft.multimodal.MediaKernel.frameSample(payload, 64, 4))
@@ -134,8 +139,11 @@ object PipelineQueries extends QueryPack {
       .select(col("id"), k(col("payload")).as("fs"))
       .select(col("id"),
         size(col("fs._1")).cast("long").as("n_sampled"),
-        col("fs._1").as("sampled_idx"),
-        col("fs._2").as("frame_means"))
+        array_join(col("fs._1"), ",").as("sampled_idx_csv"),
+        array_join(
+          transform(col("fs._2"),
+            m => floor(m * lit(1e6) + lit(0.5)).cast("long")),
+          ",").as("frame_means_csv"))
       .orderBy("id")
   }
 
@@ -247,12 +255,20 @@ object PipelineQueries extends QueryPack {
         |FROM documents d
         |JOIN s ON s.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
+    // Byte-based framing (hex over encode(text)) so the mirror agrees
+    // with the Spark kernel's UTF-8 payload bytes on non-ASCII text,
+    // and a LEFT JOIN from documents so empty payloads produce an
+    // n_sampled=0 row exactly like the Spark side.
     "m3_frame_sample" ->
-      """WITH c AS (
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |c AS (
         |  SELECT doc_id, CAST((i.i - 1) // 64 AS INT) AS f,
-        |         ord(substr(text, CAST(i.i AS INT), 1)) AS byte
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i),
+        |         CAST(concat('0x', substr(h, CAST(2*i.i - 1 AS INT), 2)) AS INT) AS byte
+        |  FROM b,
+        |       LATERAL (SELECT unnest(range(1, nb + 1)) AS i) i),
         |fm AS (
         |  SELECT doc_id, f, CAST(sum(byte) AS DOUBLE) / count(*) AS mb
         |  FROM c GROUP BY 1, 2),
@@ -266,13 +282,17 @@ object PipelineQueries extends QueryPack {
         |agg AS (
         |  SELECT s.doc_id,
         |         count(*) AS n_sampled,
-        |         list(s.f ORDER BY s.j) AS sampled_idx,
-        |         list(fm.mb ORDER BY s.j) AS frame_means
+        |         string_agg(CAST(s.f AS VARCHAR), ',' ORDER BY s.j) AS sampled_idx_csv,
+        |         string_agg(CAST(CAST(floor(fm.mb * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+        |                    ',' ORDER BY s.j) AS frame_means_csv
         |  FROM sel s JOIN fm ON fm.doc_id = s.doc_id AND fm.f = s.f
         |  GROUP BY 1)
-        |SELECT doc_id AS id, CAST(n_sampled AS BIGINT) AS n_sampled,
-        |       sampled_idx, frame_means
-        |FROM agg ORDER BY id""".stripMargin,
+        |SELECT d.doc_id AS id,
+        |       CAST(coalesce(a.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |       coalesce(a.sampled_idx_csv, '') AS sampled_idx_csv,
+        |       coalesce(a.frame_means_csv, '') AS frame_means_csv
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -51,4 +51,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length === (1 + 5 % 3))
     assert(frames.forall(_.nonEmpty))
   }
+
+  test("frameSample edge cases: empty, <=k frames, >k frames, partial tail") {
+    // empty payload: no frames, no means (m3 emits n_sampled=0)
+    val (idxE, meansE) = MediaKernel.frameSample(Array.emptyByteArray, 64, 4)
+    assert(idxE.isEmpty && meansE.isEmpty)
+    // 3 frames <= k=4: all kept, partial tail frame averaged over its
+    // actual length (n=3 for 130 bytes of 64-byte frames)
+    val p = Array.tabulate[Byte](130)(i => (i % 251).toByte)
+    val (idx3, means3) = MediaKernel.frameSample(p, 64, 4)
+    assert(idx3 === Array(0, 1, 2))
+    assert(means3(0) === (0 until 64).map(_ % 251).sum.toDouble / 64)
+    assert(means3(2) === (128 until 130).map(_ % 251).sum.toDouble / 2)
+    // 10 frames > k: uniform floor(j*(n-1)/(k-1)) with first+last pinned
+    val big = Array.fill[Byte](640)(1)
+    val (idx10, _) = MediaKernel.frameSample(big, 64, 4)
+    assert(idx10 === Array(0, 3, 6, 9))
+    // non-ASCII payload: sampled over UTF-8 bytes, not characters
+    val utf = "héllo wörld".getBytes("UTF-8")
+    val (idxU, meansU) = MediaKernel.frameSample(utf, 64, 4)
+    assert(idxU === Array(0))
+    assert(meansU(0) === utf.map(_ & 0xff).sum.toDouble / utf.length)
+  }
 }
