@@ -143,4 +143,16 @@ object RefModels {
   lazy val catsSeqScorer: Array[Array[Float]] => Array[Double] =
     cats.map(m => (x: Array[Array[Float]]) => m.forward(x))
       .getOrElse(StubModels.seqSoftmax("cats", 5))
+
+  /** Serialization-light handle for [[catsSeqScorer]]: a task closure
+    * capturing this object ships only the module reference; the ~7 MiB
+    * CNN weights are loaded lazily once per executor JVM (RefModels'
+    * lazy vals are per-JVM singletons) on first call, instead of riding
+    * every stage's task binary — the `Broadcasting large task binary
+    * with size 7.2 MiB` hygiene flag at cluster scale.
+    */
+  object CatsScorer extends (Array[Array[Float]] => Array[Double])
+      with Serializable {
+    def apply(x: Array[Array[Float]]): Array[Double] = catsSeqScorer(x)
+  }
 }

@@ -216,7 +216,7 @@ object Rubin {
     */
   def catsBroadClass(spark: SparkSession, df: DataFrame, nClasses: Int = 5,
       seqScorer: Array[Array[Float]] => Array[Double] =
-        graft.models.RefModels.catsSeqScorer): DataFrame = {
+        graft.models.RefModels.CatsScorer): DataFrame = {
     val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
         cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
       def arr(xs: Seq[java.lang.Double]) =
