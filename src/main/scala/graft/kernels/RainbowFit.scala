@@ -173,8 +173,20 @@ object RainbowFit {
       iter += 1
     }
     val dof = math.max(1, n - np_)
-    Result(p(0), p(1), p(2), p(3), p(4), p(5), chi / dof, lcMax)
+    // report amplitude in the reference convention (see fitBazin)
+    Result(p(0), p(1) / averageNu(waveAA.values), p(2), p(3), p(4), p(5),
+      chi / dof, lcMax)
   }
+
+  /** light-curve's BaseRainbowFit reports the bolometric amplitude
+    * divided by the average passband frequency ("internally we use
+    * amplitude of F_bol / <nu> ... same units and order as the input
+    * fluxes"), so downstream classifiers are trained on flux-scale
+    * amplitudes (slsn doctest: 4886.5). The fit itself runs in
+    * bolometric units; only the reported value rescales.
+    */
+  private def averageNu(waveAA: Iterable[Double]): Double =
+    waveAA.map(w => C / (w * 1e-10)).sum / waveAA.size
 
   /** Rainbow with the bazin bolometric and sigmoid temperature — the
     * variant the reference's ZTF superluminous module fits
@@ -317,6 +329,12 @@ object RainbowFit {
       case None => p.map(v => math.max(math.abs(v), 1e-12))
     }
     val dof = math.max(1, n - np_)
+    // reference-convention amplitude: divide value AND error by <nu>
+    // (snr_amplitude is scale-invariant; the bundled XGBoost's tree
+    // splits on `amplitude` expect the flux-scale value)
+    val nuAvg = averageNu(waveAA.values)
+    p(1) /= nuAvg
+    errors(1) /= nuAvg
     BazinResult(p, errors, chi / dof)
   }
 

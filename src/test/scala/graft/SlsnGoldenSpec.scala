@@ -79,12 +79,13 @@ class SlsnGoldenSpec extends SparkSpec {
     // Our Gauss-Newton is a different optimizer on the same model —
     // assert the fit lands in the same parameter basin (factor-level
     // agreement) and fits the data at least as tightly at chi2 level.
-    // amplitude carries our spectral-normalization convention (the
-    // per-Hz Planck density absorbs ~1e-15 into A), so only its sign
-    // is comparable; the SHAPE parameters are convention-free
+    // amplitude is reported in the reference convention (F_bol/<nu>,
+    // light-curve's normalization), so it is directly comparable at
+    // basin level: our optimizer settles ~2x above the doctest here
+    // because it converges to a longer fall time / flat t_color
     val Seq(amp, rise, fall, tMin, tMax) =
       Seq(r.params(1), r.params(2), r.params(3), r.params(4), r.params(5))
-    assert(amp > 0, s"amplitude $amp")
+    assert(amp > 4886.507 * 0.2 && amp < 4886.507 * 5.0, s"amplitude $amp")
     assert(rise > 21.97 * 0.5 && rise < 21.97 * 2.0, s"rise $rise")
     assert(fall > 27.41 * 0.3 && fall < 27.41 * 3.0, s"fall $fall")
     assert(tMin > 9102.4 * 0.6 && tMin < 9102.4 * 1.6, s"Tmin $tMin")
