@@ -22,6 +22,23 @@ object NoAlertHistory extends AlertHistoryService {
   def lightCurves(objectIds: Seq[String]) = None
 }
 
+/** SDSS photometric-redshift lookup — the reference queries SkyServer
+  * over HTTP per object (ztf/superluminous/slsn_classifier.py:188-248,
+  * get_sdss_photoz) for the post-classification veto. Injectable with
+  * the same Fail/Unknown contract as the history hook: (NaN, NaN) is
+  * the reference's unreachable/no-match sentinel, which flows through
+  * abs_peak as NaN and leaves the probability unmasked.
+  */
+trait PhotozService extends Serializable {
+  /** (photoz, photozErr); (NaN, NaN) when the service has no answer. */
+  def photoz(ra: Double, dec: Double): (Double, Double)
+}
+
+/** Offline default: service unreachable -> every lookup NaN. */
+object NoPhotoz extends PhotozService {
+  def photoz(ra: Double, dec: Double) = (Double.NaN, Double.NaN)
+}
+
 /** The remaining score modules (SURVEY.md §2.3): superluminous (ZTF),
   * orphan GRB and SLSN (Rubin). Same architecture as [[Classifiers]]:
   * native gates, JVM feature kernels, injected scorers with
@@ -57,11 +74,15 @@ object ExtendedClassifiers {
       minAgeDays: Double = graft.kernels.SlsnFeatures.MinDuration,
       model: Option[graft.models.XgbBinaryModel] = RefModels.superluminousXgb,
       history: AlertHistoryService = NoAlertHistory,
-      strictReferenceSemantics: Boolean = false): DataFrame = {
+      strictReferenceSemantics: Boolean = false,
+      photozService: PhotozService = NoPhotoz): DataFrame = {
+    // kernel.py not_sl_threshold: the photo-z veto's absolute-magnitude bar
+    val notSlThreshold = -19.75
     val fallback: Scorer = StubModels.forest("superluminous", 27)
     val s = udf((objectId: String, cjd: Seq[java.lang.Double],
         cfid: Seq[java.lang.Integer], cm: Seq[java.lang.Double],
-        cs: Seq[java.lang.Double], distnr: java.lang.Double) => {
+        cs: Seq[java.lang.Double], distnr: java.lang.Double,
+        ra: java.lang.Double, dec: java.lang.Double) => {
       def arr(xs: Seq[java.lang.Double]) =
         xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
       var jd = arr(cjd); var m = arr(cm); var e = arr(cs)
@@ -88,7 +109,27 @@ object ExtendedClassifiers {
         case None => -1.0
         case Some(feats) if feats.valuesIterator.exists(_.isNaN) => -1.0
         case Some(feats) => model match {
-          case Some(xgb) => xgb.score(xgb.featureNames.map(feats).toArray)
+          case Some(xgb) =>
+            val proba = xgb.score(xgb.featureNames.map(feats).toArray)
+            // post-classification photo-z veto (processor.py:233-263):
+            // for alerts classified as SLSN (proba > the classifier's
+            // bundled optimal_threshold), look up the SDSS photo-z and
+            // zero the probability when even the brightest peak
+            // absolute-magnitude estimate M(z+zerr) stays fainter than
+            // not_sl_threshold. NaN photo-z (service down / no match)
+            // leaves the probability untouched, like the reference.
+            if (proba > xgb.optimalThreshold && ra != null && dec != null) {
+              val (pz, pzErr) = photozService.photoz(ra, dec)
+              def peak(b: Int) = {
+                val xs = sel.filter(fids(_) == b).map(m)
+                if (xs.isEmpty) 99.0 else xs.min // np.min(..., initial=99)
+              }
+              val wave = graft.kernels.SlsnFeatures.BandWaveAA
+              val upper = graft.kernels.SlsnPhotoz.absPeak(
+                Array(peak(1), peak(2)), Array(wave(1), wave(2)),
+                pz, pzErr, feats("ebv"))(2)
+              if (!upper.isNaN && upper > notSlThreshold) 0.0 else proba
+            } else proba
           case None => fallback.score(
             graft.models.XgbUbjson.TrainingFeatureOrder.map(feats).toArray)
         }
@@ -101,7 +142,9 @@ object ExtendedClassifiers {
             col("cfid").cast("array<int>"),
             col("cmagpsf").cast("array<double>"),
             col("csigmapsf").cast("array<double>"),
-            col("candidate.distnr").cast("double")))
+            col("candidate.distnr").cast("double"),
+            col("candidate.ra").cast("double"),
+            col("candidate.dec").cast("double")))
           .otherwise(lit(-1.0)))
       .withColumn("superluminous_score_is_stub", lit(model.isEmpty))
   }

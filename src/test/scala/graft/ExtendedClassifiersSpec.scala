@@ -20,6 +20,33 @@ class ExtendedClassifiersSpec extends SparkSpec {
     assert(df.filter(col("superluminous_score") === -1.0).count() > 60)
   }
 
+  test("superluminous photo-z veto only ever zeroes above-threshold scores") {
+    val alerts = spark.read.parquet("/root/reference/fink_science/data/alerts/datatest")
+    val base = AlertCols.withHistory(TransientFeatures(alerts),
+      Seq("jd", "fid", "magpsf", "sigmapsf"))
+    // a nearby photo-z makes every candidate's absolute peak faint ->
+    // anything classified as SLSN (proba > optimal_threshold) is vetoed
+    val nearby = new graft.operators.PhotozService {
+      def photoz(ra: Double, dec: Double) = (0.01, 0.001)
+    }
+    val thr = graft.models.RefModels.superluminousXgb.map(_.optimalThreshold)
+    val before = ExtendedClassifiers.superluminous(spark, base)
+      .select(col("objectId"), col("candid"), col("superluminous_score").as("s0"))
+    val after = ExtendedClassifiers.superluminous(spark, base, photozService = nearby)
+      .select(col("candid").as("candid2"), col("superluminous_score").as("s1"))
+    val joined = before.join(after, col("candid") === col("candid2"))
+      .select("s0", "s1").collect()
+    joined.foreach { r =>
+      val (s0, s1) = (r.getDouble(0), r.getDouble(1))
+      thr match {
+        case Some(t) =>
+          if (s0 > t) assert(s1 === 0.0, s"above-threshold $s0 not vetoed")
+          else assert(s1 === s0, s"below-threshold $s0 changed to $s1")
+        case None => assert(s1 === s0) // stub path: veto not applied
+      }
+    }
+  }
+
   test("transient filter golden: exactly 2 of 57 alerts in part-00003 pass") {
     val df = spark.read.parquet("/root/reference/fink_science/data/alerts/datatest/" +
       "part-00003-bdab8e46-89c4-4ac1-8603-facd71833e8a-c000.snappy.parquet")
