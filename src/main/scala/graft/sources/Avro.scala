@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
   *
   * Scale path: [[AvroReader.read]] parallelizes per FILE via
   * binaryFiles — the natural unit for alert archives (many
-  * medium-sized files). Block-level splitting inside one huge file
-  * (seek to the next sync marker, as Hadoop input formats do) slots
-  * into the same decoder but is not needed for the reference layouts.
+  * medium-sized files). [[AvroReader.readSplit]] additionally splits
+  * INSIDE each file by byte range (each task seeks to its range and
+  * scans forward to the next sync marker, the Hadoop input-format
+  * contract), so a few multi-GB containers parallelize too.
   */
 object AvroSchema {
 
@@ -222,6 +223,23 @@ object AvroReader {
 
   final case class Container(schema: Type, codec: String,
       sync: Array[Byte], blocksStart: Int, bytes: Array[Byte]) {
+    /** Decode one block payload per the container codec. */
+    def inflate(payload: Array[Byte], size: Int): Array[Byte] = codec match {
+      case "null" | "" => payload
+      case "deflate" =>
+        val inf = new Inflater(true)
+        inf.setInput(payload)
+        val out = new ByteArrayOutputStream(size * 4)
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(tmp)
+          if (n == 0 && inf.needsInput()) sys.error("avro: truncated deflate block")
+          out.write(tmp, 0, n)
+        }
+        inf.end()
+        out.toByteArray
+      case other => sys.error(s"avro: unsupported codec '$other'")
+    }
     def rows: Iterator[Row] = new Iterator[Row] {
       private var pos = blocksStart
       private var inBlock: AvroDecoder = null
@@ -232,22 +250,7 @@ object AvroReader {
           val count = d.varLong()
           val size = d.varLong().toInt
           val payload = d.readBytes(size)
-          val data = codec match {
-            case "null" | "" => payload
-            case "deflate" =>
-              val inf = new Inflater(true)
-              inf.setInput(payload)
-              val out = new ByteArrayOutputStream(size * 4)
-              val tmp = new Array[Byte](8192)
-              while (!inf.finished()) {
-                val n = inf.inflate(tmp)
-                if (n == 0 && inf.needsInput()) sys.error("avro: truncated deflate block")
-                out.write(tmp, 0, n)
-              }
-              inf.end()
-              out.toByteArray
-            case other => sys.error(s"avro: unsupported codec '$other'")
-          }
+          val data = inflate(payload, size)
           pos = d.pos + 16 // skip sync
           inBlock = new AvroDecoder(data, 0)
           remaining = count
@@ -290,16 +293,187 @@ object AvroReader {
   }
 
   /** Read an Avro container file (or a directory/glob of them) into a
-    * DataFrame — one task per file via binaryFiles.
+    * DataFrame — one task per file via binaryFiles. Every container must
+    * carry the same schema as the first file (schema-evolved
+    * directories fail fast with the offending path rather than decoding
+    * rows inconsistent with the declared DataFrame schema).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.sparkContext.binaryFiles(path)
-    val first = container(files.first()._2.toArray())
+    val head =
+      try files.take(1).headOption
+      catch { // absent parent dir: normalize to the same no-match error
+        case _: org.apache.hadoop.mapreduce.lib.input.InvalidInputException |
+            _: org.apache.hadoop.mapred.InvalidInputException => None
+      }
+    val (firstPath, firstContent) = head.getOrElse(
+      sys.error(s"avro: no files match '$path'"))
+    val first = container(firstContent.toArray())
+    val firstSchema = first.schema
     val schema = AvroSchema.sparkType(first.schema)._1.asInstanceOf[StructType]
-    val rows = files.flatMap { case (_, content) =>
-      container(content.toArray()).rows
+    val rows = files.flatMap { case (p, content) =>
+      val c = container(content.toArray())
+      if (c.schema != firstSchema)
+        sys.error(s"avro: schema of '$p' differs from '$firstPath'; " +
+          "schema evolution across a directory is not supported")
+      c.rows
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Byte-range split of one container file: `[start, end)` plus the
+    * file length. A task decodes every block whose first byte lies in
+    * the range, locating the first block by scanning forward from
+    * `start` to the next 16-byte sync marker — the same contract Hadoop
+    * input formats use, so one multi-GB container parallelizes without
+    * any driver-side block index.
+    */
+  final case class Split(path: String, start: Long, end: Long, fileLen: Long)
+
+  /** Read Avro container file(s) with block-level parallelism INSIDE
+    * each file: files are cut into `maxSplitBytes` byte ranges
+    * distributed as one task each. Complements [[read]] (per-file
+    * tasks) when the input is a few huge containers rather than an
+    * alert archive of many medium files.
+    */
+  def readSplit(spark: SparkSession, path: String,
+      maxSplitBytes: Long = 128L << 20): DataFrame = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(conf.value)
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+    val statuses = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.filter(st => !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith("."))
+    if (statuses.isEmpty) sys.error(s"avro: no files match '$path'")
+
+    // schema comes from the first file's header (tasks re-check theirs)
+    val firstPath = statuses.head.getPath
+    val firstHeader = {
+      val in = fs.open(firstPath)
+      try container(readPrefix(in, statuses.head.getLen))
+      finally in.close()
+    }
+    val firstSchema = firstHeader.schema
+    val firstPathStr = firstPath.toString
+    val schema = AvroSchema.sparkType(firstSchema)._1.asInstanceOf[StructType]
+
+    val splits = statuses.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      (0L until n).map(i => Split(st.getPath.toString, i * maxSplitBytes,
+        math.min((i + 1) * maxSplitBytes, len), len))
+    }
+    val rows = spark.sparkContext
+      .parallelize(splits, splits.length)
+      .flatMap { sp =>
+        val p = new HPath(sp.path)
+        val sfs = p.getFileSystem(conf.value)
+        val in = sfs.open(p)
+        val c = container(readPrefix(in, sp.fileLen))
+        if (c.schema != firstSchema) {
+          in.close()
+          sys.error(s"avro: schema of '${sp.path}' differs from " +
+            s"'$firstPathStr'; schema evolution across a directory is " +
+            "not supported")
+        }
+        splitRows(in, c, sp)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Read enough of the stream to parse the container header (the
+    * schema JSON can be large, so grow the prefix until parsing fits).
+    */
+  private def readPrefix(in: org.apache.hadoop.fs.FSDataInputStream,
+      fileLen: Long): Array[Byte] = {
+    var size = math.min(fileLen, 1L << 16).toInt
+    while (true) {
+      in.seek(0L)
+      val buf = new Array[Byte](size)
+      in.readFully(0L, buf)
+      try {
+        container(buf)
+        return buf
+      } catch {
+        case _: IndexOutOfBoundsException | _: ArrayIndexOutOfBoundsException =>
+          if (size >= fileLen) throw new RuntimeException(
+            "avro: truncated container header")
+          size = math.min(fileLen, size.toLong * 4).toInt
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Decode the blocks of `sp`'s byte range, closing `in` when done. */
+  private def splitRows(in: org.apache.hadoop.fs.FSDataInputStream,
+      c: Container, sp: Split): Iterator[Row] = {
+    // first block at/after start: the header's blocksStart for the
+    // leading split, else just past the next sync marker
+    val begin =
+      if (sp.start <= c.blocksStart) c.blocksStart.toLong
+      else syncScan(in, c.sync, sp.start, sp.fileLen)
+    if (begin < 0 || begin >= sp.end || begin >= sp.fileLen) {
+      in.close()
+      return Iterator.empty
+    }
+    new Iterator[Row] {
+      private var pos = begin
+      private var block: AvroDecoder = null
+      private var remaining = 0L
+      private var closed = false
+      private def advance(): Unit = {
+        while (remaining == 0 && pos < sp.end && pos < sp.fileLen && !closed) {
+          // block header: two varints (<=10 bytes each)
+          val hdr = new Array[Byte](math.min(20L, sp.fileLen - pos).toInt)
+          in.readFully(pos, hdr)
+          val d = new AvroDecoder(hdr, 0)
+          val count = d.varLong()
+          val size = d.varLong().toInt
+          val payload = new Array[Byte](size)
+          in.readFully(pos + d.pos, payload)
+          pos += d.pos + size + 16 // skip trailing sync
+          block = new AvroDecoder(c.inflate(payload, size), 0)
+          remaining = count
+        }
+        if (remaining == 0 && !closed) { closed = true; in.close() }
+      }
+      def hasNext: Boolean = { advance(); remaining > 0 }
+      def next(): Row = {
+        advance()
+        remaining -= 1
+        block.value(c.schema).asInstanceOf[Row]
+      }
+    }
+  }
+
+  /** Offset just past the first sync marker at/after `from`; -1 when
+    * none remains. Chunked forward scan with a 15-byte overlap so a
+    * marker spanning two chunks is still found.
+    */
+  private def syncScan(in: org.apache.hadoop.fs.FSDataInputStream,
+      sync: Array[Byte], from: Long, fileLen: Long): Long = {
+    val chunk = 1 << 16
+    var base = from
+    while (base < fileLen) {
+      val len = math.min(chunk.toLong, fileLen - base).toInt
+      val buf = new Array[Byte](len)
+      in.readFully(base, buf)
+      var i = 0
+      while (i + 16 <= len) {
+        var j = 0
+        while (j < 16 && buf(i + j) == sync(j)) j += 1
+        if (j == 16) return base + i + 16
+        i += 1
+      }
+      if (base + len >= fileLen) return -1L
+      base += len - 15 // overlap so boundary-spanning markers match
+    }
+    -1L
   }
 }
 
@@ -468,14 +642,35 @@ object AvroWriter {
     * shared filesystems (NFS, fuse-mounted object stores); an
     * HDFS/object-store committer would replace the FileOutputStream,
     * not the encoding.
+    *
+    * Task-commit protocol: stale `part-*.avro` files from a previous
+    * run are removed up front (they would survive a run with fewer
+    * partitions and be re-read by the glob), each task writes to a
+    * temp name carrying its task attempt id, and the finished file is
+    * atomically renamed into place — a retried or speculative attempt
+    * can never interleave bytes with a concurrent writer, and whichever
+    * attempt renames last wins whole-file.
     */
   def writeDataFrame(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val schema = schemaFor(df.schema)
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val stale = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") &&
+        (f.getName.endsWith(".avro") || f.getName.contains(".avro.tmp-")))
+    stale.foreach(_.delete())
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        write(s"$dir/part-$pid.avro", schema, it, codec)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = java.nio.file.Paths.get(dir,
+          s"part-$pid.avro.tmp-${tc.taskAttemptId()}")
+        write(tmp.toString, schema, it, codec)
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(dir, s"part-$pid.avro"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     }
   }

@@ -68,4 +68,66 @@ class AvroSpec extends SparkSpec {
     assert(back.filter(col("name").isNull).select("id").collect()(0).getLong(0) === 2L)
     assert(back.exceptAll(src).count() === 0)
   }
+
+  test("rewriting a directory clears stale part files from a wider run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avro_stale").toString
+    AvroWriter.writeDataFrame(
+      (1L to 100L).toDF("v").repartition(8), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) === 8)
+    AvroWriter.writeDataFrame(
+      (1L to 10L).toDF("v").repartition(2), dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.count(_.getName.endsWith(".avro")) === 2)
+    assert(!files.exists(_.getName.contains(".tmp-")), "temp files left behind")
+    assert(AvroReader.read(spark, s"$dir/part-*.avro").count() === 10)
+  }
+
+  test("empty glob and schema-evolved directories fail with clear errors") {
+    import spark.implicits._
+    val e1 = intercept[RuntimeException] {
+      AvroReader.read(spark, "/tmp/definitely_absent_dir_x/*.avro")
+    }
+    assert(e1.getMessage.contains("no files match"))
+    val e2 = intercept[RuntimeException] {
+      AvroReader.readSplit(spark, "/tmp/definitely_absent_dir_x/*.avro")
+    }
+    assert(e2.getMessage.contains("no files match"))
+
+    val dir = java.nio.file.Files.createTempDirectory("avro_evolved").toString
+    AvroWriter.writeDataFrame(Seq((1L, "a")).toDF("id", "s").coalesce(1), dir)
+    // second file under a different name so both survive the glob
+    AvroWriter.writeDataFrame(Seq((1L, 2.0)).toDF("id", "d").coalesce(1),
+      s"$dir/sub")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/sub/part-0.avro"),
+      java.nio.file.Paths.get(s"$dir/part-1.avro"))
+    val e3 = intercept[org.apache.spark.SparkException] {
+      AvroReader.read(spark, s"$dir/part-*.avro").count()
+    }
+    assert(e3.getMessage.contains("differs from") ||
+      Option(e3.getCause).exists(_.getMessage.contains("differs from")))
+  }
+
+  test("readSplit decodes one container across many byte-range splits") {
+    val src = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("avro_split").toString
+    // one file, many small blocks so split boundaries land mid-file
+    val schema = graft.sources.AvroWriter.schemaFor(src.schema)
+    graft.sources.AvroWriter.write(s"$dir/one.avro", schema,
+      src.collect().iterator, "deflate", blockRows = 16)
+    val whole = AvroReader.read(spark, s"$dir/one.avro")
+    assert(whole.count() === 400)
+    // tiny maxSplitBytes forces multiple splits over the single file
+    val split = AvroReader.readSplit(spark, s"$dir/one.avro",
+      maxSplitBytes = 4096L)
+    assert(split.count() === 400)
+    assert(split.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(split).count() === 0)
+    // degenerate range: splits larger than the file behave like read()
+    val big = AvroReader.readSplit(spark, s"$dir/one.avro")
+    assert(big.count() === 400)
+  }
 }
