@@ -157,31 +157,72 @@ object Classifiers {
   }
 
   /** Microlensing score (`mulens`) — reference:
-    * ztf/microlensing/processor.py:38-190: per-band feature vectors,
-    * both bands must vote; score is the mean of band probabilities when
-    * both exceed 0.5, else 0.
+    * ztf/microlensing/processor.py:38-190. Gates reproduced exactly:
+    * ndethist < 100, >= 20 valid measurements overall, >= 10 valid per
+    * band, DC-magnitude conversion per point (dc_mag), both bands must
+    * classify ML; the score is the mean of the two band P(ML), else 0.
+    *
+    * Scoring runs the REAL bundled rf.sav forest (1000 trees over 47
+    * inputs — n_features_=47 shows the FINK-branch LIA feeds raw
+    * features, not the 44-dim pca.sav output) via
+    * [[graft.models.RefModels.mulensForest]], over the
+    * [[graft.kernels.LiaFeatures]] vector, whose LAYOUT is confirmed
+    * against the bundled artifacts but whose individual statistic
+    * definitions are a best-effort reconstruction of the external LIA
+    * package — surfaced by `mulens_features_approx`. Falls back to the
+    * documented stand-in when the bundle is absent.
     */
   def microlensing(spark: SparkSession, df: DataFrame,
-      scorer: Scorer = StubModels.forest("mulens", 26)): DataFrame = {
-    val s = udf((cjd: Seq[java.lang.Double], cm: Seq[java.lang.Double],
-        cs: Seq[java.lang.Double], cf: Seq[Int]) => {
-      val jd = arr(cjd); val m = arr(cm); val sg = arr(cs)
-      val scores = (1 to 2).map { band =>
-        val sel = cf.indices.filter(i => cf(i) == band && !m(i).isNaN && !sg(i).isNaN)
-        if (sel.length < 3) 0.0
-        else {
-          val f = LightCurveFeatures.extract(
-            sel.map(jd).toArray, sel.map(m).toArray, sel.map(sg).toArray)
-            .map(x => if (x.isNaN) 0.0 else x)
-          scorer.score(f)
+      forest: Option[graft.models.SklearnModels.ForestClassifier] =
+        graft.models.RefModels.mulensForest): DataFrame = {
+    val fallback: Scorer = StubModels.forest("mulens", graft.kernels.LiaFeatures.Count)
+    val s = udf((cm: Seq[java.lang.Double], cs: Seq[java.lang.Double],
+        cmagnr: Seq[java.lang.Double], csigmagnr: Seq[java.lang.Double],
+        cisdiffpos: Seq[String], cf: Seq[Int]) => {
+      val m = arr(cm); val sg = arr(cs)
+      val mnr = arr(cmagnr); val snr = arr(csigmagnr)
+      // valid = not an upper limit (magpsf == magpsf in the reference)
+      val valid = m.indices.filter(i => !m(i).isNaN)
+      if (valid.length < 20) 0.0
+      else {
+        val perBand = (1 to 2).map { band =>
+          val sel = valid.filter(i => cf(i) == band)
+          if (sel.length < 10) None // classes.append("") -> never ML
+          else {
+            val dc = sel.map(i => graft.kernels.Photometry.dcMag(
+              m(i), sg(i), mnr(i), snr(i),
+              if (cisdiffpos(i) == null) "" else cisdiffpos(i)))
+            val dmag = dc.map(_._1).toArray
+            val derr = dc.map(_._2).toArray
+            val feats = graft.kernels.LiaFeatures.extractAll(dmag, derr)
+            forest match {
+              case Some(rf) =>
+                val p = rf.proba(feats)
+                val cls = rf.classes(p.indices.maxBy(p))
+                Some((cls == "ML", p(rf.classes.indexOf("ML"))))
+              case None =>
+                val sc = fallback.score(feats.map(x => if (x.isNaN) 0.0 else x))
+                Some((sc > 0.5, sc))
+            }
+          }
         }
+        // np.all(classes == "ML"): both bands present AND both vote ML
+        if (perBand.forall(_.exists(_._1)))
+          perBand.flatMap(_.map(_._2)).sum / 2.0
+        else 0.0
       }
-      if (scores.forall(_ > 0.5)) scores.sum / 2.0 else 0.0
     })
     df.withColumn("mulens",
-        s(col("cjd").cast("array<double>"), col("cmagpsf").cast("array<double>"),
-          col("csigmapsf").cast("array<double>"), col("cfid").cast("array<int>")))
-      .withColumn("mulens_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
+        when(col("candidate.ndethist").cast("int") < 100,
+          s(col("cmagpsf").cast("array<double>"),
+            col("csigmapsf").cast("array<double>"),
+            col("cmagnr").cast("array<double>"),
+            col("csigmagnr").cast("array<double>"),
+            col("cisdiffpos").cast("array<string>"),
+            col("cfid").cast("array<int>")))
+          .otherwise(lit(0.0)))
+      .withColumn("mulens_is_stub", lit(forest.isEmpty))
+      .withColumn("mulens_features_approx", lit(true))
   }
 
   /** SNN score — reference: ztf/snn/processor.py:84-210: the selection

@@ -47,12 +47,15 @@ class ClassifiersSpec extends SparkSpec {
         col("pKNe") < 0 || col("pKNe") > 1 ||
         col("mulens") < 0 || col("mulens") > 1).count()
     assert(bad === 0)
-    // stand-in engagement is surfaced, never silent: mulens has no
-    // bundled model (always stub); snn/kilonova flags reflect bundles
+    // stand-in engagement is surfaced, never silent: mulens runs the
+    // real bundled rf.sav when present (its feature reconstruction is
+    // surfaced separately via mulens_features_approx)
     val flags = out.select("mulens_is_stub", "pKNe_is_stub",
       "snn_snia_vs_nonia_is_stub").distinct().collect()
     assert(flags.length === 1)
-    assert(flags(0).getBoolean(0) === true)
+    assert(flags(0).getBoolean(0) === graft.models.RefModels.mulensForest.isEmpty)
+    assert(out.select("mulens_features_approx").distinct().collect()(0)
+      .getBoolean(0) === true)
     assert(flags(0).getBoolean(1) === graft.models.RefModels.kilonova.isEmpty)
     assert(flags(0).getBoolean(2) === graft.models.RefModels.snnSniaVsNonia.isEmpty)
   }
