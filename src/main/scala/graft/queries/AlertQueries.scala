@@ -162,15 +162,29 @@ object AlertQueries extends QueryPack {
   // q17: CATS broad classification over the packet series — the REAL
   // bundled CNN+SE+BiLSTM runs natively (models.CatsModel) on the
   // 395x4 padded tensor; event types map to LSST band letters. The CNN
-  // is not SQL-expressible, so this is a rows-only driver entry (the
-  // model itself is pinned vs independent NumPy in CatsModelSpec).
+  // is not SQL-expressible, so this is a rows-only driver entry; the
+  // model is pinned vs independent NumPy in CatsModelSpec and the FULL
+  // query path (panel sort, band map, gate, forward, argmax) against a
+  // committed tools/cats_golden.py golden in Q17GoldenSpec.
   private def q17Cats(s: SparkSession, dir: String): DataFrame = {
+    val series = catsPanel(s, dir)
+    graft.operators.Rubin.catsBroadClass(s, series)
+      .select(col("user_id"), col("cats_broad_class").cast("long").as("broad_class"),
+        expr("array_max(cats_preds)").as("p_max"))
+      // cache so the orderBy's range-partition sampling pass does not
+      // re-run the model
+      .cache()
+      .orderBy("user_id")
+  }
+
+  /** The q17 panel (public so Q17GoldenSpec can pin cats_preds). */
+  def catsPanel(s: SparkSession, dir: String): DataFrame = {
     val band = when(col("event_type") === "click", "g")
       .when(col("event_type") === "purchase", "r")
       .when(col("event_type") === "signup", "i")
       .when(col("event_type") === "view", "z")
       .otherwise("u")
-    val series = t(s, dir, "events")
+    t(s, dir, "events")
       .filter(col("user_id") % 20 === 0) // sampled panel: ~123 ms/forward
       .withColumn("band", band)
       .groupBy(col("user_id"))
@@ -186,13 +200,6 @@ object AlertQueries extends QueryPack {
       // pool (AQE would otherwise coalesce this small frame to one
       // partition and serialize the forwards)
       .repartition(32, col("user_id"))
-    graft.operators.Rubin.catsBroadClass(s, series)
-      .select(col("user_id"), col("cats_broad_class").cast("long").as("broad_class"),
-        expr("array_max(cats_preds)").as("p_max"))
-      // cache so the orderBy's range-partition sampling pass does not
-      // re-run the model
-      .cache()
-      .orderBy("user_id")
   }
 
   // x2: map-payload crossmatch (crossmatch_mangrove shape,

