@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Spark side of the cross-engine fuzz harness (tools/fuzz.py): runs
+  * the document-only oracle queries over every generated corpus under
+  * the given root in one session, writing results + the oracle SQL for
+  * the python DuckDB comparator.
+  *
+  * Run: sbt "Test/runMain graft.tools.FuzzVerify /tmp/fuzz"
+  */
+object FuzzVerify {
+  private val queries = Seq("d1_dedup_exact", "d4_simhash",
+    "t2_quality_score", "t4_fingerprint", "t6_regex_tokens")
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/fuzz")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-fuzz")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    val corpora = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("c")).sortBy(_.getName)
+    for (corpus <- corpora; name <- queries) {
+      graft.SparkEntry.queries(name)(spark, corpus.getPath)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"${corpus.getPath}/$name")
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    queries.foreach(q => node.put(q, graft.SparkEntry.oracleSql(q)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "oracle_sql.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    println(s"fuzz: wrote ${corpora.length} corpora x ${queries.length} queries")
+    spark.stop()
+  }
+}
