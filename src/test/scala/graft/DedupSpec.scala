@@ -69,6 +69,28 @@ class DedupSpec extends SparkSpec {
     assert(expected.exists(_._3 == 4)) // the at-radius pair is exercised
   }
 
+  test("nearDupPairs: both operators off one shingle materialization") {
+    val docs = Tables.t(spark, sf, "documents")
+    val (d2Shared, d3Shared) = Dedup.nearDupPairs(docs, "doc_id", "text")
+    val d2Solo = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val d3Solo = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e12))).toSet
+    assert(set(d2Shared) === set(d2Solo))
+    assert(set(d3Shared) === set(d3Solo))
+    // both shared plans read the SAME InMemoryRelation (one cache id)
+    def cacheIds(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val plan = df.queryExecution.optimizedPlan
+      plan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.cacheBuilder.cachedPlan.id.toLong
+      }.toSet
+    }
+    val shared = cacheIds(d2Shared) intersect cacheIds(d3Shared)
+    assert(shared.nonEmpty, "d2 and d3 do not share a cached relation")
+  }
+
   test("embedding near-dup pairs are symmetric-free, thresholded, cell-routed") {
     val emb = Tables.t(spark, sf, "embeddings")
     val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.3).collect()
