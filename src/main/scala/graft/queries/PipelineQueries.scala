@@ -95,8 +95,10 @@ object PipelineQueries extends QueryPack {
       if (t == null) "" else t))
     docs(s, dir)
       .select(col("doc_id"), fp(col("text")).as("fps"))
+      // try_element_at: a doc shorter than the k-gram has no
+      // fingerprints -> NULL min_fp (ANSI element_at would throw)
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
-        element_at(col("fps"), 1).as("min_fp"))
+        try_element_at(col("fps"), lit(1)).as("min_fp"))
       .orderBy("doc_id")
   }
 
@@ -236,24 +238,33 @@ object PipelineQueries extends QueryPack {
         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
         |ORDER BY d1, d2""".stripMargin,
+    // Byte-based (hex over encode(text)) so the mirror matches the
+    // kernel's UTF-8 payload bytes on non-ASCII text; LEFT JOIN keeps
+    // empty payloads as (0, 0.0, 0.0, frames) rows like the kernel.
     "m2_media_features" ->
-      """WITH c AS (
-        |  SELECT doc_id, ord(substr(text, CAST(i.i AS INT), 1)) AS byte
-        |  FROM documents,
-        |       LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i),
-        |h AS (SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2),
-        |t AS (SELECT doc_id, sum(n) AS tot, list(n ORDER BY byte) AS ns FROM h GROUP BY 1),
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(h, CAST(2*i.i - 1 AS INT), 2)) AS INT) AS byte
+        |  FROM b,
+        |       LATERAL (SELECT unnest(range(1, nb + 1)) AS i) i),
+        |h2 AS (SELECT doc_id, byte, CAST(count(*) AS DOUBLE) AS n FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, sum(n) AS tot, list(n ORDER BY byte) AS ns FROM h2 GROUP BY 1),
         |e AS (
         |  SELECT doc_id, tot,
         |    -list_reduce(list_transform(ns, x -> ((x/tot) * ln(x/tot)) / ln(2)),
         |                 (a, b) -> a + b) AS ent
         |  FROM t),
-        |s AS (SELECT doc_id, CAST(sum(byte) AS DOUBLE) AS sb, count(*) AS nb FROM c GROUP BY 1)
-        |SELECT d.doc_id AS id, CAST(length(d.text) AS BIGINT) AS n_bytes,
-        |       s.sb / s.nb AS mean_byte, e.ent AS byte_entropy,
+        |s AS (SELECT doc_id, CAST(sum(byte) AS DOUBLE) AS sb, count(*) AS nb2 FROM c GROUP BY 1)
+        |SELECT d.doc_id AS id, CAST(b.nb AS BIGINT) AS n_bytes,
+        |       coalesce(s.sb / s.nb2, 0.0) AS mean_byte,
+        |       coalesce(e.ent, 0.0) AS byte_entropy,
         |       CAST(1 + d.doc_id % 3 AS INT) AS frames
-        |FROM documents d
-        |JOIN s ON s.doc_id = d.doc_id JOIN e ON e.doc_id = d.doc_id
+        |FROM documents d JOIN b ON b.doc_id = d.doc_id
+        |LEFT JOIN s ON s.doc_id = d.doc_id LEFT JOIN e ON e.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
     // Byte-based framing (hex over encode(text)) so the mirror agrees
     // with the Spark kernel's UTF-8 payload bytes on non-ASCII text,
@@ -360,10 +371,13 @@ object PipelineQueries extends QueryPack {
         |  SELECT g.doc_id, min(hash) AS min_fp, CAST(1 AS BIGINT) AS n_fp
         |  FROM g JOIN n ON n.doc_id = g.doc_id WHERE n.ng BETWEEN 1 AND 3 GROUP BY 1),
         |sel AS (SELECT doc_id, count(DISTINCT hash) AS n_fp, min(hash) AS min_fp
-        |        FROM p GROUP BY 1)
-        |SELECT doc_id, n_fp AS n_fingerprints, min_fp FROM sel
-        |UNION ALL SELECT doc_id, n_fp, min_fp FROM small
-        |ORDER BY doc_id""".stripMargin,
+        |        FROM p GROUP BY 1),
+        |x AS (SELECT doc_id, n_fp, min_fp FROM sel
+        |      UNION ALL SELECT doc_id, n_fp, min_fp FROM small)
+        |SELECT d.doc_id, CAST(coalesce(x.n_fp, 0) AS BIGINT) AS n_fingerprints,
+        |       x.min_fp
+        |FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t6_regex_tokens" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,

@@ -12,16 +12,21 @@ object Winnow {
   private val Base = 257L
   private val Mod = (1L << 61) - 1 // Mersenne prime
 
-  /** Rolling polynomial hashes of every k-gram of s. */
+  /** Rolling polynomial hashes of every k-gram of s. "Characters" are
+    * Unicode CODEPOINTS (matching the oracle's ord/substr semantics and
+    * DuckDB's length()), not UTF-16 units — charAt would split non-BMP
+    * characters (emoji) into surrogate halves and diverge cross-engine.
+    */
   def kgramHashes(s: String, k: Int): Array[Long] = {
-    if (s.length < k) return Array.empty
-    val n = s.length - k + 1
+    val cp = s.codePoints().toArray
+    if (cp.length < k) return Array.empty
+    val n = cp.length - k + 1
     val out = new Array[Long](n)
     var h = 0L
     var pow = 1L
     var i = 0
     while (i < k) {
-      h = mulmod(h, Base) + s.charAt(i)
+      h = mulmod(h, Base) + cp(i)
       if (h >= Mod) h -= Mod
       if (i < k - 1) pow = mulmod(pow, Base)
       i += 1
@@ -29,9 +34,9 @@ object Winnow {
     out(0) = h
     i = 1
     while (i < n) {
-      h = h - mulmod(s.charAt(i - 1).toLong, pow)
+      h = h - mulmod(cp(i - 1).toLong, pow)
       if (h < 0) h += Mod
-      h = mulmod(h, Base) + s.charAt(i + k - 1)
+      h = mulmod(h, Base) + cp(i + k - 1)
       if (h >= Mod) h -= Mod
       out(i) = h
       i += 1

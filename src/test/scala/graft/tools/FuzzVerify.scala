@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * Run: sbt "Test/runMain graft.tools.FuzzVerify /tmp/fuzz"
   */
 object FuzzVerify {
-  private val queries = Seq("d1_dedup_exact", "d4_simhash",
-    "t2_quality_score", "t4_fingerprint", "t6_regex_tokens")
+  private val queries = Seq("d1_dedup_exact", "d2_dedup_ngram_jaccard",
+    "d3_dedup_minhash_lsh", "d4_simhash", "d5_simhash_pairs", "t1_lang_id",
+    "t2_quality_score", "t3_token_stats", "t4_fingerprint",
+    "t5_winnow_fingerprint", "t6_regex_tokens", "m1_media_meta",
+    "m2_media_features", "m3_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")

@@ -19,8 +19,12 @@ import numpy as np
 import pandas as pd
 import duckdb
 
-QUERIES = ["d1_dedup_exact", "d4_simhash", "t2_quality_score",
-           "t4_fingerprint", "t6_regex_tokens"]
+# every documents-only oracle query (embeddings-family excluded)
+QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
+           "d4_simhash", "d5_simhash_pairs", "t1_lang_id", "t2_quality_score",
+           "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
+           "t6_regex_tokens", "m1_media_meta", "m2_media_features",
+           "m3_frame_sample"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
