@@ -19,12 +19,13 @@ import numpy as np
 import pandas as pd
 import duckdb
 
-# every documents-only oracle query (embeddings-family excluded)
+# every documents-only oracle query plus the embeddings family
 QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d4_simhash", "d5_simhash_pairs", "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
            "t6_regex_tokens", "m1_media_meta", "m2_media_features",
-           "m3_frame_sample"]
+           "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
+           "s2_knn_ivf"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
@@ -68,6 +69,28 @@ def gen(root, n):
         d = f"{root}/c{c:03d}"
         os.makedirs(d, exist_ok=True)
         df.to_parquet(f"{d}/documents.parquet", index=False)
+
+        # embeddings: clustered unit-ish float32 vectors with exact
+        # duplicates and near-duplicates; vec_id 0 (the s1/s2 query
+        # vector) and 0-7 (IVF seed centroids) always present
+        nrng = np.random.RandomState(7000 + c)
+        nvec = nrng.randint(20, 60)
+        dim = int(nrng.choice([8, 16, 64]))
+        ncl = nrng.randint(2, 6)
+        centers = nrng.normal(0, 1, (ncl, dim))
+        vecs = []
+        for v in range(nvec):
+            if v > 8 and nrng.rand() < 0.15:
+                base = vecs[nrng.randint(1, v)]  # duplicate family
+                vec = base + nrng.normal(0, 1e-3, dim)
+            else:
+                vec = centers[v % ncl] + nrng.normal(0, 0.3, dim)
+            vecs.append(vec)
+        edf = pd.DataFrame({
+            "vec_id": np.arange(nvec, dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+            "label": np.arange(nvec, dtype=np.int32) % ncl})
+        edf.to_parquet(f"{d}/embeddings.parquet", index=False)
     print(f"generated {n} corpora under {root}")
 
 
@@ -105,6 +128,9 @@ def check(root):
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{root}/{corpus}/documents.parquet')")
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{root}/{corpus}/embeddings.parquet')")
         for name in QUERIES:
             files = sorted(glob.glob(f"{root}/{corpus}/{name}/*.parquet"))
             if not files:
