@@ -22,6 +22,13 @@ object Hashing {
     conv(substring(md5(concat(lit(seed.toString), lit(":"), c)), 1, 15), 16, 10)
       .cast("long")
 
+  /** Column-seeded variant (seed computed in-plan, e.g. a plane index):
+    * same `md5(seed || ':' || payload)` family as the Int overload.
+    */
+  def hash60(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Fast path (no cross-engine parity): Spark's codegen'd xxhash64. */
   def fast64(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 }

@@ -7,7 +7,7 @@ import graft.Tables.t
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.TextOps
+import graft.text.{Decontaminate, Repetition, TextOps}
 
 /** LLM-training-data pipeline operators (beyond the reference's own
   * surface, per the project north star): deduplication, similarity
@@ -55,6 +55,10 @@ object PipelineQueries extends QueryPack {
   private def s2Ivf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
       .select(col("id").as("vec_id"), col("cell"), col("cos"))
+
+  private def s3Srp(s: SparkSession, dir: String): DataFrame =
+    Similarity.srpTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
+      .select(col("id").as("vec_id"), col("bucket"), col("cos"))
 
   // ---- text analysis ----
 
@@ -112,6 +116,19 @@ object PipelineQueries extends QueryPack {
         length(regexp_replace(col("text"), "[^ ]", "")).cast("long").as("n_spaces"))
       .orderBy("doc_id")
 
+  // t7: Gopher-style repetition quality signals; fractions are single
+  // IEEE divisions of exact integer counts, so both engines agree
+  // bit-for-bit with no rounding step.
+  private def t7Repetition(s: SparkSession, dir: String): DataFrame =
+    Repetition.signals(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // d7: benchmark decontamination — doc_id % 97 == 0 plays the held-out
+  // benchmark set; 4-grams (not the production 8-13) so the synthetic
+  // corpus's short docs produce non-trivial overlap.
+  private def d7Decontaminate(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.flags(docs(s, dir), "doc_id", "text",
+      col("doc_id") % 97 === 0, 4).orderBy("doc_id")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -156,14 +173,17 @@ object PipelineQueries extends QueryPack {
     "d4_simhash" -> (d4Simhash _),
     "d5_simhash_pairs" -> (d5SimhashPairs _),
     "d6_dedup_embedding" -> (d6EmbeddingDup _),
+    "d7_decontaminate" -> (d7Decontaminate _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
+    "s3_knn_srp" -> (s3Srp _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_winnow_fingerprint" -> (t5Winnow _),
     "t6_regex_tokens" -> (t6RegexTokens _),
+    "t7_repetition" -> (t7Repetition _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -378,6 +398,73 @@ object PipelineQueries extends QueryPack {
         |       x.min_fp
         |FROM documents d LEFT JOIN x ON x.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // t7: the lateral unnest(range(1, len)) enumerates gram start
+    // positions (1-based); QUALIFY row_number mirrors the Spark side's
+    // min_by tie-break (max count, then lexicographically smallest gram).
+    "t7_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, length(text) AS nch, string_split(lower(text),' ') AS ts
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, ts[i]||' '||ts[i+1] AS g, count(*) AS cnt
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+        |       WHERE len(ts) >= 2 GROUP BY 1,2),
+        |top2 AS (SELECT doc_id, g AS top2_gram, cnt*length(g) AS top2_chars
+        |         FROM g2 QUALIFY row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY cnt DESC, g ASC) = 1),
+        |g3 AS (SELECT doc_id, ts[i]||' '||ts[i+1]||' '||ts[i+2] AS g, count(*) AS cnt
+        |       FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
+        |       WHERE len(ts) >= 3 GROUP BY 1,2),
+        |dup3 AS (SELECT doc_id, sum(cnt*length(g)) AS dup3_chars
+        |         FROM g3 WHERE cnt > 1 GROUP BY 1)
+        |SELECT t.doc_id, top2.top2_gram,
+        |  CASE WHEN t.nch > 0 THEN CAST(coalesce(top2.top2_chars,0) AS DOUBLE)/t.nch ELSE 0.0 END AS top2_frac,
+        |  CASE WHEN t.nch > 0 THEN CAST(coalesce(dup3.dup3_chars,0) AS DOUBLE)/t.nch ELSE 0.0 END AS dup3_frac
+        |FROM toks t LEFT JOIN top2 ON top2.doc_id = t.doc_id
+        |LEFT JOIN dup3 ON dup3.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "d7_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+        |         string_split(lower(text),' ') AS ts
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, is_bench,
+        |        ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+        |      FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-2)) AS i)
+        |      WHERE len(ts) >= 4),
+        |bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE is_bench),
+        |m AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
+        |             count(DISTINCT b.bench_id) AS n_bench_docs
+        |      FROM g c JOIN bench b ON c.g = b.g
+        |      WHERE NOT c.is_bench GROUP BY 1)
+        |SELECT t.doc_id,
+        |       CAST(coalesce(m.n_matched_grams,0) AS BIGINT) AS n_matched_grams,
+        |       CAST(coalesce(m.n_bench_docs,0) AS BIGINT) AS n_bench_docs,
+        |       coalesce(m.n_matched_grams,0) > 0 AS contaminated
+        |FROM toks t LEFT JOIN m ON m.doc_id = t.doc_id
+        |WHERE NOT t.is_bench ORDER BY t.doc_id""".stripMargin,
+    // s3: the +/-1 hyperplane signs come from the same md5-substr 60-bit
+    // hash family as d3's minhash (bit 0 of md5(plane||':'||dim)), and
+    // the per-plane weight list is assembled ORDER BY i so
+    // list_dot_product walks dimensions in index order — the identical
+    // IEEE operation sequence to the Spark side's DotProduct.
+    "s3_knn_srp" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT max(len(v)) AS dim FROM e),
+        |pw AS (SELECT p.p,
+        |         list(CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || i.i),1,15)) AS BIGINT) & 1 = 1
+        |              THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS w
+        |       FROM (SELECT unnest(range(8)) AS p) p, d,
+        |            LATERAL (SELECT unnest(range(d.dim)) AS i) i
+        |       GROUP BY 1),
+        |b AS (SELECT e.vec_id, e.v,
+        |        CAST(sum(CASE WHEN list_dot_product(e.v, pw.w) > 0
+        |             THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM e CROSS JOIN pw GROUP BY 1, 2),
+        |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+        |SELECT vec_id, bucket,
+        |  list_dot_product(v, qv)/(sqrt(list_dot_product(v,v))*sqrt(list_dot_product(qv,qv))) AS cos
+        |FROM b, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "t6_regex_tokens" ->
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,

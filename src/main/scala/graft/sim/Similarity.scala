@@ -59,6 +59,53 @@ object Similarity {
       .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
   }
 
+  /** Signed-random-projection LSH search (Charikar STOC'02 cosine
+    * sketch): each vector is bucketed by the sign pattern of `nPlanes`
+    * +/-1 hyperplane projections; a query probes every bucket within
+    * `maxHamming` bit flips of its own and ranks the candidates by
+    * exact cosine. Complements `ivfTopK` — SRP needs no centroid table
+    * and its collision probability is 1 - theta/pi per plane, so bucket
+    * balance is data-independent.
+    *
+    * The hyperplanes are +/-1-valued with signs drawn from the shared
+    * 60-bit md5 hash family keyed by (plane, dimension), derived
+    * in-plan from the corpus dimensionality (a 1-row broadcast agg) —
+    * deterministic, cross-engine reproducible, and dimension-agnostic.
+    * Scale shape: the plane table (nPlanes rows) and the single query
+    * row are broadcast; bucketing is one map-side expansion (x nPlanes)
+    * into a partial-aggregatable integer sum keyed on the vector id; at
+    * 100 TB the bucket column is materialized once and the probe is a
+    * bucket-pruned scan, exactly like the IVF cell table.
+    */
+  def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
+    import graft.functions.Hashing
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = e.agg(max(size(col("v"))).as("dim"))
+    val planes = dim
+      .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
+      .select(col("p"),
+        transform(sequence(lit(0), col("dim") - 1),
+          i => when(Hashing.hash60(i.cast("string"), col("p"))
+            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
+    val bucketed = e.join(broadcast(planes))
+      .select(col("id"), col("v"),
+        when(Vec.dot(col("v"), col("w")) > lit(0.0),
+          expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
+      .groupBy(col("id"))
+      .agg(sum(col("bit")).as("bucket"), first(col("v")).as("v"))
+    val q = bucketed.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("bucket").as("qb"))
+    bucketed
+      .join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qb"))) <= maxHamming)
+      .filter(col("id") =!= queryId)
+      .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+      .select(col("id"), col("bucket"), col("cos"))
+      .orderBy(col("cos").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** IVF search: probe the `nprobe` cells closest to the query vector,
     * exact cosine top-k within them.
     */

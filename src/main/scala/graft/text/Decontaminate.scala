@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share word
+  * n-grams with a held-out benchmark set, so evaluation data can be
+  * scrubbed from training corpora (the GPT-3/PaLM-style 8-13-gram
+  * overlap check).
+  *
+  * Scale shape: the benchmark side is tiny relative to a 100 TB corpus
+  * (a few thousand eval documents), so its distinct gram set is
+  * broadcast and the overlap is a broadcast hash join keyed on the
+  * gram — the corpus is scanned once, never shuffled on the gram; the
+  * per-doc rollup is a partial-aggregatable hash aggregate on the doc
+  * id. The final left join restores zero-match docs so the output is a
+  * total contamination report, 1:1 with the corpus.
+  */
+object Decontaminate {
+
+  /** Per-corpus-document contamination report against the benchmark
+    * subset selected by `isBench` (a predicate over `docs` columns):
+    * distinct matched n-grams, distinct benchmark docs hit, and the
+    * contaminated flag. Benchmark rows are excluded from the output.
+    *
+    * Real decontamination uses n of 8-13; callers pick n relative to
+    * their documents' length distribution.
+    */
+  def flags(docs: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val grams = base.select(col("doc_id"), col("is_bench"),
+      explode(array_distinct(Repetition.grams(col("toks"), n))).as("g"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val matched = grams.filter(!col("is_bench"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_matched_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    base.filter(!col("is_bench")).select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_matched_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+}

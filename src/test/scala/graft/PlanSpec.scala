@@ -89,4 +89,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin")
       || p.contains("BroadcastExchange"))
   }
+
+  test("t7 repetition: partial-aggregatable hash aggregates, no window sort, no cartesian") {
+    val p = plan("t7_repetition")
+    assert(p.contains("partial"), "gram counting must partial-aggregate map-side")
+    assert(!p.contains("Window "), "per-doc argmax must be min_by, not a window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d7 decontamination: benchmark side broadcasts, corpus never shuffles on the gram") {
+    val p = plan("d7_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "gram overlap must broadcast the benchmark")
+    // the only sort-merge join allowed is the 1:1 doc_id restore (linear,
+    // output-keyed); a gram-keyed SMJ would shuffle the whole corpus on
+    // the gram and defeat the broadcast design
+    p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+      assert(l.contains("doc_id"), s"gram-keyed sort-merge join crept in: $l")
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s3 srp: plane table and query row broadcast, top-k without full sort") {
+    val p = plan("s3_knn_srp")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
+    assert(p.contains("BroadcastExchange"), "planes/query must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Decontaminate, Repetition}
+
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals on hand-computed documents") {
+    val docs = Seq(
+      (0L, "a b a b c"), // top 2-gram "a b" x2, no duplicated 3-gram
+      (1L, "x x x x"),   // "x x" x3; "x x x" duplicated (x2, len 5)
+      (2L, "solo"),      // < 2 tokens: null gram, zero fractions
+      (3L, "")           // empty text: zero chars, zero fractions
+    ).toDF("doc_id", "text")
+    val r = Repetition.signals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    assert(r(0).getString(1) === "a b")
+    assert(r(0).getDouble(2) === 2 * 3 / 9.0)
+    assert(r(0).getDouble(3) === 0.0)
+
+    assert(r(1).getString(1) === "x x")
+    assert(r(1).getDouble(2) === 3 * 3 / 7.0)
+    assert(r(1).getDouble(3) === 2 * 5 / 7.0)
+
+    assert(r(2).isNullAt(1) && r(2).getDouble(2) === 0.0)
+    assert(r(3).isNullAt(1) && r(3).getDouble(2) === 0.0 && r(3).getDouble(3) === 0.0)
+  }
+
+  test("top2 tie breaks to the lexicographically smallest gram") {
+    val docs = Seq((0L, "b a b a")).toDF("doc_id", "text")
+    // grams: "b a" x2, "a b" x1 -> "b a" wins on count;
+    // "c d c d e" -> "c d" x2 beats "d c" x1; but "a b a b" has
+    // "a b" x2 and "b a" x1. Equal-count tie: "a b a" has "a b" and
+    // "b a" both x1 -> smallest is "a b".
+    val tie = Seq((1L, "a b a")).toDF("doc_id", "text")
+    assert(Repetition.signals(docs, "doc_id", "text")
+      .select("top2_gram").as[String].head() === "b a")
+    assert(Repetition.signals(tie, "doc_id", "text")
+      .select("top2_gram").as[String].head() === "a b")
+  }
+
+  test("decontamination flags docs sharing 4-grams with the benchmark") {
+    val docs = Seq(
+      (0L, "a b c d e"),       // benchmark (id % 97 == 0)
+      (1L, "z a b c d q"),     // shares "a b c d"
+      (2L, "p q r s t u"),     // clean
+      (3L, "a b c")            // too short for any 4-gram
+    ).toDF("doc_id", "text")
+    val r = Decontaminate.flags(docs, "doc_id", "text",
+      col("doc_id") % 97 === 0, 4).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(r(0).getLong(1) === 1L && r(0).getLong(2) === 1L && r(0).getBoolean(3))
+    assert(r(1).getLong(1) === 0L && !r(1).getBoolean(3))
+    assert(r(2).getLong(1) === 0L && !r(2).getBoolean(3))
+  }
+
+  test("duplicated docs are fully contaminated against a duplicate benchmark") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.flags(docs, "doc_id", "text",
+      col("doc_id") === 0, 4).collect()
+    assert(r.length === 1)
+    // 9 tokens -> 6 distinct 4-grams, all matched against doc 0
+    assert(r(0).getLong(1) === 6L && r(0).getBoolean(3))
+  }
+}

@@ -23,9 +23,10 @@ import duckdb
 QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d4_simhash", "d5_simhash_pairs", "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
-           "t6_regex_tokens", "m1_media_meta", "m2_media_features",
+           "t6_regex_tokens", "t7_repetition", "d7_decontaminate",
+           "m1_media_meta", "m2_media_features",
            "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
-           "s2_knn_ivf"]
+           "s2_knn_ivf", "s3_knn_srp"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
