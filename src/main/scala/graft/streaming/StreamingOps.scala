@@ -36,6 +36,55 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  final case class Doc(doc_id: Long, fp: String)
+  final case class SeenState(firstId: Long, nCopies: Long)
+
+  /** Streaming ingest dedup: emit each document the FIRST time its
+    * content fingerprint is seen across the whole stream, suppress every
+    * later copy — the streaming twin of the batch exact-dedup (d1), and
+    * the shape an ingestion pipeline needs when the corpus arrives as a
+    * feed rather than a snapshot. flatMapGroupsWithState in Append mode:
+    * per-fingerprint state is one (firstId, count) pair, partition-local
+    * after the groupBy shuffle, so state scales with DISTINCT content,
+    * not stream length; a production deployment would add a state TTL
+    * (GroupStateTimeout) once upstream guarantees a dup-arrival horizon.
+    *
+    * Input must carry (doc_id, fp) — fingerprint upstream via
+    * [[graft.text.TextOps.fingerprint]] so the hash is computed map-side
+    * before the shuffle.
+    */
+  def streamingDedup(spark: SparkSession, docs: DataFrame): Dataset[Doc] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("fp")).as[Doc]
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[Doc], state: GroupState[SeenState]) =>
+          // within a micro-batch the iterator preserves no global order;
+          // keep the smallest doc_id as the canonical first sighting so
+          // the operator is deterministic under shuffle
+          var firstNew = Long.MaxValue
+          var n = 0L
+          rows.foreach { d => n += 1; if (d.doc_id < firstNew) firstNew = d.doc_id }
+          state.getOption match {
+            case Some(s) =>
+              state.update(SeenState(s.firstId, s.nCopies + n))
+              Iterator.empty
+            case None =>
+              state.update(SeenState(firstNew, n))
+              Iterator.single(Doc(firstNew, fp))
+          }
+      }
+  }
+
+  /** Batch twin of [[streamingDedup]]: first (smallest doc_id) row per
+    * fingerprint. Equal to the stream's union of per-batch emissions
+    * when batches arrive in doc_id order.
+    */
+  def streamingDedupBatch(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

@@ -54,6 +54,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.size >= batch.size / 2, s"only ${got.size} of ${batch.size} windows emitted")
   }
 
+  test("streaming ingest dedup: first sighting emitted, later copies suppressed across batches") {
+    import graft.text.TextOps
+    // corpus + an exact copy of every document under higher ids, staged
+    // as four stream files with ascending modification times (the file
+    // source replays oldest-first) so every copy arrives in a LATER
+    // micro-batch than its original and suppression must cross batch
+    // boundaries
+    val original = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val copies = original.select((col("doc_id") + 100000L).as("doc_id"), col("fp"))
+    val slices = Seq(
+      original.filter(col("doc_id") % 2 === 0),
+      original.filter(col("doc_id") % 2 === 1),
+      copies.filter(col("doc_id") % 2 === 0),
+      copies.filter(col("doc_id") % 2 === 1))
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream").toString
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"docs-slice$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, f"$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.streamingDedup(spark, stream.toDF())
+      .writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val got = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = StreamingOps.streamingDedupBatch(spark, spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val nOriginal = original.count()
+    assert(got.size.toLong === nOriginal, "one emission per distinct fingerprint")
+    assert(got === batch, "stream emissions must equal the batch twin")
+    assert(!got.exists(_._1 >= 100000L),
+      "a later copy leaked through — state did not survive the batch boundary")
+  }
+
   test("mapGroupsWithState running stats: final state equals batch aggregate") {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
