@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.GraftFunctions
+
+/** Session-extension entry point: configure
+  * `spark.sql.extensions=graft.GraftExtensions` (cluster-wide or per
+  * session) and every new SparkSession exposes graft's native codegen'd
+  * expressions (`dot_product`, `sorted_intersect_count`) as SQL
+  * functions — the SparkSessionExtensions registration path for
+  * deployments where queries arrive as SQL text rather than through the
+  * Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}

@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's native Catalyst expressions, so
+  * `SELECT dot_product(a, b)` works from pure SQL (spark.sql, views,
+  * thrift clients) exactly like the Column API. Lives in this package
+  * to reach the private[sql] FunctionRegistry plumbing; the user entry
+  * points are [[graft.GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions` at session build) and
+  * [[register]] for an already-running session.
+  */
+object GraftFunctions {
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression): Description =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"$name takes exactly 2 arguments")
+        build(args(0), args(1))
+      })
+
+  val descriptions: Seq[Description] = Seq(
+    binary("dot_product", classOf[DotProduct], DotProduct.apply),
+    binary("sorted_intersect_count", classOf[SortedIntersectCount],
+      SortedIntersectCount.apply))
+
+  /** Register into a live session (no extensions config needed). */
+  def register(spark: SparkSession): Unit = descriptions.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+
+  /** Apply an extensions object's injected functions to a registry —
+    * the hook the session builder runs at startup, exposed so tests can
+    * prove the injectFunction path registers this exact set.
+    */
+  def applyTo(ext: SparkSessionExtensions, reg: FunctionRegistry): FunctionRegistry =
+    ext.registerFunctions(reg)
+
+  /** A builtin-equivalent registry without graft's functions. */
+  def freshRegistry: FunctionRegistry = FunctionRegistry.builtin.clone()
+}
