@@ -7,7 +7,7 @@ import graft.Tables.t
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{Decontaminate, Repetition, TextOps}
+import graft.text.{Decontaminate, Repetition, TextOps, TfIdf}
 
 /** LLM-training-data pipeline operators (beyond the reference's own
   * surface, per the project north star): deduplication, similarity
@@ -122,6 +122,13 @@ object PipelineQueries extends QueryPack {
   private def t7Repetition(s: SparkSession, dir: String): DataFrame =
     Repetition.signals(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  // t8: per-doc top TF-IDF term — the global-dictionary pattern (a
+  // corpus-wide df aggregate joined back per document). tf and idf are
+  // IEEE divisions of exact integers plus one ln(); the m2 entropy
+  // oracle already established ln() parity between the JDK and DuckDB.
+  private def t8Tfidf(s: SparkSession, dir: String): DataFrame =
+    TfIdf.topTerm(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
   // d7: benchmark decontamination — doc_id % 97 == 0 plays the held-out
   // benchmark set; 4-grams (not the production 8-13) so the synthetic
   // corpus's short docs produce non-trivial overlap.
@@ -184,6 +191,7 @@ object PipelineQueries extends QueryPack {
     "t5_winnow_fingerprint" -> (t5Winnow _),
     "t6_regex_tokens" -> (t6RegexTokens _),
     "t7_repetition" -> (t7Repetition _),
+    "t8_tfidf" -> (t8Tfidf _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -422,6 +430,25 @@ object PipelineQueries extends QueryPack {
         |FROM toks t LEFT JOIN top2 ON top2.doc_id = t.doc_id
         |LEFT JOIN dup3 ON dup3.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // t8: multiplication order mirrors the Spark side exactly —
+    // (cnt/nt) * ln(nd/df); QUALIFY row_number mirrors min_by's
+    // (max tfidf, then smallest term) tie-break.
+    "t8_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |terms AS (SELECT doc_id, tok, count(*) AS cnt
+        |          FROM (SELECT doc_id, unnest(ts) AS tok FROM toks) GROUP BY 1,2),
+        |lens AS (SELECT doc_id, len(ts) AS nt FROM toks),
+        |df AS (SELECT tok, count(*) AS df FROM terms GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.tok,
+        |         (CAST(t.cnt AS DOUBLE)/l.nt) * ln(CAST(n.nd AS DOUBLE)/d.df) AS tfidf
+        |       FROM terms t JOIN lens l USING (doc_id) JOIN df d USING (tok), n)
+        |SELECT doc_id, tok AS top_term, tfidf AS top_tfidf
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY tfidf DESC, tok ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
     "d7_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,

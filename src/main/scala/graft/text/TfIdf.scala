@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction: the highest-scoring term per document,
+  * with tf = term count / document tokens and idf = ln(N / df). The
+  * interesting part at scale is the GLOBAL document-frequency
+  * dictionary: a corpus-wide aggregate joined back into a per-document
+  * computation — the pattern behind vocabulary building, stopword
+  * induction, and rare-token filtering in corpus pipelines.
+  *
+  * Scale shape: term counts and document frequencies are both
+  * partial-aggregatable hash aggregates (keyed (doc, term) then term);
+  * the df dictionary joins back on the term key — Zipf-distributed, so
+  * at corpus scale AQE either broadcasts the (small) dictionary or
+  * hash-joins with the skew handled by the heavy hitters having
+  * idf ~ 0 (droppable upstream); the corpus row count N is a 1-row
+  * broadcast agg. The per-doc winner is a min_by aggregate, not a
+  * window sort.
+  */
+object TfIdf {
+
+  /** (doc_id, top_term, top_tfidf): the max-tf-idf term per document,
+    * ties to the lexicographically smallest term.
+    */
+  def topTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(lower(col(textCol)), " ").as("toks"))
+    val lens = base.select(col("doc_id"), size(col("toks")).as("nt"))
+    val terms = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val df = terms.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = base.agg(count(lit(1)).as("nd"))
+    terms
+      .join(lens, "doc_id")
+      .join(df, "tok")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("nt")) *
+          // NativeLn, not functions.log: Catalyst log is StrictMath
+          // (FDLIBM) and differs from the oracle's libm by 1 ulp
+          org.apache.spark.sql.graft.NativeLn(
+            col("nd").cast("double") / col("df")))
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("tok"), col("tfidf")),
+        struct((-col("tfidf")).as("neg"), col("tok"))).as("m"))
+      .select(col("doc_id"), col("m.tok").as("top_term"),
+        col("m.tfidf").as("top_tfidf"))
+  }
+}

@@ -30,7 +30,13 @@ object GraftFunctions {
   val descriptions: Seq[Description] = Seq(
     binary("dot_product", classOf[DotProduct], DotProduct.apply),
     binary("sorted_intersect_count", classOf[SortedIntersectCount],
-      SortedIntersectCount.apply))
+      SortedIntersectCount.apply),
+    (FunctionIdentifier("native_ln"),
+      new ExpressionInfo(classOf[NativeLn].getName, "native_ln"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "native_ln takes exactly 1 argument")
+        NativeLn(args.head)
+      }))
 
   /** Register into a live session (no extensions config needed). */
   def register(spark: SparkSession): Unit = descriptions.foreach {

@@ -14,6 +14,8 @@ class GraftExtensionsSpec extends SparkSpec {
         |""".stripMargin).head()
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
+    assert(spark.sql("SELECT native_ln(3.0d)").head().getDouble(0)
+      === math.log(3.0))
   }
 
   test("SQL dot_product equals the Column-API DotProduct on real embeddings") {

@@ -97,6 +97,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("t8 tfidf: partial-aggregatable dictionary build, min_by winner, no cartesian") {
+    val p = plan("t8_tfidf")
+    assert(p.contains("partial"), "term/df counting must partial-aggregate map-side")
+    assert(!p.contains("Window "), "per-doc winner must be min_by, not a window sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d7 decontamination: benchmark side broadcasts, corpus never shuffles on the gram") {
     val p = plan("d7_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "gram overlap must broadcast the benchmark")

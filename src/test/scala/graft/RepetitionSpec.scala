@@ -56,6 +56,22 @@ class RepetitionSpec extends SparkSpec {
     assert(r(2).getLong(1) === 0L && !r(2).getBoolean(3))
   }
 
+  test("tf-idf top term on hand-computed documents, tie to smallest term") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"), // tf and df equal for both -> tie on term
+      (2L, "cherry date date date")
+    ).toDF("doc_id", "text")
+    val r = graft.text.TfIdf.topTerm(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) === "apple")
+    assert(r(0).getDouble(2) === (2.0 / 3.0) * math.log(3.0 / 1.0))
+    assert(r(1).getString(1) === "banana")
+    assert(r(1).getDouble(2) === (1.0 / 2.0) * math.log(3.0 / 2.0))
+    assert(r(2).getString(1) === "date")
+    assert(r(2).getDouble(2) === (3.0 / 4.0) * math.log(3.0 / 1.0))
+  }
+
   test("duplicated docs are fully contaminated against a duplicate benchmark") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
