@@ -192,17 +192,31 @@ object Classifiers {
             val dc = sel.map(i => graft.kernels.Photometry.dcMag(
               m(i), sg(i), mnr(i), snr(i),
               if (cisdiffpos(i) == null) "" else cisdiffpos(i)))
-            val dmag = dc.map(_._1).toArray
-            val derr = dc.map(_._2).toArray
-            val feats = graft.kernels.LiaFeatures.extractAll(dmag, derr)
-            forest match {
-              case Some(rf) =>
-                val p = rf.proba(feats)
-                val cls = rf.classes(p.indices.maxBy(p))
-                Some((cls == "ML", p(rf.classes.indexOf("ML"))))
-              case None =>
-                val sc = fallback.score(feats.map(x => if (x.isNaN) 0.0 else x))
-                Some((sc > 0.5, sc))
+            // Guard (deviation from the reference, which feeds NaN
+            // dc_mag into the external classifier with warnings
+            // suppressed): a negative DC flux (isdiffpos='f' with
+            // |diff| >= reference flux) or NaN magnr/sigmapsf makes
+            // dcMag NaN, and ONE such point would poison every
+            // normalized LIA statistic — the forest then traverses
+            // NaN <= thr == false on every split and emits an
+            // arbitrary in-range score. Drop non-finite pairs instead;
+            // an emptied band cannot classify (like the < 10 gate).
+            val finite = dc.filter(p =>
+              java.lang.Double.isFinite(p._1) && java.lang.Double.isFinite(p._2))
+            if (finite.isEmpty) None
+            else {
+              val dmag = finite.map(_._1).toArray
+              val derr = finite.map(_._2).toArray
+              val feats = graft.kernels.LiaFeatures.extractAll(dmag, derr)
+              forest match {
+                case Some(rf) =>
+                  val p = rf.proba(feats)
+                  val cls = rf.classes(p.indices.maxBy(p))
+                  Some((cls == "ML", p(rf.classes.indexOf("ML"))))
+                case None =>
+                  val sc = fallback.score(feats.map(x => if (x.isNaN) 0.0 else x))
+                  Some((sc > 0.5, sc))
+              }
             }
           }
         }

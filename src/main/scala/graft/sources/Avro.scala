@@ -414,10 +414,19 @@ object AvroReader {
       c: Container, sp: Split): Iterator[Row] = {
     // first block at/after start: the header's blocksStart for the
     // leading split, else just past the next sync marker
+    // Ownership rule (the one Avro's own DataFileReader uses): a split
+    // owns exactly the blocks whose PRECEDING sync marker starts inside
+    // [start, end). With p = block start = sync start + 16, that is
+    // p in [start+16, end+16) — so the decode loop runs to end+16, not
+    // end, and a block whose sync straddles the boundary belongs to the
+    // left split (which reads past its range end to finish the block,
+    // like any record-aligned split format). Without the +16, a block
+    // starting within 16 bytes at/after a boundary is read by NEITHER
+    // side and silently vanishes.
     val begin =
       if (sp.start <= c.blocksStart) c.blocksStart.toLong
       else syncScan(in, c.sync, sp.start, sp.fileLen)
-    if (begin < 0 || begin >= sp.end || begin >= sp.fileLen) {
+    if (begin < 0 || begin >= sp.end + 16 || begin >= sp.fileLen) {
       in.close()
       return Iterator.empty
     }
@@ -427,7 +436,7 @@ object AvroReader {
       private var remaining = 0L
       private var closed = false
       private def advance(): Unit = {
-        while (remaining == 0 && pos < sp.end && pos < sp.fileLen && !closed) {
+        while (remaining == 0 && pos < sp.end + 16 && pos < sp.fileLen && !closed) {
           // block header: two varints (<=10 bytes each)
           val hdr = new Array[Byte](math.min(20L, sp.fileLen - pos).toInt)
           in.readFully(pos, hdr)
@@ -606,8 +615,13 @@ object AvroWriter {
       he.varLong(cj.length.toLong); he.bytes(cj)
       he.varLong(0L)
       out.write(header.toByteArray)
+      // per-file RANDOM sync marker, as the spec requires: the split
+      // reader locates block boundaries by scanning raw bytes for this
+      // 16-byte pattern, so a fixed marker would let payload data that
+      // happens to contain it masquerade as a boundary (probability
+      // 2^-128 per position only if the marker is unpredictable)
       val sync = new Array[Byte](16)
-      new java.util.Random(42L).nextBytes(sync)
+      new java.security.SecureRandom().nextBytes(sync)
       out.write(sync)
       rows.grouped(blockRows).foreach { block =>
         val raw = new ByteArrayOutputStream()

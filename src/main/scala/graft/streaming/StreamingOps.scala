@@ -80,7 +80,7 @@ object StreamingOps {
     * fingerprint. Equal to the stream's union of per-batch emissions
     * when batches arrive in doc_id order.
     */
-  def streamingDedupBatch(spark: SparkSession, docs: DataFrame): DataFrame =
+  def streamingDedupBatch(docs: DataFrame): DataFrame =
     docs.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))

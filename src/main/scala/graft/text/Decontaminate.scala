@@ -28,10 +28,13 @@ object Decontaminate {
     */
   def flags(docs: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int): DataFrame = {
+    // distinct n-gram shingling reuses the d2/d3 compiled kernel (same
+    // lowercase/space-split/first-occurrence semantics, one split per
+    // row instead of the interpreted-HOF re-evaluation)
     val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
-      split(lower(col(textCol)), " ").as("toks"))
+      graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
     val grams = base.select(col("doc_id"), col("is_bench"),
-      explode(array_distinct(Repetition.grams(col("toks"), n))).as("g"))
+      explode(col("gs")).as("g"))
     val bench = grams.filter(col("is_bench"))
       .select(col("g"), col("doc_id").as("bench_id"))
     val matched = grams.filter(!col("is_bench"))

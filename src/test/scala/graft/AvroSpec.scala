@@ -130,4 +130,26 @@ class AvroSpec extends SparkSpec {
     val big = AvroReader.readSplit(spark, s"$dir/one.avro")
     assert(big.count() === 400)
   }
+
+  test("readSplit loses no block when a boundary lands inside a sync marker") {
+    val src = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(120)
+    val dir = java.nio.file.Files.createTempDirectory("avro_hazard").toString
+    val schema = graft.sources.AvroWriter.schemaFor(src.schema)
+    graft.sources.AvroWriter.write(s"$dir/one.avro", schema,
+      src.collect().iterator, "null", blockRows = 8)
+    val expected = AvroReader.read(spark, s"$dir/one.avro")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val fileLen = new java.io.File(s"$dir/one.avro").length()
+    // sweep maxSplitBytes so boundaries land at EVERY offset class mod
+    // the block cadence — including inside and adjacent to sync markers
+    // (the 16-byte hazard window this regression pins); a dropped or
+    // double-read block shows up as a doc_id multiset mismatch
+    for (msb <- 200L to math.min(fileLen, 2000L) by 7L) {
+      val got = AvroReader.readSplit(spark, s"$dir/one.avro",
+        maxSplitBytes = msb)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"row multiset diverged at maxSplitBytes=$msb")
+    }
+  }
 }

@@ -39,6 +39,34 @@ class ClassifiersSpec extends SparkSpec {
     assert(admitted.filter(col("pIa") < 0.0 || col("pIa") > 1.0).count() === 0)
   }
 
+  test("microlensing drops non-finite DC points instead of poisoning the features") {
+    import spark.implicits._
+    val b1 = (1 to 12).map(i => 15.0 + 0.01 * i)
+    val b2 = (1 to 12).map(i => 16.0 + 0.01 * i)
+    def mk(ms: Seq[Double], fids: Seq[Int], pos: Seq[String]) =
+      Seq((ms, ms.map(_ => 0.05), ms.map(_ => 18.0), ms.map(_ => 0.1),
+        pos, fids))
+        .toDF("cmagpsf", "csigmapsf", "cmagnr", "csigmagnr",
+          "cisdiffpos", "cfid")
+        .withColumn("candidate", struct(lit(25).as("ndethist")))
+    // poisoned: one band-1 point is a negative difference brighter than
+    // the reference (isdiffpos='f', magpsf 10 vs magnr 18) -> negative
+    // DC flux -> NaN dc_mag; the guard must make it equivalent to the
+    // same alert without that point
+    val clean = mk(b1 ++ b2,
+      Seq.fill(12)(1) ++ Seq.fill(12)(2),
+      Seq.fill(24)("t"))
+    val poisoned = mk((b1 :+ 10.0) ++ b2,
+      (Seq.fill(12)(1) :+ 1) ++ Seq.fill(12)(2),
+      (Seq.fill(12)("t") :+ "f") ++ Seq.fill(12)("t"))
+    val sc = Classifiers.microlensing(spark, clean)
+      .select("mulens").head().getDouble(0)
+    val sp = Classifiers.microlensing(spark, poisoned)
+      .select("mulens").head().getDouble(0)
+    assert(!sp.isNaN && sp >= 0.0 && sp <= 1.0)
+    assert(sp === sc, "a non-finite DC point changed the score")
+  }
+
   test("snn and kilonova and mulens run over the fixture with valid ranges") {
     val out = Classifiers.microlensing(spark,
       Classifiers.kilonova(spark, Classifiers.snn(spark, enriched)))

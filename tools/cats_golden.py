@@ -2,7 +2,7 @@
 """Independent NumPy evaluation of the q17_cats_class pipeline.
 
 Reproduces, from scratch and without TF/Keras/h5py/Spark:
-  - the q17 panel construction over sf0.001 events.parquet (pandas),
+  - the q17 panel construction over sf0.01 events.parquet (pandas),
   - the reference preprocessing (rubin/cats/processor.py:43-170:
     first-epoch time shift, min-max norm with [1.0] singletons, band
     codes u..y -> 1..6, float32 cast, pre-truncate / post-pad to 395),
@@ -21,7 +21,7 @@ runtime is held to.
 Usage:
   sbt "Test/runMain graft.tools.CatsWeightsDump /tmp/cats_weights.json"
   python3 tools/cats_golden.py /tmp/cats_weights.json \
-      /root/testdata/sf0.001 src/test/resources/cats_q17_expected.json
+      /root/testdata/sf0.01 src/test/resources/cats_q17_expected.json
 
 Dev tooling only (driver-side python); the Scala library never runs it.
 """
