@@ -392,6 +392,55 @@ object Dedup {
       .select(col("d1"), col("d2"), col("ham"))
   }
 
+  /** Linear-output near-dup ASSIGNMENT: each document gets at most one
+    * canonical representative (the smallest-id verified bucket
+    * representative across its simhash bands) instead of the full pair
+    * enumeration of [[simhashPairs]]. Pair enumeration is Omega(output)
+    * — a duplicate clique of c docs emits c(c-1)/2 pairs (the sf1
+    * stress run's d5 x73 — SCALE_r05.md) — but a keep/drop pipeline
+    * only needs one canonical per doc. Here every banded row joins
+    * exactly ONE representative row (the per-bucket min id, a
+    * partial-aggregatable min_by), so the join output is (bands x n)
+    * rows whatever the clique structure: cliques cost the same as
+    * singletons.
+    *
+    * Semantics (documented trade-off): one-hop banding assignment, not
+    * transitive closure — `canonical` is guaranteed to be a true
+    * Hamming<=maxHamming neighbor with a smaller id (sound), but a doc
+    * whose bucket representatives all verify outside the radius gets no
+    * assignment even if some non-representative neighbor exists
+    * (incomplete, unlike the pigeonhole-complete pair enumeration).
+    */
+  def simhashAssign(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = 60 / nBands
+    val extra = 60 % nBands
+    val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
+      acc + base + (if (b < extra) 1 else 0))
+    val bandCols = (0 until nBands).map { b =>
+      val width = base + (if (b < extra) 1 else 0)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val banded = sim0.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val reps = banded.groupBy("band", "bits")
+      .agg(min_by(struct(col(idCol), col("simhash")), col(idCol)).as("r"))
+      .select(col("band"), col("bits"),
+        col(s"r.$idCol").as("rep"), col("r.simhash").as("rep_sim"))
+    banded.join(reps, Seq("band", "bits"))
+      .filter(col("rep") < col(idCol))
+      .withColumn("ham",
+        expr("bit_count(simhash ^ rep_sim)").cast("long"))
+      .filter(col("ham") <= maxHamming)
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("rep"), col("ham")), col("rep")).as("m"))
+      .select(col(idCol), col("m.rep").as("canonical"), col("m.ham").as("ham"))
+  }
+
   /** Embedding-cosine near-dup pairs routed through IVF cells
     * (SemDeDup-style cluster-then-dedupe): vectors are assigned to
     * their nearest centroid ([[graft.sim.Similarity.assignCells]] — a

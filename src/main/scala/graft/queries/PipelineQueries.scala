@@ -46,6 +46,14 @@ object PipelineQueries extends QueryPack {
     Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
       .orderBy("d1", "d2")
 
+  // d8: linear-output near-dup assignment (canonical representative per
+  // doc) — the scale answer to d5's Omega(pairs) clique blow-up.
+  private def d8SimhashAssign(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashAssign(
+      Dedup.simhash(docs(s, dir), "doc_id", "text"),
+      "doc_id", maxHamming = 4)
+      .orderBy("doc_id")
+
   // ---- similarity search ----
 
   private def s1Knn(s: SparkSession, dir: String): DataFrame =
@@ -181,6 +189,7 @@ object PipelineQueries extends QueryPack {
     "d5_simhash_pairs" -> (d5SimhashPairs _),
     "d6_dedup_embedding" -> (d6EmbeddingDup _),
     "d7_decontaminate" -> (d7Decontaminate _),
+    "d8_simhash_assign" -> (d8SimhashAssign _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -430,6 +439,26 @@ object PipelineQueries extends QueryPack {
         |FROM toks t LEFT JOIN top2 ON top2.doc_id = t.doc_id
         |LEFT JOIN dup3 ON dup3.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // d8: mirrors the banding arithmetic exactly (5 bands x 12 bits for
+    // maxHamming=4 over the 60-bit simhash); rep = per-bucket min id,
+    // canonical = smallest verified rep. The simhash CTE drops the lang
+    // carry column (the query passes no carryCols).
+    "d8_simhash_assign" ->
+      s"""WITH sim AS (SELECT doc_id, simhash FROM (${simhashSql()})),
+         |b AS (SELECT doc_id, simhash, bb.b AS band,
+         |        (simhash >> (12*bb.b)) & 4095 AS bits
+         |      FROM sim, (SELECT unnest(range(5)) AS b) bb),
+         |reps AS (SELECT band, bits, MIN(doc_id) AS rep FROM b GROUP BY 1,2),
+         |repsim AS (SELECT r.band, r.bits, r.rep, s.simhash AS rep_sim
+         |           FROM reps r JOIN sim s ON s.doc_id = r.rep),
+         |cand AS (SELECT b.doc_id,
+         |           r.rep, CAST(bit_count(xor(b.simhash, r.rep_sim)) AS BIGINT) AS ham
+         |         FROM b JOIN repsim r USING (band, bits)
+         |         WHERE r.rep < b.doc_id
+         |           AND bit_count(xor(b.simhash, r.rep_sim)) <= 4)
+         |SELECT doc_id, MIN(rep) AS canonical,
+         |       arg_min(ham, rep) AS ham
+         |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // t8: multiplication order mirrors the Spark side exactly —
     // (cnt/nt) * ln(nd/df); QUALIFY row_number mirrors min_by's
     // (max tfidf, then smallest term) tie-break.

@@ -6,6 +6,24 @@ import graft.dedup.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("simhash assignment is sound against the exact pair enumeration") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assign = Dedup.simhashAssign(sim, "doc_id", maxHamming = 4).collect()
+    assign.foreach { r =>
+      val (doc, canon, ham) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(canon < doc, "canonical must be the smaller id")
+      assert(ham <= 4, "assignment outside the Hamming radius")
+      assert(pairs.contains((canon, doc)),
+        s"($doc -> $canon) is not a true near-dup pair")
+    }
+    // output is linear: at most one row per non-canonical doc
+    assert(assign.map(_.getLong(0)).distinct.length === assign.length)
+  }
+
   private lazy val docs = Tables.t(spark, sf, "documents")
 
   test("exact dedup keeps one survivor per distinct text") {
