@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.sim.Similarity
+import graft.sim.{Quantize, Similarity}
 import graft.text.{Decontaminate, Repetition, TextOps, TfIdf}
 
 /** LLM-training-data pipeline operators (beyond the reference's own
@@ -67,6 +67,13 @@ object PipelineQueries extends QueryPack {
   private def s3Srp(s: SparkSession, dir: String): DataFrame =
     Similarity.srpTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
       .select(col("id").as("vec_id"), col("bucket"), col("cos"))
+
+  // s4: int8 quantization fidelity — floor-arithmetic quantization so
+  // both engines agree without a rounding-mode contract.
+  private def s4Quantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.int8Stats(emb(s, dir), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("scale"), col("mse"), col("cos"))
+      .orderBy("vec_id")
 
   // ---- text analysis ----
 
@@ -193,6 +200,7 @@ object PipelineQueries extends QueryPack {
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
+    "s4_quantize" -> (s4Quantize _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -368,6 +376,30 @@ object PipelineQueries extends QueryPack {
         |FROM asg a JOIN probe USING (cell), q
         |WHERE a.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // s4: list_transform mirrors the quantize/dequantize arithmetic
+    // element-for-element; mse/cos come from the same dot identities in
+    // the same association as the Spark side.
+    "s4_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+        |      FROM e),
+        |d AS (SELECT vec_id, v, scale,
+        |        CASE WHEN scale = 0
+        |          THEN list_transform(v, x -> 0.0)
+        |          ELSE list_transform(v, x ->
+        |            greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale)
+        |        END AS dq
+        |      FROM s)
+        |SELECT vec_id, scale,
+        |  ((list_dot_product(v, v) - 2.0 * list_dot_product(v, dq))
+        |    + list_dot_product(dq, dq)) / len(v) AS mse,
+        |  CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(dq, dq) = 0
+        |    THEN 0.0
+        |    ELSE list_dot_product(v, dq)
+        |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+        |  END AS cos
+        |FROM d ORDER BY vec_id""".stripMargin,
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (

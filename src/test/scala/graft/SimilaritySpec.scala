@@ -56,6 +56,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("int8 quantization: hand-computed reconstruction and error bound") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(127.0f, -127.0f, 63.5f)), // scale 1: q = 127,-127,64
+      (1L, Array(0.0f, 0.0f, 0.0f)),       // zero vector: defined stats
+      (2L, Array(2.54f, -1.27f, 0.0f))     // scale 0.02: exact-ish grid
+    ).toDF("vec_id", "embedding")
+    val r = graft.sim.Quantize.int8Stats(df, "vec_id", "embedding")
+      .orderBy("id").collect()
+    // row 0: 63.5/1 + 0.5 floors to 64 -> err 0.5^2/3 on one element
+    assert(r(0).getDouble(1) === 1.0)
+    assert(math.abs(r(0).getDouble(2) - 0.25 / 3.0) < 1e-12)
+    assert(r(0).getDouble(3) > 0.9999)
+    // zero vector: scale 0, exact reconstruction, guarded cosine
+    assert(r(1).getDouble(1) === 0.0 && r(1).getDouble(2) === 0.0
+      && r(1).getDouble(3) === 0.0)
+    // generic bound: per-element error <= scale/2 -> mse <= scale^2/4
+    val all = graft.sim.Quantize.int8Stats(emb, "vec_id", "embedding").collect()
+    all.foreach { row =>
+      val (sc, mse, cos) = (row.getDouble(1), row.getDouble(2), row.getDouble(3))
+      assert(mse <= sc * sc / 4.0 + 1e-12, s"mse $mse exceeds bound for scale $sc")
+      assert(cos >= 0.99, s"int8 cosine fidelity collapsed: $cos")
+    }
+  }
+
   test("cell assignment covers every vector exactly once") {
     val asg = Similarity.assignCells(emb, "vec_id", "embedding", 8)
     assert(asg.count() === emb.count())

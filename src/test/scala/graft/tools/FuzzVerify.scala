@@ -17,7 +17,7 @@ object FuzzVerify {
     "t5_winnow_fingerprint", "t6_regex_tokens", "t7_repetition",
     "t8_tfidf", "d7_decontaminate", "m1_media_meta",
     "m2_media_features", "m3_frame_sample", "d6_dedup_embedding",
-    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp")
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp", "s4_quantize")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")

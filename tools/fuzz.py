@@ -27,7 +27,7 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "t6_regex_tokens", "t7_repetition", "t8_tfidf", "d7_decontaminate",
            "m1_media_meta", "m2_media_features",
            "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
-           "s2_knn_ivf", "s3_knn_srp"]
+           "s2_knn_ivf", "s3_knn_srp", "s4_quantize"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
