@@ -441,6 +441,54 @@ object Dedup {
       .select(col(idCol), col("m.rep").as("canonical"), col("m.ham").as("ham"))
   }
 
+  /** Near-dup CLUSTERS: connected components of the simhash pair graph
+    * by iterative min-label propagation (the Pregel/large-star shape as
+    * a driver-coordinated DataFrame loop — each sweep is one shuffle
+    * join + one partial-aggregatable min; iterations bound the graph
+    * diameter, tiny for near-dup cliques). Converges to the transitive
+    * closure the one-hop [[simhashAssign]] deliberately trades away:
+    * every doc in a pair gets `cluster` = the min doc id of its whole
+    * component — the canonical keep/drop key for full dedup.
+    *
+    * Each sweep ends in localCheckpoint(): the new label table's
+    * logical plan references the previous one TWICE (propagation join +
+    * identity union), so without lineage truncation the plan tree
+    * doubles per sweep and the analyzer dies around sweep 7 — cache()
+    * alone does not help because it only short-circuits physical
+    * recomputation, not logical plan growth. At corpus scale the
+    * checkpoint becomes a reliable table write between sweeps.
+    */
+  def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
+      maxIter: Int = 25): DataFrame = {
+    val pairs = simhashPairs(sim0, idCol, maxHamming).select("d1", "d2")
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prev = labels
+      val propagated = edges
+        .join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      labels = labels.select(col("id"), col("label"))
+        .union(propagated)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = labels.join(prev.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      prev.unpersist()
+      iter += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIter sweeps")
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup pairs routed through IVF cells
     * (SemDeDup-style cluster-then-dedupe): vectors are assigned to
     * their nearest centroid ([[graft.sim.Similarity.assignCells]] — a

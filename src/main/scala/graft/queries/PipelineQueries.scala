@@ -137,6 +137,15 @@ object PipelineQueries extends QueryPack {
   private def t7Repetition(s: SparkSession, dir: String): DataFrame =
     Repetition.signals(docs(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  // d9: transitive near-dup clusters — connected components of the d5
+  // pair graph; the oracle computes the same fixpoint via a recursive
+  // CTE, so convergence is engine-independent.
+  private def d9SimhashClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashClusters(
+      Dedup.simhash(docs(s, dir), "doc_id", "text"),
+      "doc_id", maxHamming = 4)
+      .orderBy("doc_id")
+
   // t8: per-doc top TF-IDF term — the global-dictionary pattern (a
   // corpus-wide df aggregate joined back per document). tf and idf are
   // IEEE divisions of exact integers plus one ln(); the m2 entropy
@@ -197,6 +206,7 @@ object PipelineQueries extends QueryPack {
     "d6_dedup_embedding" -> (d6EmbeddingDup _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d8_simhash_assign" -> (d8SimhashAssign _),
+    "d9_simhash_clusters" -> (d9SimhashClusters _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -491,6 +501,19 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, MIN(rep) AS canonical,
          |       arg_min(ham, rep) AS ham
          |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d9: reachability via recursive CTE, then component min per node —
+    // the same fixpoint the Spark loop converges to.
+    "d9_simhash_clusters" ->
+      s"""WITH RECURSIVE sim AS (${simhashSql()}),
+         |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+         |      FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+         |e AS (SELECT d1 AS s, d2 AS t FROM p UNION ALL SELECT d2, d1 FROM p),
+         |r(a, b) AS (SELECT s, t FROM e
+         |            UNION SELECT r.a, e.t FROM r JOIN e ON r.b = e.s),
+         |m AS (SELECT a AS id, MIN(b) AS mb FROM r GROUP BY 1)
+         |SELECT id AS doc_id, CAST(least(id, mb) AS BIGINT) AS cluster
+         |FROM m ORDER BY doc_id""".stripMargin,
     // t8: multiplication order mirrors the Spark side exactly —
     // (cnt/nt) * ln(nd/df); QUALIFY row_number mirrors min_by's
     // (max tfidf, then smallest term) tie-break.

@@ -24,6 +24,27 @@ class DedupSpec extends SparkSpec {
     assert(assign.map(_.getLong(0)).distinct.length === assign.length)
   }
 
+  test("simhash clusters equal union-find over the exact pair graph") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // independent union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.simhashClusters(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected, "cluster labels diverge from union-find")
+  }
+
   private lazy val docs = Tables.t(spark, sf, "documents")
 
   test("exact dedup keeps one survivor per distinct text") {

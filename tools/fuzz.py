@@ -22,6 +22,7 @@ import duckdb
 # every documents-only oracle query plus the embeddings family
 QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d4_simhash", "d5_simhash_pairs", "d8_simhash_assign",
+           "d9_simhash_clusters",
            "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
            "t6_regex_tokens", "t7_repetition", "t8_tfidf", "d7_decontaminate",
