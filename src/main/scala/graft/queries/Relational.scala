@@ -185,6 +185,20 @@ object Relational extends QueryPack {
       .agg(sum(col("flagged")).as("n_flagged"), count(lit(1)).as("n_total"))
       .orderBy("l_linestatus")
 
+  // q18: multi-level ROLLUP aggregation with grouping_id — subtotal
+  // tables in one pass (Catalyst expands the grouping sets into a
+  // single partial-aggregatable hash aggregate, not one scan per
+  // level). Exact decimal sum -> stable cross-engine hash.
+  private def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sumd(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2NationRevenue _),
@@ -200,7 +214,8 @@ object Relational extends QueryPack {
     "q12_hof_array" -> (q12HofArray _),
     "q13_time_bucket" -> (q13TimeBucket _),
     "q14_regexp_extract" -> (q14RegexpExtract _),
-    "q15_boolean_dnf" -> (q15BooleanDnf _))
+    "q15_boolean_dnf" -> (q15BooleanDnf _),
+    "q18_rollup" -> (q18Rollup _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -278,6 +293,13 @@ object Relational extends QueryPack {
         |CAST(MAX(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
         |COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |COUNT(*) AS n,
+         |${sqlSumd("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, 1, 2""".stripMargin,
     "q15_boolean_dnf" ->
       """SELECT l_linestatus,
         |CAST(SUM(CAST(((l_returnflag = 'R' AND l_discount > 0.05)
