@@ -364,7 +364,14 @@ object Dedup {
     * A pair agreeing on several bands surfaces once per band; the
     * pre-verify distinct collapses them.
     */
-  def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  /** (id, simhash, band, bits) — the shared Hamming-LSH band expansion
+    * behind [[simhashPairs]] and [[simhashAssign]]: maxHamming+1 bands
+    * over the 60-bit signature, the first 60 % nBands bands one bit
+    * wider. Cached — every consumer reads it at least twice (self-join
+    * sides, or the rep aggregation plus the probe).
+    */
+  private def bandedSimhash(sim0: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 60 / nBands
     val extra = 60 % nBands // first `extra` bands get one more bit
@@ -376,11 +383,15 @@ object Dedup {
         shiftright(col("simhash"), offsets(b))
           .bitwiseAND(lit((1L << width) - 1)).as("bits"))
     }
-    val banded = sim0.select(col(idCol), col("simhash"),
+    sim0.select(col(idCol), col("simhash"),
       explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
       .cache()
+  }
+
+  def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = bandedSimhash(sim0, idCol, maxHamming)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -412,21 +423,7 @@ object Dedup {
     * (incomplete, unlike the pigeonhole-complete pair enumeration).
     */
   def simhashAssign(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val nBands = maxHamming + 1
-    val base = 60 / nBands
-    val extra = 60 % nBands
-    val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
-      acc + base + (if (b < extra) 1 else 0))
-    val bandCols = (0 until nBands).map { b =>
-      val width = base + (if (b < extra) 1 else 0)
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), offsets(b))
-          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
-    }
-    val banded = sim0.select(col(idCol), col("simhash"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("simhash"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val banded = bandedSimhash(sim0, idCol, maxHamming)
     val reps = banded.groupBy("band", "bits")
       .agg(min_by(struct(col(idCol), col("simhash")), col(idCol)).as("r"))
       .select(col("band"), col("bits"),
@@ -458,35 +455,56 @@ object Dedup {
     * recomputation, not logical plan growth. At corpus scale the
     * checkpoint becomes a reliable table write between sweeps.
     */
+  /** Free a localCheckpoint'ed dataset's backing RDD blocks.
+    * Dataset.unpersist only uncaches through the CacheManager, which
+    * has no entry for a checkpointed dataset — its plan is a LogicalRDD
+    * over a directly-persisted RDD, so that RDD must be unpersisted
+    * explicitly or every sweep's label table lingers in block storage.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
       maxIter: Int = 25): DataFrame = {
-    val pairs = simhashPairs(sim0, idCol, maxHamming).select("d1", "d2")
+    // cached: the symmetric union below reads the pair table twice, and
+    // without the cache each branch re-runs the banded self-join +
+    // verification — the most expensive stage of the whole operator
+    val pairs = simhashPairs(sim0, idCol, maxHamming).select("d1", "d2").cache()
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val prev = labels
-      val propagated = edges
-        .join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      labels = labels.select(col("id"), col("label"))
-        .union(propagated)
-        .groupBy("id").agg(min(col("label")).as("label"))
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      changed = labels.join(prev.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      prev.unpersist()
-      iter += 1
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        val prev = labels
+        val propagated = edges
+          .join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+        labels = labels.select(col("id"), col("label"))
+          .union(propagated)
+          .groupBy("id").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = labels.join(prev.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") < col("old")).count()
+        freeCheckpoint(prev)
+        iter += 1
+      }
+      require(changed == 0,
+        s"label propagation did not converge in $maxIter sweeps")
+      labels.select(col("id").as(idCol), col("label").as("cluster"))
+    } finally {
+      edges.unpersist()
+      pairs.unpersist()
     }
-    require(changed == 0, s"label propagation did not converge in $maxIter sweeps")
-    edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 
   /** Embedding-cosine near-dup pairs routed through IVF cells
