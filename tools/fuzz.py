@@ -59,10 +59,22 @@ def gen(root, n):
     for c in range(n):
         ndocs = rng.randint(5, 30)
         all_dup = c % 10 == 3  # every 10th corpus: one text repeated
+        # every 10th corpus (offset 7): near-duplicates — the base text
+        # with one token substituted per doc, exercising the nonzero-
+        # Hamming paths of d5/d8/d9 (all_dup only makes distance-0
+        # cliques)
+        near_dup = c % 10 == 7
         base = gen_text(rng, "plain")
         rows = []
         for d in range(ndocs):
-            text = base if all_dup else gen_text(rng, rng.choice(kinds))
+            if all_dup:
+                text = base
+            elif near_dup:
+                toks = base.split(" ")
+                toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+                text = " ".join(toks)
+            else:
+                text = gen_text(rng, rng.choice(kinds))
             rows.append((d, text, rng.choice(["en", "fr", "zz"]),
                          f"src{d % 3}", len(text)))
         df = pd.DataFrame(rows,
