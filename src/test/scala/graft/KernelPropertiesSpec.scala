@@ -81,4 +81,35 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(p1 >= 0.0 && p1 <= 1.0)
     }
   }
+
+  private val wordGen = Gen.oneOf("the", "a", "data", "Spark", "ROW", "añejo", "北京")
+  private val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  test("simhash is a bag-of-words signature: token-order and case invariant") {
+    samples(textGen, 40).foreach { t =>
+      val base = graft.dedup.Dedup.simhashKernel(t)
+      val toks = t.split(" ")
+      val perm = (toks.reverse.toSeq ++ Seq.empty).mkString(" ")
+      assert(graft.dedup.Dedup.simhashKernel(perm) === base,
+        "token order changed the signature")
+      assert(graft.dedup.Dedup.simhashKernel(t.toUpperCase(java.util.Locale.ROOT)
+        .toLowerCase(java.util.Locale.ROOT)) === base)
+    }
+  }
+
+  test("shingle kernel laws: count bound, distinctness, n-gram shape") {
+    for {
+      t <- samples(textGen, 40)
+      n <- Seq(1, 2, 3, 5)
+    } {
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      val sh = graft.dedup.Dedup.shinglesKernel(t, n)
+      assert(sh.length === sh.distinct.length, "shingles must be distinct")
+      val expectedMax = math.max(0, toks.length - n + 1)
+      assert(sh.length <= expectedMax)
+      if (toks.length >= n) assert(sh.nonEmpty)
+      sh.foreach(g => assert(g.split(" ", -1).length === n,
+        s"gram '$g' is not an $n-gram"))
+    }
+  }
 }
