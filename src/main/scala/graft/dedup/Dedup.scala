@@ -351,24 +351,14 @@ object Dedup {
       k(col(textCol)).as("simhash"): _*)
   }
 
-  /** SimHash near-dup pairs by Hamming radius, blocked with
-    * Hamming-LSH banding (the sorted-table scheme of Manku et al.,
-    * WWW'07, expressed as a bucket join): the 60-bit signature splits
-    * into maxHamming+1 bands, and by pigeonhole any pair within the
-    * radius agrees exactly on at least one band — so joining on
-    * (band index, band bits) has recall 1.0 and the verifier only sees
-    * bucket-mates. Band-bucket cardinality scales with the corpus
-    * (2^bandBits buckets per band, uniformly filled for hash-like
-    * signatures), unlike blocking on a low-cardinality attribute.
-    *
-    * A pair agreeing on several bands surfaces once per band; the
-    * pre-verify distinct collapses them.
-    */
   /** (id, simhash, band, bits) — the shared Hamming-LSH band expansion
     * behind [[simhashPairs]] and [[simhashAssign]]: maxHamming+1 bands
     * over the 60-bit signature, the first 60 % nBands bands one bit
     * wider. Cached — every consumer reads it at least twice (self-join
-    * sides, or the rep aggregation plus the probe).
+    * sides, or the rep aggregation plus the probe). The cache lives
+    * until the session clears it (graft.Verify and the fuzz harness
+    * clear between queries; operators that fully materialize, like
+    * [[simhashClusters]], free it themselves).
     */
   private def bandedSimhash(sim0: DataFrame, idCol: String,
       maxHamming: Int): DataFrame = {
@@ -390,8 +380,8 @@ object Dedup {
       .cache()
   }
 
-  def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val banded = bandedSimhash(sim0, idCol, maxHamming)
+  private def pairsFromBanded(banded: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -401,7 +391,22 @@ object Dedup {
       .withColumn("ham", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter(col("ham") <= maxHamming)
       .select(col("d1"), col("d2"), col("ham"))
-  }
+
+  /** SimHash near-dup pairs by Hamming radius, blocked with
+    * Hamming-LSH banding (the sorted-table scheme of Manku et al.,
+    * WWW'07, expressed as a bucket join): the 60-bit signature splits
+    * into maxHamming+1 bands, and by pigeonhole any pair within the
+    * radius agrees exactly on at least one band — so joining on
+    * (band index, band bits) has recall 1.0 and the verifier only sees
+    * bucket-mates. Band-bucket cardinality scales with the corpus
+    * (2^bandBits buckets per band, uniformly filled for hash-like
+    * signatures), unlike blocking on a low-cardinality attribute.
+    *
+    * A pair agreeing on several bands surfaces once per band; the
+    * pre-verify distinct collapses them.
+    */
+  def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame =
+    pairsFromBanded(bandedSimhash(sim0, idCol, maxHamming), idCol, maxHamming)
 
   /** Linear-output near-dup ASSIGNMENT: each document gets at most one
     * canonical representative (the smallest-id verified bucket
@@ -455,25 +460,14 @@ object Dedup {
     * recomputation, not logical plan growth. At corpus scale the
     * checkpoint becomes a reliable table write between sweeps.
     */
-  /** Free a localCheckpoint'ed dataset's backing RDD blocks.
-    * Dataset.unpersist only uncaches through the CacheManager, which
-    * has no entry for a checkpointed dataset — its plan is a LogicalRDD
-    * over a directly-persisted RDD, so that RDD must be unpersisted
-    * explicitly or every sweep's label table lingers in block storage.
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => df.unpersist()
-    }
-
   def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
       maxIter: Int = 25): DataFrame = {
+    val banded = bandedSimhash(sim0, idCol, maxHamming)
     // cached: the symmetric union below reads the pair table twice, and
     // without the cache each branch re-runs the banded self-join +
     // verification — the most expensive stage of the whole operator
-    val pairs = simhashPairs(sim0, idCol, maxHamming).select("d1", "d2").cache()
+    val pairs = pairsFromBanded(banded, idCol, maxHamming)
+      .select("d1", "d2").cache()
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
@@ -482,6 +476,12 @@ object Dedup {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint()
+      // the initial checkpoint materialized the edges cache, which is
+      // the only consumer of pairs/banded — free them before the
+      // sweeps so the loop's working set is just edges + two label
+      // tables
+      pairs.unpersist()
+      banded.unpersist()
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
@@ -502,10 +502,26 @@ object Dedup {
         s"label propagation did not converge in $maxIter sweeps")
       labels.select(col("id").as(idCol), col("label").as("cluster"))
     } finally {
+      // safe on any path: unpersist is idempotent, and the returned
+      // labels are checkpointed so they no longer depend on these
       edges.unpersist()
       pairs.unpersist()
+      banded.unpersist()
     }
   }
+
+  /** Free a localCheckpoint'ed dataset's backing RDD blocks.
+    * Dataset.unpersist only uncaches through the CacheManager, which
+    * has no entry for a checkpointed dataset — its plan is a LogicalRDD
+    * over a directly-persisted RDD, so that RDD must be unpersisted
+    * explicitly or every sweep's label table lingers in block storage.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 
   /** Embedding-cosine near-dup pairs routed through IVF cells
     * (SemDeDup-style cluster-then-dedupe): vectors are assigned to

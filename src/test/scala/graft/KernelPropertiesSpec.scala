@@ -89,7 +89,7 @@ class KernelPropertiesSpec extends AnyFunSuite {
     samples(textGen, 40).foreach { t =>
       val base = graft.dedup.Dedup.simhashKernel(t)
       val toks = t.split(" ")
-      val perm = (toks.reverse.toSeq ++ Seq.empty).mkString(" ")
+      val perm = toks.reverse.mkString(" ")
       assert(graft.dedup.Dedup.simhashKernel(perm) === base,
         "token order changed the signature")
       assert(graft.dedup.Dedup.simhashKernel(t.toUpperCase(java.util.Locale.ROOT)

@@ -14,6 +14,10 @@ object D9Profile {
     val pairs = graft.dedup.Dedup.simhashPairs(sim, "doc_id", 4)
     val np = pairs.count()
     val tPairs = (System.nanoTime() - t0) / 1e9
+    // evict the banded cache the pair build left behind — otherwise
+    // the clusters run below serves its internal pair build from the
+    // warm cache and the timed split is contaminated
+    spark.sharedState.cacheManager.clearCache()
     t0 = System.nanoTime()
     val clusters = graft.dedup.Dedup.simhashClusters(sim, "doc_id", 4)
     val nc = clusters.count()

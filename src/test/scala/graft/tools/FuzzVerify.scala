@@ -35,6 +35,9 @@ object FuzzVerify {
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(s"${corpus.getPath}/$name")
+      // bound per-operator caches to one query (30 corpora x 24
+      // queries would otherwise pile up cached shingle/band tables)
+      spark.sharedState.cacheManager.clearCache()
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
