@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q18 rollup: one Expand + partial-aggregatable pass, not a union of scans") {
+    val p = plan("q18_rollup")
+    assert(p.contains("Expand"), "rollup must expand grouping sets in-plan")
+    assert(p.contains("partial"), "rollup aggregate must partial-apply map-side")
+    assert("FileScan".r.findAllIn(p).length === 1,
+      "rollup must not rescan the table per subtotal level")
+  }
+
   test("s3 srp: plane table and query row broadcast, top-k without full sort") {
     val p = plan("s3_knn_srp")
     assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
