@@ -354,11 +354,13 @@ object Dedup {
   /** (id, simhash, band, bits) — the shared Hamming-LSH band expansion
     * behind [[simhashPairs]] and [[simhashAssign]]: maxHamming+1 bands
     * over the 60-bit signature, the first 60 % nBands bands one bit
-    * wider. Cached — every consumer reads it at least twice (self-join
-    * sides, or the rep aggregation plus the probe). The cache lives
-    * until the session clears it (graft.Verify and the fuzz harness
-    * clear between queries; operators that fully materialize, like
-    * [[simhashClusters]], free it themselves).
+    * wider. NOT cached: the lazy public operators built on it cannot
+    * know when their result is materialized, so an implicit cache here
+    * would leak a band table per invocation for the session lifetime
+    * (ADVICE r5). Consumers that read it twice recompute a narrow
+    * map-only explode; a caller whose `sim0` is expensive should cache
+    * `sim0` itself — bands× less memory than caching this expansion,
+    * and the caller owns the lifetime.
     */
   private def bandedSimhash(sim0: DataFrame, idCol: String,
       maxHamming: Int): DataFrame = {
@@ -377,7 +379,6 @@ object Dedup {
       explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("simhash"),
         col("bb.band").as("band"), col("bb.bits").as("bits"))
-      .cache()
   }
 
   private def pairsFromBanded(banded: DataFrame, idCol: String,
@@ -477,11 +478,9 @@ object Dedup {
         .withColumn("label", col("id"))
         .localCheckpoint()
       // the initial checkpoint materialized the edges cache, which is
-      // the only consumer of pairs/banded — free them before the
-      // sweeps so the loop's working set is just edges + two label
-      // tables
+      // the only consumer of pairs — free it before the sweeps so the
+      // loop's working set is just edges + two label tables
       pairs.unpersist()
-      banded.unpersist()
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
@@ -506,7 +505,6 @@ object Dedup {
       // labels are checkpointed so they no longer depend on these
       edges.unpersist()
       pairs.unpersist()
-      banded.unpersist()
     }
   }
 

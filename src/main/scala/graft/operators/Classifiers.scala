@@ -203,7 +203,11 @@ object Classifiers {
             // an emptied band cannot classify (like the < 10 gate).
             val finite = dc.filter(p =>
               java.lang.Double.isFinite(p._1) && java.lang.Double.isFinite(p._2))
-            if (finite.isEmpty) None
+            // the reference's >=10-points gate applies to what the
+            // statistics actually see: 1-2 surviving points would make
+            // the normalized LIA statistics degenerate/NaN again —
+            // exactly what this guard exists to prevent
+            if (finite.length < 10) None
             else {
               val dmag = finite.map(_._1).toArray
               val derr = finite.map(_._2).toArray

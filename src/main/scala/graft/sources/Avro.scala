@@ -423,8 +423,13 @@ object AvroReader {
     // like any record-aligned split format). Without the +16, a block
     // starting within 16 bytes at/after a boundary is read by NEITHER
     // side and silently vanishes.
+    // The shortcut applies only when the header's trailing sync STARTS
+    // inside this split (sync start = blocksStart - 16). A boundary in
+    // (blocksStart-16, blocksStart] would otherwise let both adjacent
+    // splits claim begin = blocksStart and double-read the first block;
+    // the right split must syncScan and land on block 2 instead.
     val begin =
-      if (sp.start <= c.blocksStart) c.blocksStart.toLong
+      if (sp.start <= c.blocksStart - 16) c.blocksStart.toLong
       else syncScan(in, c.sync, sp.start, sp.fileLen)
     if (begin < 0 || begin >= sp.end + 16 || begin >= sp.fileLen) {
       in.close()

@@ -151,5 +151,18 @@ class AvroSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
       assert(got === expected, s"row multiset diverged at maxSplitBytes=$msb")
     }
+    // and sweep the first boundary across the header's trailing sync
+    // marker itself: msb in (blocksStart-16, blocksStart] once made BOTH
+    // adjacent splits claim the first block (double-read regression)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/one.avro"))
+    val blocksStart = AvroReader.container(bytes).blocksStart.toLong
+    for (msb <- (blocksStart - 24) to (blocksStart + 8)) {
+      val got = AvroReader.readSplit(spark, s"$dir/one.avro",
+        maxSplitBytes = msb)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"row multiset diverged at maxSplitBytes=$msb" +
+        s" (blocksStart=$blocksStart)")
+    }
   }
 }

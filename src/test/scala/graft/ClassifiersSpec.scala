@@ -65,6 +65,19 @@ class ClassifiersSpec extends SparkSpec {
       .select("mulens").head().getDouble(0)
     assert(!sp.isNaN && sp >= 0.0 && sp <= 1.0)
     assert(sp === sc, "a non-finite DC point changed the score")
+
+    // a band that passes the >=10-valid-points gate but keeps <10
+    // FINITE points after DC filtering must not classify: normalized
+    // LIA statistics over 1-2 points are degenerate, the exact failure
+    // the guard exists to prevent (ADVICE r5)
+    val mostlyPoisoned = mk(
+      (b1.take(2) ++ Seq.fill(10)(10.0)) ++ b2,
+      Seq.fill(12)(1) ++ Seq.fill(12)(2),
+      (Seq.fill(2)("t") ++ Seq.fill(10)("f")) ++ Seq.fill(12)("t"))
+    val mp = Classifiers.microlensing(spark, mostlyPoisoned)
+      .select("mulens").head().getDouble(0)
+    assert(mp === 0.0,
+      "a band with <10 finite DC points classified anyway")
   }
 
   test("snn and kilonova and mulens run over the fixture with valid ranges") {

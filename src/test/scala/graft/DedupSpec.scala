@@ -24,6 +24,17 @@ class DedupSpec extends SparkSpec {
     assert(assign.map(_.getLong(0)).distinct.length === assign.length)
   }
 
+  test("simhash operators leave no cached tables behind (ADVICE r5)") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    spark.sharedState.cacheManager.clearCache()
+    Dedup.simhashPairs(sim, "doc_id", maxHamming = 4).count()
+    Dedup.simhashAssign(sim, "doc_id", maxHamming = 4).count()
+    Dedup.simhashClusters(sim, "doc_id", maxHamming = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a dedup operator leaked a cached table into the session")
+  }
+
   test("simhash clusters equal union-find over the exact pair graph") {
     val docs = Tables.t(spark, sf, "documents")
     val sim = Dedup.simhash(docs, "doc_id", "text")
