@@ -6,6 +6,41 @@ import org.apache.spark.sql.functions._
 import graft.functions.Hashing.hash60
 import graft.text.TextOps
 
+/** How an iterative operator materializes each sweep's result table.
+  * Every sweep's logical plan references the previous sweep's TWICE
+  * (propagation join + identity union), so the plan tree doubles per
+  * sweep unless lineage is truncated — caching alone does not help
+  * (it short-circuits physical recomputation, not logical plan
+  * growth). The truncation medium is the fault-tolerance decision:
+  *
+  *  - [[SweepCheckpoint.Local]]: `localCheckpoint()` — executor-
+  *    memory-backed, fastest, NON-fault-tolerant: on a real cluster a
+  *    lost executor kills the job mid-loop because the truncated
+  *    lineage leaves nothing to recompute from. The right default for
+  *    single-box / local[] runs only.
+  *  - [[SweepCheckpoint.Reliable]]: `checkpoint()` into a checkpoint
+  *    directory (HDFS/object store on a cluster) — a lost executor
+  *    re-reads the sweep table; this is the cluster-scale default.
+  *  - [[SweepCheckpoint.Table]]: explicit parquet round-trip — same
+  *    durability as Reliable with a plain-table artifact a downstream
+  *    job (or a resume-after-driver-crash) can pick up mid-chain; each
+  *    sweep's table is deleted once the next one is written.
+  */
+sealed trait SweepCheckpoint
+object SweepCheckpoint {
+  case object Local extends SweepCheckpoint
+  final case class Reliable(dir: String) extends SweepCheckpoint
+  final case class Table(dir: String) extends SweepCheckpoint
+}
+
+/** Named non-convergence failure for iterative graph operators: the
+  * component diameter exceeded the sweep budget. Carries the budget so
+  * callers can retry with a bigger one instead of pattern-matching a
+  * require() message.
+  */
+final class ConvergenceException(val sweeps: Int, msg: String)
+  extends RuntimeException(msg)
+
 /** Corpus deduplication operators for training-data pipelines: exact
   * (hash groupBy), n-gram Jaccard (shared-shingle blocked self-join),
   * MinHash+LSH (shingle -> minhash signature -> band bucket join ->
@@ -444,68 +479,173 @@ object Dedup {
       .select(col(idCol), col("m.rep").as("canonical"), col("m.ham").as("ham"))
   }
 
-  /** Near-dup CLUSTERS: connected components of the simhash pair graph
-    * by iterative min-label propagation (the Pregel/large-star shape as
-    * a driver-coordinated DataFrame loop — each sweep is one shuffle
-    * join + one partial-aggregatable min; iterations bound the graph
-    * diameter, tiny for near-dup cliques). Converges to the transitive
-    * closure the one-hop [[simhashAssign]] deliberately trades away:
-    * every doc in a pair gets `cluster` = the min doc id of its whole
-    * component — the canonical keep/drop key for full dedup.
+  /** Connected components of an undirected pair list `(d1, d2)` by
+    * iterative min-label propagation (the Pregel/large-star shape as a
+    * driver-coordinated DataFrame loop — each sweep is one shuffle join
+    * + one partial-aggregatable min; iterations bound the graph
+    * diameter, tiny for near-dup cliques). Returns `(id, label)` with
+    * `label` = the min id of the node's whole component, for every node
+    * that appears in a pair.
     *
-    * Each sweep ends in localCheckpoint(): the new label table's
-    * logical plan references the previous one TWICE (propagation join +
-    * identity union), so without lineage truncation the plan tree
-    * doubles per sweep and the analyzer dies around sweep 7 — cache()
-    * alone does not help because it only short-circuits physical
-    * recomputation, not logical plan growth. At corpus scale the
-    * checkpoint becomes a reliable table write between sweeps.
+    * Each sweep materializes through `sweep` (see [[SweepCheckpoint]]):
+    * localCheckpoint for single-box runs, a reliable checkpoint or an
+    * explicit parquet round-trip for clusters, where a lost executor
+    * must be able to re-read the sweep table. Throws
+    * [[ConvergenceException]] when the component diameter exceeds
+    * `maxIter` — a named, catchable failure, because "increase the
+    * budget and re-run" is a caller decision.
     */
-  def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
-      maxIter: Int = 25): DataFrame = {
-    val banded = bandedSimhash(sim0, idCol, maxHamming)
+  def connectedComponents(pairs0: DataFrame, maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
     // cached: the symmetric union below reads the pair table twice, and
-    // without the cache each branch re-runs the banded self-join +
-    // verification — the most expensive stage of the whole operator
-    val pairs = pairsFromBanded(banded, idCol, maxHamming)
-      .select("d1", "d2").cache()
+    // without the cache each branch re-runs whatever candidate join
+    // produced the pairs — typically the most expensive upstream stage
+    val pairs = pairs0.select(col("d1"), col("d2")).cache()
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
       .cache()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint()
-      // the initial checkpoint materialized the edges cache, which is
-      // the only consumer of pairs — free it before the sweeps so the
+      var idx = 0
+      var labels = sweepMaterialize(
+        edges.select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")), sweep, idx)
+      // the initial materialization ran the edges cache, which is the
+      // only consumer of pairs — free it before the sweeps so the
       // loop's working set is just edges + two label tables
       pairs.unpersist()
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
         val prev = labels
+        val prevIdx = idx
         val propagated = edges
           .join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
-        labels = labels.select(col("id"), col("label"))
-          .union(propagated)
-          .groupBy("id").agg(min(col("label")).as("label"))
-          .localCheckpoint()
+        idx += 1
+        labels = sweepMaterialize(
+          labels.select(col("id"), col("label"))
+            .union(propagated)
+            .groupBy("id").agg(min(col("label")).as("label")), sweep, idx)
         changed = labels.join(prev.withColumnRenamed("label", "old"), "id")
           .filter(col("label") < col("old")).count()
-        freeCheckpoint(prev)
+        sweepFree(prev, sweep, prevIdx)
         iter += 1
       }
-      require(changed == 0,
-        s"label propagation did not converge in $maxIter sweeps")
-      labels.select(col("id").as(idCol), col("label").as("cluster"))
+      if (changed != 0)
+        throw new ConvergenceException(maxIter,
+          s"connected components did not converge in $maxIter sweeps " +
+            s"($changed labels still improving); the graph diameter " +
+            "exceeds the sweep budget — raise maxIter")
+      labels.select(col("id"), col("label"))
     } finally {
       // safe on any path: unpersist is idempotent, and the returned
-      // labels are checkpointed so they no longer depend on these
+      // labels are materialized so they no longer depend on these
       edges.unpersist()
       pairs.unpersist()
     }
+  }
+
+  private def sweepMaterialize(df: DataFrame, sweep: SweepCheckpoint,
+      idx: Int): DataFrame = sweep match {
+    case SweepCheckpoint.Local => df.localCheckpoint()
+    case SweepCheckpoint.Reliable(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    case SweepCheckpoint.Table(dir) =>
+      val p = s"$dir/sweep_$idx"
+      df.write.mode("overwrite").parquet(p)
+      df.sparkSession.read.parquet(p)
+  }
+
+  /** Free a sweep table once the NEXT sweep is materialized. The last
+    * sweep is never freed — it backs the returned DataFrame (Table
+    * callers: the final `sweep_<n>` directory lives until the caller is
+    * done with the result).
+    */
+  private def sweepFree(df: DataFrame, sweep: SweepCheckpoint,
+      idx: Int): Unit = sweep match {
+    case SweepCheckpoint.Local => freeCheckpoint(df)
+    case SweepCheckpoint.Reliable(_) =>
+      () // checkpoint files belong to the SparkContext; the cleaner
+         // removes them when spark.cleaner.referenceTracking
+         // .cleanCheckpoints is on, and they are the fault-tolerance
+         // story until then — never delete underneath the context
+    case SweepCheckpoint.Table(dir) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/sweep_$idx")
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+  }
+
+  /** Near-dup CLUSTERS: connected components of the simhash pair graph
+    * ([[simhashPairs]] edges through [[connectedComponents]]). Converges
+    * to the transitive closure the one-hop [[simhashAssign]]
+    * deliberately trades away: every doc in a pair gets `cluster` = the
+    * min doc id of its whole component — the canonical keep/drop key
+    * for full dedup. `sweep` picks the per-sweep materialization
+    * (fault-tolerance) strategy; see [[SweepCheckpoint]].
+    */
+  def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
+      maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    val banded = bandedSimhash(sim0, idCol, maxHamming)
+    val pairs = pairsFromBanded(banded, idCol, maxHamming).select("d1", "d2")
+    connectedComponents(pairs, maxIter, sweep)
+      .select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
+  /** The production 100 TB dedup chain as ONE composed operator:
+    * exact dedup -> linear-output canonical assignment -> component
+    * resolution over the THINNED edge stream — the documented answer to
+    * pair enumeration's Omega(cliques^2) blow-up (SCALE_r05.md: one
+    * replicated family = 113 docs = 6 328 pairs for [[simhashPairs]],
+    * but only 112 assignment edges here).
+    *
+    * Stages:
+    *  1. exact dedup ([[exact]] semantics): one survivor (min id) per
+    *     distinct content hash; every doc remembers its survivor.
+    *  2. [[simhashAssign]] over the survivors: at most ONE verified
+    *     Hamming<=maxHamming edge per doc (join volume bands x n
+    *     whatever the clique structure).
+    *  3. [[connectedComponents]] over those assignment edges only —
+    *     edge count <= n instead of Omega(pairs), so the propagation
+    *     loop is corpus-linear per sweep. The assignment graph is a
+    *     forest with parent < child on every edge, so each tree's min
+    *     id IS its root: `cluster` = the canonical root every member
+    *     transitively points to.
+    *  4. map every original doc through its exact-dup survivor to the
+    *     survivor's cluster root (docs with no near-dup edge keep their
+    *     survivor as cluster).
+    *
+    * Semantics (documented trade-off, inherited from [[simhashAssign]]):
+    * every merge is sound — exact-duplicate or a verified
+    * Hamming<=maxHamming pair, transitively — but the clustering is a
+    * REFINEMENT of the full [[simhashClusters]] closure: a bridge pair
+    * between two docs that both verified against different bucket
+    * representatives is not re-examined, so a true component may come
+    * out split. That is the scale trade: [[simhashPairs]]+
+    * [[simhashClusters]] pay Omega(all pairs) for pigeonhole-complete
+    * components; this chain pays O(bands x n) for sound, linear-output
+    * dedup — the keep/drop decision a training-data pipeline needs.
+    */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val surv = hashed.groupBy("content_hash")
+      .agg(min(col(idCol)).as("survivor"))
+    val doc2surv = hashed.join(surv, "content_hash")
+      .select(col(idCol), col("survivor"))
+    val survDocs = df.join(surv.select(col("survivor").as(idCol)), idCol)
+    val sim = simhash(survDocs, idCol, textCol)
+    val assign = simhashAssign(sim, idCol, maxHamming)
+    val comps = connectedComponents(
+      assign.select(col(idCol).as("d1"), col("canonical").as("d2")),
+      maxIter, sweep)
+    doc2surv.join(comps, doc2surv("survivor") === comps("id"), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col("survivor")).as("cluster"))
   }
 
   /** Free a localCheckpoint'ed dataset's backing RDD blocks.

@@ -146,6 +146,14 @@ object PipelineQueries extends QueryPack {
       "doc_id", maxHamming = 4)
       .orderBy("doc_id")
 
+  // d10: the production dedup chain d1 -> d8 -> components-over-thinned-
+  // edges as one composed operator; the oracle mirrors every stage
+  // (exact survivors, 12-bit band decomposition, bucket-min reps,
+  // verified assignment, recursive ancestor-min root resolution).
+  private def d10DedupPipeline(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupPipeline(docs(s, dir), "doc_id", "text", maxHamming = 4)
+      .orderBy("doc_id")
+
   // t8: per-doc top TF-IDF term — the global-dictionary pattern (a
   // corpus-wide df aggregate joined back per document). tf and idf are
   // IEEE divisions of exact integers plus one ln(); the m2 entropy
@@ -207,6 +215,7 @@ object PipelineQueries extends QueryPack {
     "d7_decontaminate" -> (d7Decontaminate _),
     "d8_simhash_assign" -> (d8SimhashAssign _),
     "d9_simhash_clusters" -> (d9SimhashClusters _),
+    "d10_dedup_pipeline" -> (d10DedupPipeline _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -514,6 +523,57 @@ object PipelineQueries extends QueryPack {
          |m AS (SELECT a AS id, MIN(b) AS mb FROM r GROUP BY 1)
          |SELECT id AS doc_id, CAST(least(id, mb) AS BIGINT) AS cluster
          |FROM m ORDER BY doc_id""".stripMargin,
+    // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
+    // survivors, the simhash kernel over survivors only, the 5 x 12-bit
+    // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),
+    // bucket-min representatives (arg_min carries the rep's simhash),
+    // the verified min-rep assignment, and root resolution as the MIN
+    // ancestor of the recursive parent chain (parent < child on every
+    // edge makes each tree's min id its root).
+    "d10_dedup_pipeline" ->
+      """WITH RECURSIVE
+        |hsh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |surv AS (SELECT h, MIN(doc_id) AS survivor FROM hsh GROUP BY 1),
+        |d2s AS (SELECT doc_id, survivor FROM hsh JOIN surv USING (h)),
+        |sdoc AS (SELECT d.doc_id, d.text FROM documents d
+        |         JOIN surv ON d.doc_id = surv.survivor),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
+        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, j,
+        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM sdoc))
+        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b, (simhash >> CAST(12*b AS INT)) & 4095 AS bits
+        |  FROM sim CROSS JOIN (SELECT unnest(range(5)) AS b)),
+        |reps AS (
+        |  SELECT b, bits, MIN(doc_id) AS rep, arg_min(simhash, doc_id) AS rep_sim
+        |  FROM banded GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT t.doc_id, MIN(r.rep) AS canonical
+        |  FROM banded t JOIN reps r ON t.b = r.b AND t.bits = r.bits
+        |  WHERE r.rep < t.doc_id
+        |    AND bit_count(xor(t.simhash, r.rep_sim)) <= 4
+        |  GROUP BY 1),
+        |anc(doc_id, a) AS (
+        |  SELECT doc_id, canonical FROM asg
+        |  UNION
+        |  SELECT anc.doc_id, asg.canonical FROM anc JOIN asg ON anc.a = asg.doc_id),
+        |root AS (SELECT doc_id, MIN(a) AS root FROM anc GROUP BY 1)
+        |SELECT d.doc_id AS doc_id,
+        |       CAST(coalesce(r.root, d.survivor) AS BIGINT) AS cluster
+        |FROM d2s d LEFT JOIN root r ON r.doc_id = d.survivor
+        |ORDER BY d.doc_id""".stripMargin,
     // t8: multiplication order mirrors the Spark side exactly —
     // (cnt/nt) * ln(nd/df); QUALIFY row_number mirrors min_by's
     // (max tfidf, then smallest term) tie-break.

@@ -25,9 +25,22 @@ object Decontaminate {
     *
     * Real decontamination uses n of 8-13; callers pick n relative to
     * their documents' length distribution.
+    *
+    * The broadcast of the benchmark gram set assumes benchmarks are
+    * small — real eval suites are a few thousand documents. `isBench`
+    * is an arbitrary caller predicate, though, and a careless one
+    * selecting a corpus-scale slice would make the "benchmark" gram set
+    * a multi-GB broadcast (driver/executor OOM), so the assumption is
+    * ENFORCED, not documented away: the bench side is count-gated
+    * (a column-pruned scan of the predicate columns — cheap next to
+    * the gram explode) and above `maxBroadcastBenchDocs` the overlap
+    * falls back to a shuffle join on the gram key, same results, no
+    * broadcast. The gate runs one eager count, so this operator is not
+    * fully lazy — the price of refusing to OOM lazily.
     */
   def flags(docs: DataFrame, idCol: String, textCol: String,
-      isBench: Column, n: Int): DataFrame = {
+      isBench: Column, n: Int,
+      maxBroadcastBenchDocs: Long = 1L << 20): DataFrame = {
     // distinct n-gram shingling reuses the d2/d3 compiled kernel (same
     // lowercase/space-split/first-occurrence semantics, one split per
     // row instead of the interpreted-HOF re-evaluation)
@@ -37,8 +50,15 @@ object Decontaminate {
       explode(col("gs")).as("g"))
     val bench = grams.filter(col("is_bench"))
       .select(col("g"), col("doc_id").as("bench_id"))
+    val nBench = docs.filter(isBench).count()
+    // above the gate, PIN sort-merge: without the hint Catalyst's size
+    // estimate for the exploded gram table (crude for generators) can
+    // still pick an auto-broadcast and OOM exactly as the hint would
+    val benchSide =
+      if (nBench <= maxBroadcastBenchDocs) broadcast(bench)
+      else bench.hint("merge")
     val matched = grams.filter(!col("is_bench"))
-      .join(broadcast(bench), "g")
+      .join(benchSide, "g")
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_matched_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

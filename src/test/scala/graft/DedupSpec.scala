@@ -6,6 +6,21 @@ import graft.dedup.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  /** Min-rooted union-find: label = min id of the component. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
   test("simhash assignment is sound against the exact pair enumeration") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf, "documents")
@@ -33,6 +48,90 @@ class DedupSpec extends SparkSpec {
     Dedup.simhashClusters(sim, "doc_id", maxHamming = 4).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "a dedup operator leaked a cached table into the session")
+  }
+
+  test("connectedComponents: named failure when diameter exceeds the sweep budget") {
+    import spark.implicits._
+    import graft.dedup.ConvergenceException
+    // a path graph 0-1-2-...-12 needs ~12 sweeps for node 12's label to
+    // walk to 0; a 3-sweep budget must fail with the NAMED error (a
+    // diameter-26 graph vs maxIter=25 was a bare require() crash)
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[ConvergenceException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.sweeps === 3)
+    // and with budget >= diameter the same graph converges to one root
+    val labels = Dedup.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 13)
+    assert(labels.forall(_._2 === 0L), "path graph must collapse to min id")
+  }
+
+  test("connectedComponents equals union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val pairs = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val expected = unionFind(pairs)
+      val got = Dedup.connectedComponents(pairs.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial diverged from union-find")
+    }
+  }
+
+  test("sweep strategies (Local/Reliable/Table) agree on the cluster result") {
+    import graft.dedup.SweepCheckpoint
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    def run(s: SweepCheckpoint) =
+      Dedup.simhashClusters(sim, "doc_id", maxHamming = 4, sweep = s)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(SweepCheckpoint.Local)
+    val relDir = java.nio.file.Files.createTempDirectory("cc_rel").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("cc_tbl").toString
+    assert(run(SweepCheckpoint.Reliable(relDir)) === local)
+    assert(run(SweepCheckpoint.Table(tblDir)) === local)
+    // Table frees each sweep once the next lands; only the final sweep
+    // directory (backing the returned frame) may remain
+    val left = new java.io.File(tblDir).listFiles()
+      .filter(_.getName.startsWith("sweep_"))
+    assert(left.length <= 1, s"stale sweep tables: ${left.map(_.getName).toSeq}")
+  }
+
+  test("dedupPipeline: sound merges, root fixed points, closure refinement") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = Dedup.dedupPipeline(docs, "doc_id", "text", maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === docs.count(), "one row per input doc")
+    // cluster ids are canonical roots: never above the member, and the
+    // root itself maps to itself
+    out.foreach { case (doc, cl) =>
+      assert(cl <= doc, s"cluster $cl above member $doc")
+      assert(out(cl) === cl, s"root $cl of $doc is not a fixed point")
+    }
+    // refinement of the full closure: the chain only merges exact dups
+    // and verified Hamming pairs, so two docs it puts together must be
+    // together in (exact groups) U (full simhashClusters over survivors)
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val full = Dedup.simhashClusters(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val md5g = docs.selectExpr("doc_id", "md5(text) AS h")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // map every doc to its full-closure component key (via its exact
+    // survivor so exact dups inherit the survivor's component)
+    val surv = md5g.groupBy(_._2).map { case (h, ms) => h -> ms.keys.min }
+    def fullKey(d: Long): Long = {
+      val s = surv(md5g(d)); full.getOrElse(s, s)
+    }
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      val keys = members.keys.map(fullKey).toSet
+      assert(keys.size === 1,
+        s"pipeline cluster $cl spans full-closure components $keys")
+    }
   }
 
   test("simhash clusters equal union-find over the exact pair graph") {
