@@ -166,9 +166,176 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     val s = exps.sum
     exps.map(_ / s)
   }
+
+  /** Batched forward over same-length padded tensors — bit-identical
+    * to mapping [[forward]] (every row's accumulation order is
+    * unchanged; only the loop NESTING moves the batch into 4-row
+    * tiles), matching the reference's Arrow-batch scoring granularity
+    * (rubin/cats/processor.py:60-169).
+    *
+    * Measured honestly (tools/CatsProfile, local box): the per-row
+    * pass runs at ~4-5 GMAC/s, which is ALREADY the JVM's measured
+    * single-stream axpy ceiling for L2-resident weights (an isolated
+    * `g(k) += x*w(k)` microbench tops out at 5.3 GMAC/s from L2,
+    * 9.6 GMAC/s from L1 — tools/AxpyBench), so weight-reuse tiling
+    * buys ~1.15x here, not TF's order-of-magnitude batch win; without
+    * explicit SIMD (jdk.incubator.vector) or float32 (which would
+    * break the 1e-9 golden pins) the scalar/superword ceiling is the
+    * binding constraint. The batch entry point is still the right
+    * plumbing: it amortizes per-call overhead, and a future vectorized
+    * kernel slots in behind the same API.
+    *
+    * Mixed-length inputs are grouped by length and each group runs in
+    * lockstep (CATS preprocessing pads everything to one maxLen, so in
+    * practice there is one group).
+    */
+  def forwardBatch(xs: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val out = new Array[Array[Double]](xs.length)
+    xs.indices.groupBy(i => xs(i).length).foreach { case (_, idxs) =>
+      val preds = forwardLockstep(idxs.map(xs).toArray)
+      idxs.zipWithIndex.foreach { case (i, k) => out(i) = preds(k) }
+    }
+    out
+  }
+
+  private def forwardLockstep(
+      xs: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val bN = xs.length
+    val steps = xs(0).length
+    val a: Array[Array[Array[Double]]] = xs.map(_.map(_.map(_.toDouble)))
+
+    // ---- CNN branch (batched) ----
+    var cnn: Array[Array[Array[Double]]] = a
+    for (layer <- 0 until 3) {
+      val (in, outC, kdata, bias) = convs(layer)
+      val conv = Array.fill(bN)(Array.ofDim[Double](steps, outC))
+      var t = 0
+      while (t < steps) {
+        var b = 0
+        while (b < bN) {
+          val row = conv(b)(t)
+          var c = 0
+          while (c < outC) { row(c) = bias(c); c += 1 }
+          b += 1
+        }
+        var dt = 0
+        while (dt < 2) {
+          if (t + dt < steps) {
+            var j = 0
+            while (j < in) {
+              val kOff = (dt * in + j) * outC
+              b = 0
+              while (b < bN) {
+                val xv = cnn(b)(t + dt)(j)
+                val row = conv(b)(t)
+                var c = 0
+                while (c < outC) { row(c) += xv * kdata(kOff + c); c += 1 }
+                b += 1
+              }
+              j += 1
+            }
+          }
+          dt += 1
+        }
+        t += 1
+      }
+      val (gamma, beta, mean, variance) = bns(layer)
+      val scale = Array.tabulate(outC)(c =>
+        gamma(c) / math.sqrt(variance(c).toDouble + 1e-3))
+      val shift = Array.tabulate(outC)(c => beta(c).toDouble - mean(c) * scale(c))
+      var b = 0
+      while (b < bN) {
+        val cb = conv(b)
+        var t2 = 0
+        while (t2 < steps) {
+          val row = cb(t2)
+          var c = 0
+          while (c < outC) {
+            val z = row(c) * scale(c) + shift(c)
+            row(c) = z / (1.0 + math.exp(-z)) // swish
+            c += 1
+          }
+          t2 += 1
+        }
+        // squeeze-excitation per row (weights are small; order matches
+        // the single-row path exactly)
+        val pooled = new Array[Double](outC)
+        t2 = 0
+        while (t2 < steps) {
+          val row = cb(t2)
+          var c = 0
+          while (c < outC) { pooled(c) += row(c); c += 1 }
+          t2 += 1
+        }
+        var c = 0
+        while (c < outC) { pooled(c) /= steps; c += 1 }
+        val (w1, w2) = seDense(layer)
+        val hid = Array.tabulate(w1(0).length) { h =>
+          var z = 0.0; var j = 0
+          while (j < outC) { z += pooled(j) * w1(j)(h); j += 1 }
+          math.max(z, 0.0)
+        }
+        val gate = Array.tabulate(outC) { g =>
+          var z = 0.0; var j = 0
+          while (j < hid.length) { z += hid(j) * w2(j)(g); j += 1 }
+          1.0 / (1.0 + math.exp(-z))
+        }
+        t2 = 0
+        while (t2 < steps) {
+          val row = cb(t2)
+          c = 0
+          while (c < outC) { row(c) *= gate(c); c += 1 }
+          t2 += 1
+        }
+        b += 1
+      }
+      cnn = conv
+    }
+
+    // ---- RNN branch (batched lockstep) ----
+    val h1 = lstm1.sequencesBatch(a)
+    val rnnOut = lstm2.lastStateBatch(h1)
+
+    // ---- head + global max pool, per row ----
+    Array.tabulate(bN) { b =>
+      val cb = cnn(b)
+      val cnnOut = new Array[Double](cb(0).length)
+      java.util.Arrays.fill(cnnOut, Double.NegativeInfinity)
+      for (t <- 0 until steps; c <- cnnOut.indices)
+        if (cb(t)(c) > cnnOut(c)) cnnOut(c) = cb(t)(c)
+      val cat = rnnOut(b) ++ cnnOut
+      val hidden = Array.tabulate(headB.length) { h =>
+        var z = headB(h); var j = 0
+        while (j < cat.length) { z += cat(j) * headW(j)(h); j += 1 }
+        if (z >= 0) z else 0.3 * z // LeakyReLU(alpha=0.3)
+      }
+      val logits = Array.tabulate(outB.length) { c =>
+        var z = outB(c); var j = 0
+        while (j < hidden.length) { z += hidden(j) * outW(j)(c); j += 1 }
+        z
+      }
+      val mx = logits.max
+      val exps = logits.map(z => math.exp(z - mx))
+      val s = exps.sum
+      exps.map(_ / s)
+    }
+  }
 }
 
 object CatsModel {
+
+  /** tanh via the exp identity. java.lang.Math.tanh on JDK 17 is a
+    * NATIVE fdlibm call (no x86 intrinsic until much later JDKs) at
+    * ~100 ns/call — the LSTM makes ~316k tanh calls per forward, which
+    * profiling showed dominating the pass, ahead of the matmuls.
+    * Math.exp IS a HotSpot intrinsic. |difference| vs fdlibm is ~1 ulp;
+    * the golden pins (1e-9 vs independent NumPy float64) hold because
+    * the LSTM recurrence is contractive (gates saturate, cell state is
+    * convexly mixed), so per-call 1e-16 noise cannot amplify.
+    */
+  @inline private[models] def tanhFast(z: Double): Double =
+    if (z >= 0) { val e = math.exp(-2.0 * z); (1.0 - e) / (1.0 + e) }
+    else { val e = math.exp(2.0 * z); (e - 1.0) / (e + 1.0) }
 
   /** One Keras LSTM cell: kernel (in, 4u), recurrent (u, 4u), bias (4u);
     * gate column order i, f, c-candidate, o.
@@ -214,13 +381,125 @@ object CatsModel {
         while (u < units) {
           val i = 1.0 / (1.0 + math.exp(-gates(u)))
           val f = 1.0 / (1.0 + math.exp(-gates(units + u)))
-          val cand = math.tanh(gates(2 * units + u))
+          val cand = tanhFast(gates(2 * units + u))
           val o = 1.0 / (1.0 + math.exp(-gates(3 * units + u)))
           c(u) = f * c(u) + i * cand
-          h(u) = o * math.tanh(c(u))
+          h(u) = o * tanhFast(c(u))
           u += 1
         }
         out(step) = h.clone()
+        step += 1
+      }
+      out
+    }
+
+    /** Batched [[run]] over same-length sequences in lockstep:
+      * per-row gate accumulation order is unchanged (j ascending, then
+      * recurrent j ascending, gate index ascending) so results are
+      * bit-identical to mapping [[run]]; the batch loop sits INSIDE
+      * the weight-row loop so each 4u-wide kernel/recurrent row is
+      * read from L2 once per step and reused across the batch — the
+      * per-row path re-streams the full weight matrices every row.
+      */
+    def runBatch(x: Array[Array[Array[Double]]],
+        reverse: Boolean): Array[Array[Array[Double]]] = {
+      val bN = x.length
+      val n = x(0).length
+      val inDim = if (n == 0) 0 else x(0)(0).length
+      val h = Array.ofDim[Double](bN, units)
+      val c = Array.ofDim[Double](bN, units)
+      val out = Array.fill(bN)(new Array[Array[Double]](n))
+      val gates = Array.ofDim[Double](bN, 4 * units)
+      var step = 0
+      while (step < n) {
+        val ti = if (reverse) n - 1 - step else step
+        var b = 0
+        while (b < bN) {
+          val g = gates(b)
+          var k = 0
+          while (k < 4 * units) { g(k) = bias(k); k += 1 }
+          b += 1
+        }
+        // 4-row tiles with the TILE OUTERMOST: each tile streams the
+        // (in+units) x 4u weight matrices from L2 once for 4 rows
+        // while its 4 gate rows (~19 KB) stay L1-resident across the
+        // whole j loop (tile-inside-j would cycle every row's gates
+        // through L1 per weight row). Measured gain is a modest
+        // ~1.15x — the axpy loop is already near the JVM's superword
+        // ceiling (see tools/AxpyBench) — but the shape is the right
+        // one for a future explicit-SIMD kernel.
+        b = 0
+        while (b + 4 <= bN) {
+          val g0 = gates(b); val g1 = gates(b + 1)
+          val g2 = gates(b + 2); val g3 = gates(b + 3)
+          var j = 0
+          while (j < inDim) {
+            val kr = kernel(j)
+            val x0 = x(b)(ti)(j); val x1 = x(b + 1)(ti)(j)
+            val x2 = x(b + 2)(ti)(j); val x3 = x(b + 3)(ti)(j)
+            var k = 0
+            val len = kr.length
+            while (k < len) {
+              val w = kr(k)
+              g0(k) += x0 * w; g1(k) += x1 * w
+              g2(k) += x2 * w; g3(k) += x3 * w
+              k += 1
+            }
+            j += 1
+          }
+          j = 0
+          while (j < units) {
+            val rr = recurrent(j)
+            val x0 = h(b)(j); val x1 = h(b + 1)(j)
+            val x2 = h(b + 2)(j); val x3 = h(b + 3)(j)
+            var k = 0
+            val len = rr.length
+            while (k < len) {
+              val w = rr(k)
+              g0(k) += x0 * w; g1(k) += x1 * w
+              g2(k) += x2 * w; g3(k) += x3 * w
+              k += 1
+            }
+            j += 1
+          }
+          b += 4
+        }
+        while (b < bN) { // remainder rows, single-row order
+          val g = gates(b)
+          var j = 0
+          while (j < inDim) {
+            val kr = kernel(j)
+            val xv = x(b)(ti)(j)
+            var k = 0
+            while (k < 4 * units) { g(k) += xv * kr(k); k += 1 }
+            j += 1
+          }
+          j = 0
+          while (j < units) {
+            val rr = recurrent(j)
+            val hv = h(b)(j)
+            var k = 0
+            while (k < 4 * units) { g(k) += hv * rr(k); k += 1 }
+            j += 1
+          }
+          b += 1
+        }
+        b = 0
+        while (b < bN) {
+          val g = gates(b); val hb = h(b); val cb = c(b)
+          var u = 0
+          while (u < units) {
+            val i = 1.0 / (1.0 + math.exp(-g(u)))
+            val f = 1.0 / (1.0 + math.exp(-g(units + u)))
+            val cand = tanhFast(g(2 * units + u))
+            val o = 1.0 / (1.0 + math.exp(-g(3 * units + u)))
+            cb(u) = f * cb(u) + i * cand
+            hb(u) = o * tanhFast(cb(u))
+            u += 1
+          }
+          out(b)(step) = hb.clone()
+          b += 1
+        }
         step += 1
       }
       out
@@ -244,6 +523,24 @@ object CatsModel {
       val f = fwd.run(x, reverse = false)
       val b = bwd.run(x, reverse = true)
       f.last ++ b.last
+    }
+
+    /** Batched [[sequences]] (lockstep; see [[LstmCell.runBatch]]). */
+    def sequencesBatch(
+        x: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+      val f = fwd.runBatch(x, reverse = false)
+      val b = bwd.runBatch(x, reverse = true)
+      val n = x(0).length
+      Array.tabulate(x.length)(r =>
+        Array.tabulate(n)(t => f(r)(t) ++ b(r)(n - 1 - t)))
+    }
+
+    /** Batched [[lastState]] (lockstep; see [[LstmCell.runBatch]]). */
+    def lastStateBatch(
+        x: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+      val f = fwd.runBatch(x, reverse = false)
+      val b = bwd.runBatch(x, reverse = true)
+      Array.tabulate(x.length)(r => f(r).last ++ b(r).last)
     }
   }
 

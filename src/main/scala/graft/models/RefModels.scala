@@ -155,4 +155,21 @@ object RefModels {
       with Serializable {
     def apply(x: Array[Array[Float]]): Array[Double] = catsSeqScorer(x)
   }
+
+  /** Batched sibling of [[CatsScorer]] (same serialization-light
+    * executor-lazy pattern): scores a whole partition batch through
+    * [[CatsModel.forwardBatch]] — one call per batch like the
+    * reference's Arrow-batch pandas UDF, bit-identical to mapping the
+    * per-row scorer. Falls back to mapping the stand-in when the
+    * archive is absent.
+    */
+  object CatsBatchScorer
+      extends (Array[Array[Array[Float]]] => Array[Array[Double]])
+      with Serializable {
+    def apply(xs: Array[Array[Array[Float]]]): Array[Array[Double]] =
+      cats match {
+        case Some(m) => m.forwardBatch(xs)
+        case None => xs.map(StubModels.seqSoftmax("cats", 5))
+      }
+  }
 }

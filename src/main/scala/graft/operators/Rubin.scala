@@ -215,28 +215,61 @@ object Rubin {
     * independent NumPy evaluation in CatsModelSpec).
     */
   def catsBroadClass(spark: SparkSession, df: DataFrame, nClasses: Int = 5,
-      seqScorer: Array[Array[Float]] => Array[Double] =
-        graft.models.RefModels.CatsScorer): DataFrame = {
-    val kernel = udf((cflux: Seq[java.lang.Double], cerr: Seq[java.lang.Double],
-        cmjd: Seq[java.lang.Double], cband: Seq[String]) => {
-      def arr(xs: Seq[java.lang.Double]) =
-        if (xs == null) Array.empty[Double]
-        else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
-      val t = arr(cmjd)
-      if (t.length <= 1) Array.fill(nClasses)(0.0) // reference mask
-      else {
-        val b = if (cband == null) Array.fill(t.length)("")
-          else cband.map(x => if (x == null) "" else x).toArray
-        seqScorer(catsInputTensor(t, arr(cflux), arr(cerr), b))
+      batchScorer: Array[Array[Array[Float]]] => Array[Array[Double]] =
+        graft.models.RefModels.CatsBatchScorer,
+      batchRows: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // stage the four typed series as leading columns so the partition
+    // kernel reads by fixed index; mapPartitions (not a row UDF) so the
+    // model scores one stacked batch per group of rows — the
+    // reference's Arrow-batch granularity (rubin/cats/processor.py:
+    // 60-169). The forward also computes the preds exactly once per
+    // row per materialization (the old row-UDF path needed
+    // asNondeterministic to stop ProjectCollapse re-evaluating it per
+    // downstream reference).
+    val staged = df.select(Seq(
+      col("cpsfFlux").cast("array<double>").as("__cflux"),
+      col("cpsfFluxErr").cast("array<double>").as("__cerr"),
+      col("cmidpointMjdTai").cast("array<double>").as("__cmjd"),
+      col("cband").cast("array<string>").as("__cband")) ++
+        df.columns.map(col): _*)
+    val outSchema = staged.schema.add("cats_preds",
+      ArrayType(DoubleType, containsNull = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val scored = staged.mapPartitions { it =>
+      it.grouped(batchRows).flatMap { rows =>
+        def arr(r: Row, i: Int): Array[Double] = {
+          val xs = if (r.isNullAt(i)) null else r.getSeq[java.lang.Double](i)
+          if (xs == null) Array.empty[Double]
+          else xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+        }
+        // rows passing the reference's >=2-point gate go to the model
+        // as ONE stacked batch; the rest keep the all-zero vector
+        val tensors = Array.newBuilder[Array[Array[Float]]]
+        val slot = new Array[Int](rows.length)
+        var nScore = 0
+        rows.zipWithIndex.foreach { case (r, i) =>
+          val t = arr(r, 2)
+          if (t.length <= 1) slot(i) = -1
+          else {
+            val bs = if (r.isNullAt(3)) null else r.getSeq[String](3)
+            val b = if (bs == null) Array.fill(t.length)("")
+              else bs.map(x => if (x == null) "" else x).toArray
+            tensors += catsInputTensor(t, arr(r, 0), arr(r, 1), b)
+            slot(i) = nScore
+            nScore += 1
+          }
+        }
+        val preds = if (nScore > 0) batchScorer(tensors.result()) else Array.empty[Array[Double]]
+        rows.zipWithIndex.map { case (r, i) =>
+          val p = if (slot(i) < 0) Array.fill(nClasses)(0.0) else preds(slot(i))
+          Row.fromSeq(r.toSeq :+ p.toSeq)
+        }
       }
-    })
-    // asNondeterministic stops ProjectCollapse from inlining the
-    // expensive forward pass once per downstream reference (argmax +
-    // max + callers each re-evaluating a ~120 ms model run per row);
-    // the kernel itself is pure
-    df.withColumn("cats_preds", kernel.asNondeterministic()(
-      col("cpsfFlux").cast("array<double>"), col("cpsfFluxErr").cast("array<double>"),
-      col("cmidpointMjdTai").cast("array<double>"), col("cband")))
+    }
+    scored.drop("__cflux", "__cerr", "__cmjd", "__cband")
       .withColumn("cats_broad_class",
         expr("array_position(cats_preds, array_max(cats_preds)) - 1").cast("int"))
   }

@@ -198,7 +198,10 @@ object AlertQueries extends QueryPack {
         transform(col("obs"), o => o.getField("b")).as("cband"))
       // spread the heavy per-row model evaluation across the executor
       // pool (AQE would otherwise coalesce this small frame to one
-      // partition and serialize the forwards)
+      // partition and serialize the forwards). Hash on the key:
+      // round-robin was measured no better — RoundRobinPartitioning
+      // inserts a per-partition determinism sort that eats the evener
+      // spread
       .repartition(32, col("user_id"))
   }
 
