@@ -238,6 +238,24 @@ object AvroReader {
         }
         inf.end()
         out.toByteArray
+      // snappy (spark-avro's DEFAULT write codec, so most Avro archives
+      // other Spark jobs produce use it): raw-snappy block + 4-byte
+      // big-endian CRC32 of the UNCOMPRESSED data (Avro spec 1.12
+      // "Required Codecs"). snappy-java ships with Spark itself
+      // (/opt/spark/jars), so this adds no dependency beyond the
+      // runtime every deployment already has.
+      case "snappy" =>
+        require(size >= 4, "avro: snappy block shorter than its checksum")
+        val data = org.xerial.snappy.Snappy.uncompress(
+          java.util.Arrays.copyOfRange(payload, 0, size - 4))
+        val crc = new java.util.zip.CRC32
+        crc.update(data)
+        val want = ((payload(size - 4) & 0xffL) << 24) |
+          ((payload(size - 3) & 0xffL) << 16) |
+          ((payload(size - 2) & 0xffL) << 8) | (payload(size - 1) & 0xffL)
+        require(crc.getValue == want,
+          "avro: snappy block CRC mismatch (corrupt block)")
+        data
       case other => sys.error(s"avro: unsupported codec '$other'")
     }
     def rows: Iterator[Row] = new Iterator[Row] {
@@ -491,9 +509,11 @@ object AvroReader {
   }
 }
 
-/** Minimal container writer (null codec or deflate) — enough to round-
-  * trip DataFrames through the reader and to emit alert-shaped test
-  * files. Distributed writes go one container per partition.
+/** Minimal container writer (null, deflate or snappy codec) — enough
+  * to round-trip DataFrames through the reader, interoperate with
+  * spark-avro (whose default write codec is snappy), and emit
+  * alert-shaped test files. Distributed writes go one container per
+  * partition.
   */
 object AvroWriter {
   import AvroSchema._
@@ -642,6 +662,17 @@ object AvroWriter {
             val tmp = new Array[Byte](8192)
             while (!def_.finished()) o.write(tmp, 0, def_.deflate(tmp))
             def_.end()
+            o.toByteArray
+          case "snappy" => // raw snappy + big-endian CRC32 of the raw data
+            val data = raw.toByteArray
+            val comp = org.xerial.snappy.Snappy.compress(data)
+            val crc = new java.util.zip.CRC32
+            crc.update(data)
+            val o = new ByteArrayOutputStream(comp.length + 4)
+            o.write(comp, 0, comp.length)
+            val c = crc.getValue
+            o.write((c >>> 24).toInt & 0xff); o.write((c >>> 16).toInt & 0xff)
+            o.write((c >>> 8).toInt & 0xff); o.write(c.toInt & 0xff)
             o.toByteArray
           case other => sys.error(s"avro: unsupported codec '$other'")
         }

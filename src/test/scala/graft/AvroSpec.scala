@@ -154,6 +154,7 @@ class AvroSpec extends SparkSpec {
     // and sweep the first boundary across the header's trailing sync
     // marker itself: msb in (blocksStart-16, blocksStart] once made BOTH
     // adjacent splits claim the first block (double-read regression)
+    // (see snappy interop tests below for the codec axis)
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/one.avro"))
     val blocksStart = AvroReader.container(bytes).blocksStart.toLong
@@ -164,5 +165,79 @@ class AvroSpec extends SparkSpec {
       assert(got === expected, s"row multiset diverged at maxSplitBytes=$msb" +
         s" (blocksStart=$blocksStart)")
     }
+  }
+
+  test("snappy containers written by the Avro reference library read back") {
+    // ground truth from org.apache.avro's own DataFileWriter (the
+    // library spark-avro writes through; ships in /opt/spark/jars) with
+    // its snappy codec — the default codec of spark-avro, previously an
+    // 'unsupported codec' interop gap
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("doc").fields()
+      .requiredLong("doc_id").requiredString("text").endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("avro_snappy").toString
+    val f = new java.io.File(s"$dir/ref.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.snappyCodec())
+    // small sync interval -> many blocks, so readSplit crosses block
+    // boundaries too
+    w.setSyncInterval(256)
+    w.create(schema, f)
+    val n = 300
+    (0 until n).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("doc_id", i.toLong)
+      r.put("text", s"payload $i " + ("x" * (i % 37)))
+      w.append(r)
+    }
+    w.close()
+    val got = AvroReader.read(spark, f.getPath)
+    assert(got.count() === n)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until n.toLong))
+    assert(got.filter(col("doc_id") === 5).select("text").head.getString(0)
+      === "payload 5 xxxxx")
+    val split = AvroReader.readSplit(spark, f.getPath, maxSplitBytes = 512)
+    assert(split.count() === n)
+    assert(split.exceptAll(got).count() === 0)
+  }
+
+  test("snappy round-trip through our writer; corrupt CRC is rejected") {
+    import spark.implicits._
+    val src = (0L until 200L).map(i => (i, s"text $i")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("avro_snap_rt").toString
+    val schema = graft.sources.AvroWriter.schemaFor(src.schema)
+    graft.sources.AvroWriter.write(s"$dir/rt.avro", schema,
+      src.collect().iterator, "snappy", blockRows = 16)
+    val back = AvroReader.read(spark, s"$dir/rt.avro")
+    assert(back.count() === 200)
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // the reference library must also read our container
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val rd = new DataFileReader[GenericRecord](
+      new java.io.File(s"$dir/rt.avro"), new GenericDatumReader[GenericRecord]())
+    var cnt = 0
+    while (rd.hasNext) { rd.next(); cnt += 1 }
+    rd.close()
+    assert(cnt === 200, "org.apache.avro could not read our snappy container")
+    // flip one payload byte: CRC verification must reject the block
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/rt.avro"))
+    val c = AvroReader.container(bytes)
+    bytes(c.blocksStart + 4) = (bytes(c.blocksStart + 4) ^ 0x1).toByte
+    val corrupt = java.nio.file.Paths.get(s"$dir/corrupt.avro")
+    java.nio.file.Files.write(corrupt, bytes)
+    val e = intercept[Throwable] {
+      AvroReader.read(spark, corrupt.toString).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null &&
+      (m.contains("CRC") || m.contains("FAILED_TO_UNCOMPRESS") ||
+        m.contains("corrupt"))), s"unexpected error: $e")
   }
 }
