@@ -68,6 +68,30 @@ object PipelineQueries extends QueryPack {
     Similarity.srpTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
       .select(col("id").as("vec_id"), col("bucket"), col("cos"))
 
+  // s5/s6: BATCHED ANN — the production entry point serves a query
+  // TABLE (every 50th vector here), not a single id: the corpus joins
+  // the query set's probe cells/buckets with an equi-join, per-query
+  // top-k by window rank. k=5 keeps output row counts moderate.
+  private def s5KnnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    Similarity.ivfTopKAll(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5)
+      .select(col("qid").as("query_id"), col("id").as("vec_id"),
+        col("cell"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
+  private def s6SrpBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    Similarity.srpTopKAll(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5)
+      .select(col("qid").as("query_id"), col("id").as("vec_id"),
+        col("bucket"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("vec_id"))
+  }
+
   // s4: int8 quantization fidelity — floor-arithmetic quantization so
   // both engines agree without a rounding-mode contract.
   private def s4Quantize(s: SparkSession, dir: String): DataFrame =
@@ -220,6 +244,8 @@ object PipelineQueries extends QueryPack {
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
     "s4_quantize" -> (s4Quantize _),
+    "s5_knn_batch" -> (s5KnnBatch _),
+    "s6_knn_srp_batch" -> (s6SrpBatch _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -395,6 +421,64 @@ object PipelineQueries extends QueryPack {
         |FROM asg a JOIN probe USING (cell), q
         |WHERE a.vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // s5: batched IVF mirror — assignment and probe-cell selection via
+    // the same dot-product identities and (distance, cell) tie-break;
+    // per-query top-k as row_number over (cos DESC, vec_id ASC).
+    "s5_knn_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e.vec_id, c.cell, e.v,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
+        |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
+        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |qc AS (
+        |  SELECT qid, qv, cell FROM (
+        |    SELECT q.qid, q.qv, c.cell,
+        |           row_number() OVER (PARTITION BY q.qid ORDER BY
+        |             (list_dot_product(c.cv, c.cv) + list_dot_product(q.qv, q.qv)
+        |              - 2.0 * list_dot_product(c.cv, q.qv)) ASC, c.cell ASC) AS rn
+        |    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+        |cand AS (
+        |  SELECT qc.qid AS query_id, a.vec_id, a.cell,
+        |         list_dot_product(a.v, qc.qv) /
+        |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cos
+        |  FROM asg a JOIN qc ON a.cell = qc.cell AND a.vec_id <> qc.qid)
+        |SELECT query_id, vec_id, cell, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) WHERE rk <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
+    // s6: batched SRP mirror — the engine's Hamming-ball bucket
+    // expansion is set-equivalent to the direct bit_count(xor) <= r
+    // predicate (each corpus bucket matches exactly one mask), so the
+    // oracle states the predicate directly.
+    "s6_knn_srp_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT max(len(v)) AS dim FROM e),
+        |pw AS (SELECT p.p,
+        |         list(CASE WHEN CAST(concat('0x', substr(md5(p.p || ':' || i.i),1,15)) AS BIGINT) & 1 = 1
+        |              THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS w
+        |       FROM (SELECT unnest(range(8)) AS p) p, d,
+        |            LATERAL (SELECT unnest(range(d.dim)) AS i) i
+        |       GROUP BY 1),
+        |b AS (SELECT e.vec_id, e.v,
+        |        CAST(sum(CASE WHEN list_dot_product(e.v, pw.w) > 0
+        |             THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM e CROSS JOIN pw GROUP BY 1, 2),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id % 50 = 0),
+        |cand AS (
+        |  SELECT q.qid AS query_id, b.vec_id, b.bucket,
+        |    list_dot_product(b.v, q.qv) /
+        |      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM b CROSS JOIN q
+        |  WHERE b.vec_id <> q.qid AND bit_count(xor(b.bucket, q.qb)) <= 1)
+        |SELECT query_id, vec_id, bucket, cos FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) WHERE rk <= 5
+        |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
     // s4: list_transform mirrors the quantize/dequantize arithmetic
     // element-for-element; mse/cos come from the same dot identities in
     // the same association as the Spark side.

@@ -106,6 +106,97 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched IVF search: top-k per row of a query TABLE — the
+    * production entry point (a similarity service answers a probe SET,
+    * not one id). Shape: the cell assignment is computed once
+    * (reusable/materializable); the query set expands to its `nprobe`
+    * closest cells (a broadcast-sized table — queries x ncells rows)
+    * and the corpus joins it with an EQUI-join on the cell key, so
+    * each corpus row meets only the queries probing its cell — never
+    * an all-pairs product. Per-query ranking is one window row_number
+    * over the candidate set, keyed by the query id.
+    *
+    * `queries` carries (`qidCol`, `qvecCol`); self-matches (corpus id
+    * == query id) are excluded like the single-query operators.
+    */
+  def ivfTopKAll(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, ncells: Int = 8, nprobe: Int = 2): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(qidCol).as("qid"),
+      asDouble(col(qvecCol)).as("qv"))
+    val cent = e.filter(col("id") < ncells)
+      .select(col("id").as("cell"), col("v").as("cv"))
+    // per-query probe cells: queries x ncells is broadcast-sized; the
+    // nprobe cut is a row_number over that tiny table, not the corpus
+    val qcells = q.join(broadcast(cent))
+      .withColumn("d", Vec.sqDist(col("cv"), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    assignCells(emb, idCol, vecCol, ncells)
+      .join(broadcast(qcells), "cell")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("cell"), col("cos"))
+  }
+
+  /** Batched SRP search: top-k per query-table row. Better than a
+    * per-query replay of [[srpTopK]]'s non-equi Hamming join: each
+    * query EXPANDS to its whole Hamming-<=maxHamming probe ball
+    * (sum of C(nPlanes, r) buckets — 9 for 8 planes at radius 1), and
+    * the corpus bucket table joins that expansion with an EQUI-join on
+    * the bucket value. The ball is enumerated driver-side (it is a
+    * function of two small integers, not of data) and shipped as one
+    * literal array.
+    */
+  def srpTopKAll(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
+    import graft.functions.Hashing
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = e.agg(max(size(col("v"))).as("dim"))
+    val planes = dim
+      .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
+      .select(col("p"),
+        transform(sequence(lit(0), col("dim") - 1),
+          i => when(Hashing.hash60(i.cast("string"), col("p"))
+            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
+    def bucketOf(df: DataFrame, idc: String, vc: String): DataFrame =
+      df.join(broadcast(planes))
+        .select(col(idc), col(vc),
+          when(Vec.dot(col(vc), col("w")) > lit(0.0),
+            expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
+        .groupBy(col(idc))
+        .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
+    val bucketed = bucketOf(e, "id", "v")
+    val q = bucketOf(
+      queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qv")),
+      "qid", "qv")
+    // Hamming ball of xor-masks at radius <= maxHamming (driver-side:
+    // depends only on nPlanes/maxHamming)
+    val ball = (0L until (1L << nPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+    val probes = q.select(col("qid"), col("qv"), col("bucket").as("qb"),
+      explode(lit(ball.toArray)).as("mask"))
+      .select(col("qid"), col("qv"),
+        col("mask").bitwiseXOR(col("qb")).as("bucket"))
+    bucketed
+      .join(broadcast(probes), "bucket")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("bucket"), col("cos"))
+  }
+
   /** IVF search: probe the `nprobe` cells closest to the query vector,
     * exact cosine top-k within them.
     */

@@ -124,6 +124,19 @@ class PlanSpec extends SparkSpec {
       "rollup must not rescan the table per subtotal level")
   }
 
+  test("s5/s6 batched ANN: corpus joins the probe set by key, no all-pairs product") {
+    for (q <- Seq("s5_knn_batch", "s6_knn_srp_batch")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian product")
+      // the corpus-side candidate join must be a HASH equi-join on the
+      // bucketing key (cell/bucket); only the broadcast-tiny query-prep
+      // frames (planes, centroids, dim) may nested-loop
+      assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+        (l.contains("cell#") || l.contains("bucket#"))),
+        s"$q corpus join is not keyed on the cell/bucket")
+    }
+  }
+
   test("s3 srp: plane table and query row broadcast, top-k without full sort") {
     val p = plan("s3_knn_srp")
     assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
