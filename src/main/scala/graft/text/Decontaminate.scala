@@ -46,11 +46,21 @@ object Decontaminate {
     // row instead of the interpreted-HOF re-evaluation)
     val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
       graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
+    flagsFromShingled(base, docs.filter(isBench).count(),
+      maxBroadcastBenchDocs)
+  }
+
+  /** The d7 engine over a pre-shingled (doc_id, is_bench, gs) relation
+    * — [[graft.text.TextFamily]] feeds this from its shared token
+    * table. `nBench` is the pre-counted benchmark-doc cardinality the
+    * broadcast gate checks.
+    */
+  def flagsFromShingled(base: DataFrame, nBench: Long,
+      maxBroadcastBenchDocs: Long = 1L << 20): DataFrame = {
     val grams = base.select(col("doc_id"), col("is_bench"),
       explode(col("gs")).as("g"))
     val bench = grams.filter(col("is_bench"))
       .select(col("g"), col("doc_id").as("bench_id"))
-    val nBench = docs.filter(isBench).count()
     // above the gate, PIN sort-merge: without the hint Catalyst's size
     // estimate for the exploded gram table (crude for generators) can
     // still pick an auto-broadcast and OOM exactly as the hint would

@@ -24,9 +24,19 @@ object TfIdf {
   /** (doc_id, top_term, top_tfidf): the max-tf-idf term per document,
     * ties to the lexicographically smallest term.
     */
-  def topTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      split(lower(col(textCol)), " ").as("toks"))
+  def topTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    topTermFromTokens(
+      docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("toks")),
+      docs.agg(count(lit(1)).as("nd")))
+
+  /** The t8 engine over a pre-tokenized (doc_id, toks) relation —
+    * [[graft.text.TextFamily]] feeds this from its shared cached token
+    * table; the standalone [[topTerm]] builds its own lean projection.
+    * `nDocs` is a 1-row (nd) frame so the caller controls which corpus
+    * count N means.
+    */
+  def topTermFromTokens(base: DataFrame, nDocs: DataFrame): DataFrame = {
     // nt (doc token total) rides through the explode as a constant per
     // doc, so no separate length join/scan is needed
     // The term table feeds BOTH the df dictionary and the score join;
@@ -36,16 +46,16 @@ object TfIdf {
     // (1.18 s vs 1.66 s at sf0.1 — materialization costs more than the
     // second pruned scan); at corpus scale the right form is a
     // PERSISTED term table reused across this and other vocabulary
-    // consumers, not an in-query cache.
+    // consumers (graft.text.TextFamily is that opt-in), not an
+    // in-query cache.
     val terms = base
       .select(col("doc_id"), size(col("toks")).as("nt"),
         explode(col("toks")).as("tok"))
       .groupBy("doc_id", "nt", "tok").agg(count(lit(1)).as("cnt"))
     val df = terms.groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("nd"))
     terms
       .join(df, "tok")
-      .join(broadcast(n))
+      .join(broadcast(nDocs))
       .withColumn("tfidf",
         (col("cnt").cast("double") / col("nt")) *
           // NativeLn, not functions.log: Catalyst log is StrictMath

@@ -84,6 +84,23 @@ class RepetitionSpec extends SparkSpec {
     assert(r(0).getLong(1) === 6L && r(0).getBoolean(3))
   }
 
+  test("text family runs t8/t3/d7 off one token table with identical results") {
+    val docs = Tables.t(spark, sf, "documents")
+    val isBench = col("doc_id") % 97 === 0
+    val fam = graft.text.TextFamily.run(docs, "doc_id", "text",
+      groupCol = "source", isBench = isBench, gramN = 4)
+    try {
+      assert(fam.topTerm.orderBy("doc_id").collect() ===
+        graft.text.TfIdf.topTerm(docs, "doc_id", "text")
+          .orderBy("doc_id").collect())
+      assert(fam.tokenStats.orderBy("source").collect() ===
+        SparkEntry.queries("t3_token_stats")(spark, sf).collect())
+      assert(fam.decontamination.orderBy("doc_id").collect() ===
+        Decontaminate.flags(docs, "doc_id", "text", isBench, 4)
+          .orderBy("doc_id").collect())
+    } finally fam.unpersist()
+  }
+
   test("a fat bench predicate takes the shuffle-join path, identical output") {
     val docs = Tables.t(spark, sf, "documents")
     // a careless predicate selecting ~a third of the corpus as the
