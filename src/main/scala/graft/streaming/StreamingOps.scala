@@ -46,32 +46,53 @@ object StreamingOps {
     * feed rather than a snapshot. flatMapGroupsWithState in Append mode:
     * per-fingerprint state is one (firstId, count) pair, partition-local
     * after the groupBy shuffle, so state scales with DISTINCT content,
-    * not stream length; a production deployment would add a state TTL
-    * (GroupStateTimeout) once upstream guarantees a dup-arrival horizon.
+    * not stream length.
+    *
+    * `ttl` bounds state LIFETIME as well: when upstream guarantees a
+    * dup-arrival horizon (e.g. "copies arrive within 7 days"), pass it
+    * as a processing-time duration and each fingerprint's state is
+    * dropped after `ttl` without a new sighting — state becomes
+    * O(distinct content per horizon) instead of O(distinct content
+    * ever). The TTL is SLIDING (every sighting re-arms it), and an
+    * expired fingerprint's next copy re-admits — by construction, the
+    * accepted trade for bounded state.
     *
     * Input must carry (doc_id, fp) — fingerprint upstream via
     * [[graft.text.TextOps.fingerprint]] so the hash is computed map-side
     * before the shuffle.
     */
-  def streamingDedup(spark: SparkSession, docs: DataFrame): Dataset[Doc] = {
+  def streamingDedup(spark: SparkSession, docs: DataFrame,
+      ttl: Option[String] = None): Dataset[Doc] = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.select(col("doc_id"), col("fp")).as[Doc]
       .groupByKey(_.fp)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (fp: String, rows: Iterator[Doc], state: GroupState[SeenState]) =>
-          // within a micro-batch the iterator preserves no global order;
-          // keep the smallest doc_id as the canonical first sighting so
-          // the operator is deterministic under shuffle
-          var firstNew = Long.MaxValue
-          var n = 0L
-          rows.foreach { d => n += 1; if (d.doc_id < firstNew) firstNew = d.doc_id }
-          state.getOption match {
-            case Some(s) =>
-              state.update(SeenState(s.firstId, s.nCopies + n))
-              Iterator.empty
-            case None =>
-              state.update(SeenState(firstNew, n))
-              Iterator.single(Doc(firstNew, fp))
+          if (state.hasTimedOut) {
+            // no sighting within the TTL: evict; the next copy (if any)
+            // re-enters the None branch below and is re-admitted
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch the iterator preserves no global
+            // order; keep the smallest doc_id as the canonical first
+            // sighting so the operator is deterministic under shuffle
+            var firstNew = Long.MaxValue
+            var n = 0L
+            rows.foreach { d => n += 1; if (d.doc_id < firstNew) firstNew = d.doc_id }
+            val out = state.getOption match {
+              case Some(s) =>
+                state.update(SeenState(s.firstId, s.nCopies + n))
+                Iterator.empty
+              case None =>
+                state.update(SeenState(firstNew, n))
+                Iterator.single(Doc(firstNew, fp))
+            }
+            ttl.foreach(state.setTimeoutDuration) // sliding re-arm
+            out
           }
       }
   }

@@ -102,6 +102,43 @@ class StreamingOpsSpec extends SparkSpec {
       "a later copy leaked through — state did not survive the batch boundary")
   }
 
+  test("ingest-dedup TTL: an expired fingerprint's duplicate re-admits") {
+    import spark.implicits._
+    // three single-row files replayed as three micro-batches:
+    //   batch 0: fp A (doc 1)      -> emitted, 1 ms TTL armed
+    //   batch 1: fp B (doc 2)      -> A has no sighting and its TTL
+    //                                 passed -> A's state evicted
+    //   batch 2: fp A again (doc 3) -> no state -> RE-ADMITTED
+    // without the TTL doc 3 is suppressed (previous test pins that)
+    val slices = Seq(
+      Seq((1L, "A")), Seq((2L, "B")), Seq((3L, "A")))
+    val dir = java.nio.file.Files.createTempDirectory("docs-ttl").toString
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"ttl-slice$i").toString
+      rows.toDF("doc_id", "fp").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, f"$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.streamingDedup(spark, stream.toDF(),
+      ttl = Some("1 millisecond"))
+      .writeStream
+      .format("memory").queryName("dedup_ttl")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val got = spark.table("dedup_ttl").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "A"), (2L, "B"), (3L, "A")),
+      "expired fingerprint did not re-admit (or TTL evicted too eagerly)")
+  }
+
   test("mapGroupsWithState running stats: final state equals batch aggregate") {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
