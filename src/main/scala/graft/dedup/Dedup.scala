@@ -674,7 +674,14 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, ncells: Int = 8): DataFrame = {
     val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, ncells)
-      .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v")))).cache()
+      .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
+      // zero-norm vectors have no defined cosine: exclude them rather
+      // than let NaN ride into the threshold comparison, where engines
+      // disagree (IEEE/Java: NaN >= t is false; DuckDB orders NaN as
+      // the largest double, so NaN >= t is true) — found by the
+      // degenerate-embedding fuzz corpora
+      .filter(col("nrm") > 0.0)
+      .cache()
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
@@ -701,7 +708,21 @@ object Vec {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, TOTAL on zero-norm inputs: IEEE would give
+    * 0/0 = NaN but Spark 4's default ANSI mode THROWS on the zero
+    * divisor (found by the degenerate-embedding fuzz corpora), so the
+    * zero case short-circuits to NaN explicitly — same value DuckDB's
+    * IEEE division produces. Operators still filter zero-norm rows out
+    * BEFORE ranking/thresholding (NaN ordering and NaN-vs-threshold
+    * semantics are engine-divergent); the guard just keeps the
+    * expression itself crash-free for any direct caller.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, lit(Double.NaN))
+      .otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
 
   /** Squared L2 distance via precomputable norms: |a|^2+|b|^2-2ab. */
   def sqDist(a: Column, b: Column): Column =

@@ -6,8 +6,8 @@ package graft.kernels
   *
   * The LIA package itself is external (Godines et al. 2019, A&C 25,
   * 100298), so these are a documented best-effort reconstruction of its
-  * published statistic set, NOT a line-for-line port. Three
-  * cross-checks anchor the layout against the bundled artifacts:
+  * published statistic set, NOT a line-for-line port. Four
+  * cross-checks anchor it against the bundled artifacts:
   *
   *  - the bundled pca.sav carries the training means of all 47 features
   *    in order; the reconstruction below reproduces their scales
@@ -18,12 +18,39 @@ package graft.kernels
   *    17, 18 — exactly the three features whose training means are 0
   *    (below5/con/con2), confirming the index assignment;
   *  - the conversion convention (flux = 10^((24-mag)/2.5)) reproduces
-  *    the raw-flux feature scales in pca.mean_.
+  *    the raw-flux feature scales in pca.mean_;
+  *  - LIVENESS (r6, LiaForestRangeSpec): over a diverse synthetic
+  *    ensemble, every one of the 44 features the forest splits on
+  *    produces values that CROSS the forest's split-threshold range
+  *    for its index — a wrong scale, sign or normalization would park
+  *    the feature on one side of every threshold (a dead input), so
+  *    each reconstruction is confirmed live against the real model's
+  *    decision surface, not just against training-mean scales.
+  *
+  * Per-feature confidence, in three tiers:
+  *  - CANONICAL (definition fixed by the statistic's standard form;
+  *    only convention risk): abs_energy(3), abs_sum_changes(4),
+  *    amplitude(5), autocorr(6), c3(10), complexity/CID(16),
+  *    count_above/below mean(19-20), integrate(23), kurtosis(24),
+  *    longest strikes(25-26), mean_(abs_)change(27-28),
+  *    mean_second_derivative(29), medianAbsDev(30), RMS(35),
+  *    skewness(38), std_over_mean(39), stetson J/K(41-42),
+  *    sum_values(43), meanMag(44), trend(45), vonNeumann(46).
+  *  - PARAMETER-PINNED (canonical shape, threshold/index convention
+  *    validated by the artifact checks above): above/below k-sigma
+  *    counts(0-2,7-9), duplicate-value binaries(11-13),
+  *    first/last argmin-max locations(14-15,21-22), con/con2(17-18),
+  *    ratio_recurring(34), half_mag_amplitude_ratio(40).
+  *  - RECONSTRUCTED (LIA-specific parameterization not recoverable
+  *    offline — binning/radius/entropy parameters are plausible
+  *    choices, liveness-confirmed but not value-pinned):
+  *    median_buffer_range(31), median_distance(32),
+  *    peak_detection(33), sample_entropy(36), shannon_entropy(37).
   *
   * Scoring therefore runs the REAL bundled forest over a vector whose
-  * layout is artifact-confirmed but whose individual definitions are
-  * approximate — surfaced by the operator's `mulens_features_approx`
-  * column.
+  * layout and per-index liveness are artifact-confirmed; the
+  * RECONSTRUCTED tier is why the operator still surfaces
+  * `mulens_features_approx`.
   */
 object LiaFeatures {
 

@@ -322,7 +322,8 @@ object PipelineQueries extends QueryPack {
         |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
         |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm FROM asg)
+        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
         |SELECT a.vec_id AS d1, b.vec_id AS d2,
         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -395,7 +396,8 @@ object PipelineQueries extends QueryPack {
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
     "s1_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT * FROM e0 WHERE list_dot_product(v, v) > 0),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT vec_id,
         |       list_dot_product(v, qv)/(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
@@ -404,14 +406,16 @@ object PipelineQueries extends QueryPack {
     "s2_knn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |q AS (SELECT v AS qv FROM e
+        |      WHERE vec_id = 0 AND list_dot_product(v, v) > 0),
         |asg AS (
         |  SELECT vec_id, cell, v FROM (
         |    SELECT e.vec_id, c.cell, e.v,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
         |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE rn = 1 AND list_dot_product(v, v) > 0),
         |probe AS (
         |  SELECT cell FROM cent, q
         |  ORDER BY (list_dot_product(cv, cv) + list_dot_product(qv, qv)
@@ -427,14 +431,16 @@ object PipelineQueries extends QueryPack {
     "s5_knn_batch" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e
+        |      WHERE vec_id % 50 = 0 AND list_dot_product(v, v) > 0),
         |asg AS (
         |  SELECT vec_id, cell, v FROM (
         |    SELECT e.vec_id, c.cell, e.v,
         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
         |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |    FROM e CROSS JOIN cent c)
+        |  WHERE rn = 1 AND list_dot_product(v, v) > 0),
         |qc AS (
         |  SELECT qid, qv, cell FROM (
         |    SELECT q.qid, q.qv, c.cell,
@@ -467,7 +473,8 @@ object PipelineQueries extends QueryPack {
         |b AS (SELECT e.vec_id, e.v,
         |        CAST(sum(CASE WHEN list_dot_product(e.v, pw.w) > 0
         |             THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
-        |      FROM e CROSS JOIN pw GROUP BY 1, 2),
+        |      FROM e CROSS JOIN pw GROUP BY 1, 2
+        |      HAVING list_dot_product(e.v, e.v) > 0),
         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id % 50 = 0),
         |cand AS (
         |  SELECT q.qid AS query_id, b.vec_id, b.bucket,
@@ -714,7 +721,8 @@ object PipelineQueries extends QueryPack {
         |b AS (SELECT e.vec_id, e.v,
         |        CAST(sum(CASE WHEN list_dot_product(e.v, pw.w) > 0
         |             THEN (1::BIGINT << pw.p) ELSE 0 END) AS BIGINT) AS bucket
-        |      FROM e CROSS JOIN pw GROUP BY 1, 2),
+        |      FROM e CROSS JOIN pw GROUP BY 1, 2
+        |      HAVING list_dot_product(e.v, e.v) > 0),
         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
         |SELECT vec_id, bucket,
         |  list_dot_product(v, qv)/(sqrt(list_dot_product(v,v))*sqrt(list_dot_product(qv,qv))) AS cos

@@ -27,10 +27,19 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Zero-norm vectors have no defined cosine; every search operator
+    * excludes them from BOTH sides before ranking/thresholding —
+    * NaN ordering and NaN-vs-threshold comparisons are
+    * engine-divergent (and Spark 4 ANSI throws on the zero divisor),
+    * so degenerate embeddings must never reach the cosine.
+    */
+  private def nonZero(v: Column): Column = Vec.dot(v, v) > 0.0
+
   /** Exact top-k by cosine against the vector of `queryId`. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(nonZero(col("v")))
     val q = e.filter(col("id") === queryId).select(col("v").as("qv"))
     e.join(broadcast(q))
       .filter(col("id") =!= queryId)
@@ -94,6 +103,7 @@ object Similarity {
           expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
       .groupBy(col("id"))
       .agg(sum(col("bit")).as("bucket"), first(col("v")).as("v"))
+      .filter(nonZero(col("v")))
     val q = bucketed.filter(col("id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qb"))
     bucketed
@@ -125,6 +135,7 @@ object Similarity {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
+      .filter(nonZero(col("qv")))
     val cent = e.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
     // per-query probe cells: queries x ncells is broadcast-sized; the
@@ -136,6 +147,7 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
     assignCells(emb, idCol, vecCol, ncells)
+      .filter(nonZero(col("v")))
       .join(broadcast(qcells), "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
@@ -174,9 +186,10 @@ object Similarity {
             expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
         .groupBy(col(idc))
         .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
-    val bucketed = bucketOf(e, "id", "v")
+    val bucketed = bucketOf(e, "id", "v").filter(nonZero(col("v")))
     val q = bucketOf(
-      queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qv")),
+      queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qv"))
+        .filter(nonZero(col("qv"))),
       "qid", "qv")
     // Hamming ball of xor-masks at radius <= maxHamming (driver-side:
     // depends only on nPlanes/maxHamming)
@@ -203,8 +216,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, ncells: Int = 8, nprobe: Int = 2): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val q = e.filter(col("id") === queryId).select(col("v").as("qv"))
+    val q = e.filter(col("id") === queryId && nonZero(col("v")))
+      .select(col("v").as("qv"))
     val assigned = assignCells(emb, idCol, vecCol, ncells)
+      .filter(nonZero(col("v")))
     val probed = e.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
       .join(broadcast(q))

@@ -12,12 +12,14 @@ import org.apache.spark.sql.SparkSession
 object FuzzVerify {
   private val queries = Seq("d1_dedup_exact", "d2_dedup_ngram_jaccard",
     "d3_dedup_minhash_lsh", "d4_simhash", "d5_simhash_pairs",
-    "d8_simhash_assign", "d9_simhash_clusters", "t1_lang_id",
+    "d8_simhash_assign", "d9_simhash_clusters", "d10_dedup_pipeline",
+    "t1_lang_id",
     "t2_quality_score", "t3_token_stats", "t4_fingerprint",
     "t5_winnow_fingerprint", "t6_regex_tokens", "t7_repetition",
     "t8_tfidf", "d7_decontaminate", "m1_media_meta",
     "m2_media_features", "m3_frame_sample", "d6_dedup_embedding",
-    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp", "s4_quantize")
+    "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp", "s4_quantize",
+    "s5_knn_batch", "s6_knn_srp_batch")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")

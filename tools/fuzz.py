@@ -22,13 +22,14 @@ import duckdb
 # every documents-only oracle query plus the embeddings family
 QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d4_simhash", "d5_simhash_pairs", "d8_simhash_assign",
-           "d9_simhash_clusters",
+           "d9_simhash_clusters", "d10_dedup_pipeline",
            "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
            "t6_regex_tokens", "t7_repetition", "t8_tfidf", "d7_decontaminate",
            "m1_media_meta", "m2_media_features",
            "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
-           "s2_knn_ivf", "s3_knn_srp", "s4_quantize"]
+           "s2_knn_ivf", "s3_knn_srp", "s4_quantize", "s5_knn_batch",
+           "s6_knn_srp_batch"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
@@ -87,15 +88,25 @@ def gen(root, n):
 
         # embeddings: clustered unit-ish float32 vectors with exact
         # duplicates and near-duplicates; vec_id 0 (the s1/s2 query
-        # vector) and 0-7 (IVF seed centroids) always present
+        # vector) and 0-7 (IVF seed centroids) always present.
+        # Every 10th corpus (offset 5) is DEGENERATE: dim-1 vectors,
+        # exact zero vectors (cosine undefined -> operators must not
+        # let NaN hit engine-divergent comparisons), and exact
+        # duplicate vectors (tie-breaking paths).
         nrng = np.random.RandomState(7000 + c)
+        degen = c % 10 == 5
         nvec = nrng.randint(20, 60)
-        dim = int(nrng.choice([8, 16, 64]))
+        dim = 1 if degen else int(nrng.choice([8, 16, 64]))
         ncl = nrng.randint(2, 6)
         centers = nrng.normal(0, 1, (ncl, dim))
         vecs = []
         for v in range(nvec):
-            if v > 8 and nrng.rand() < 0.15:
+            r = nrng.rand()
+            if degen and r < 0.2:
+                vec = np.zeros(dim)  # zero vector: undefined cosine
+            elif degen and r < 0.5 and v > 1:
+                vec = vecs[nrng.randint(1, v)].copy()  # exact duplicate
+            elif v > 8 and r < 0.15:
                 base = vecs[nrng.randint(1, v)]  # duplicate family
                 vec = base + nrng.normal(0, 1e-3, dim)
             else:
