@@ -192,6 +192,21 @@ object PipelineQueries extends QueryPack {
     Decontaminate.flags(docs(s, dir), "doc_id", "text",
       col("doc_id") % 97 === 0, 4).orderBy("doc_id")
 
+  // t9: C4-style keep/drop cascade — first failing rule as the reason,
+  // all rules integer/length-based so both engines agree exactly.
+  private def t9FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    val (keep, reason) = graft.text.TextOps.qualityFilter(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), keep.as("keep"), reason.as("reason"))
+      .orderBy("doc_id")
+  }
+
+  // t10: token-budget shard packing per source — a per-group window
+  // prefix sum; shard boundaries never split a document.
+  private def t10ShardPack(s: SparkSession, dir: String): DataFrame =
+    graft.text.ShardPack.pack(docs(s, dir), "doc_id", "text", "source", 2000L)
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -254,6 +269,8 @@ object PipelineQueries extends QueryPack {
     "t6_regex_tokens" -> (t6RegexTokens _),
     "t7_repetition" -> (t7Repetition _),
     "t8_tfidf" -> (t8Tfidf _),
+    "t9_filter_cascade" -> (t9FilterCascade _),
+    "t10_shard_pack" -> (t10ShardPack _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -614,6 +631,47 @@ object PipelineQueries extends QueryPack {
          |m AS (SELECT a AS id, MIN(b) AS mb FROM r GROUP BY 1)
          |SELECT id AS doc_id, CAST(least(id, mb) AS BIGINT) AS cluster
          |FROM m ORDER BY doc_id""".stripMargin,
+    // t9: byte-denominated metrics (octet_length) because character
+    // length() counts UTF-16 units in Spark vs codepoints in DuckDB;
+    // last-char test instead of '$'-anchored regex (Java/RE2 newline
+    // divergence). Cascade order mirrors the Spark when-chain.
+    "t9_filter_cascade" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         len(string_split(lower(text), ' ')) AS nt,
+        |         octet_length(encode(text)) - len(regexp_extract_all(text, ' ')) AS word_bytes,
+        |         CASE WHEN octet_length(encode(text)) = 0 THEN 1.0
+        |              ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |                   / octet_length(encode(text)) END AS digit_frac,
+        |         right(text, 1) IN ('.', '!', '?', '"') AS terminal
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN nt < 5 THEN 'too_short'
+        |              WHEN CAST(word_bytes AS DOUBLE)/nt < 3.0
+        |                   OR CAST(word_bytes AS DOUBLE)/nt > 10.0 THEN 'word_shape'
+        |              WHEN digit_frac > 0.2 THEN 'digit_heavy'
+        |              WHEN NOT terminal THEN 'no_terminal_punct'
+        |              ELSE NULL END AS reason
+        |  FROM f)
+        |SELECT doc_id, reason IS NULL AS keep, reason
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // t10: per-source window prefix sum; a doc goes to the shard its
+    // preceding token mass fills. Division is explicit double on both
+    // sides (Spark's / on longs is true division already).
+    "t10_shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
     // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),

@@ -41,29 +41,33 @@ object TextFamily {
   /** Token n-grams from a pre-split token array — first-occurrence
     * distinct, identical semantics to [[graft.dedup.Dedup.shingles]]
     * over the raw text (same lowercase/space-split convention as
-    * [[TextOps.tokens]]).
+    * [[TextOps.tokens]]); the equivalence is property-tested
+    * (KernelPropertiesSpec) because the family≡standalone d7 equality
+    * rests on it.
     */
-  def gramsFromTokens(toks: Column, n: Int): Column = {
-    val k = udf((ts: Seq[String], nn: Int) => {
-      if (ts == null || ts.length < nn) Array.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String]()
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i <= ts.length - nn) {
-          sb.setLength(0)
-          var j = 0
-          while (j < nn) {
-            if (j > 0) sb.append(' ')
-            sb.append(ts(i + j))
-            j += 1
-          }
-          seen.add(sb.toString)
-          i += 1
+  def gramsKernel(ts: Seq[String], n: Int): Array[String] = {
+    if (ts == null || ts.length < n) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= ts.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ts(i + j))
+          j += 1
         }
-        seen.toArray(new Array[String](seen.size))
+        seen.add(sb.toString)
+        i += 1
       }
-    })
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  def gramsFromTokens(toks: Column, n: Int): Column = {
+    val k = udf((ts: Seq[String], nn: Int) => gramsKernel(ts, nn))
     k(toks, lit(n))
   }
 

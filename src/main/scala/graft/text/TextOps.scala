@@ -16,6 +16,42 @@ object TextOps {
   /** Whitespace tokenizer (single-space; the corpus normal form). */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** C4-style keep/drop cascade (Raffel et al. 2020 §2.2 shape): each
+    * document gets a keep flag and the FIRST failing rule as `reason`
+    * (null when kept) — the cleaning pass a training corpus runs before
+    * dedup, as a when-cascade so the whole battery is one codegen'd
+    * map over the text. Thresholds are operator parameters; the rules
+    * here are the deterministic core (length, word shape, terminal
+    * punctuation, digit density) — the full C4 also drops boilerplate
+    * by phrase lists, which is [[tokensInSet]] composition.
+    */
+  def qualityFilter(text: Column, minTokens: Int = 5,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxDigitFrac: Double = 0.2): (Column, Column) = {
+    val nt = tokenCount(text)
+    // BYTE-denominated word length and digit density: `length()` is
+    // UTF-16 units in Spark but codepoints in DuckDB (astral chars
+    // count 2 vs 1), while UTF-8 byte counts agree everywhere (the
+    // m1/m2 oracle convention) — and bytes-per-word is just as good a
+    // word-shape heuristic
+    val spaces = regexp_count(text, lit(" "))
+    val wordBytes = octet_length(text) - spaces
+    val avgWord = wordBytes.cast("double") / nt
+    val digitFrac = when(octet_length(text) === 0, lit(1.0))
+      .otherwise(regexp_count(text, lit("[0-9]")).cast("double") /
+        octet_length(text))
+    // last-character test instead of a '$'-anchored regex: Java and
+    // RE2 disagree about '$' before a trailing newline
+    val terminal = substring(text, -1, 1).isin(".", "!", "?", "\"")
+    val reason =
+      when(nt < minTokens, "too_short")
+        .when(avgWord < minAvgWordLen || avgWord > maxAvgWordLen, "word_shape")
+        .when(digitFrac > maxDigitFrac, "digit_heavy")
+        .when(!terminal, "no_terminal_punct")
+        .otherwise(lit(null).cast("string"))
+    (reason.isNull, reason)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

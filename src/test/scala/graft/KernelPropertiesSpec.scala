@@ -97,6 +97,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("grams-from-tokens equals shingles-from-text (the TextFamily d7 contract)") {
+    // TextFamily.gramsFromTokens re-derives d7's n-grams from the
+    // shared token array; Decontaminate.flags derives them from the
+    // raw text via shinglesKernel. The family≡standalone equality rests
+    // on these agreeing on EVERY text, including empty tokens from
+    // consecutive/leading/trailing spaces and unicode
+    val trickyGen = Gen.listOf(Gen.oneOf(
+      "the", "a", "", " ", "añejo", "北京", "x  y", "")).map(_.mkString(" "))
+    for {
+      t <- samples(textGen, 30) ++ samples(trickyGen, 30) ++
+        Seq("", " ", "  ", "a", "a b")
+      n <- Seq(2, 3, 4)
+    } {
+      val fromText = graft.dedup.Dedup.shinglesKernel(t, n).toSeq
+      val toks = t.toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq
+      val fromTokens = graft.text.TextFamily.gramsKernel(toks, n).toSeq
+      assert(fromTokens === fromText,
+        s"gram divergence on '$t' n=$n")
+    }
+  }
+
   test("shingle kernel laws: count bound, distinctness, n-gram shape") {
     for {
       t <- samples(textGen, 40)

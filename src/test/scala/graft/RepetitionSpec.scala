@@ -84,6 +84,40 @@ class RepetitionSpec extends SparkSpec {
     assert(r(0).getLong(1) === 6L && r(0).getBoolean(3))
   }
 
+  test("quality filter cascade: first failing rule wins, keepers pass all") {
+    val docs = Seq(
+      (0L, "one two"),                                  // too_short
+      (1L, "a aa b cc d e f g"),                        // word_shape (avg < 3)
+      (2L, "call 5551234567 now 123456 ok 99999 yes."), // digit_heavy
+      (3L, "this sentence has enough proper words but no ending"),
+      (4L, "this sentence looks like clean training text.")
+    ).toDF("doc_id", "text")
+    val (keep, reason) = graft.text.TextOps.qualityFilter(col("text"))
+    val r = docs.select(col("doc_id"), keep.as("k"), reason.as("why"))
+      .orderBy("doc_id").collect()
+    assert(r.map(x => Option(x.getString(2)).orNull).toSeq ===
+      Seq("too_short", "word_shape", "digit_heavy", "no_terminal_punct", null))
+    assert(r.map(_.getBoolean(1)).toSeq ===
+      Seq(false, false, false, false, true))
+  }
+
+  test("shard packing: contiguous non-splitting shards under the budget rule") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = graft.text.ShardPack.pack(docs, "doc_id", "text", "source", 500L)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, id, nt, shard) =>
+        assert(shard === cum / 500L, s"$src/$id: shard from preceding mass")
+        cum += nt
+      }
+      // shards are contiguous from 0
+      val shards = sorted.map(_._4).distinct.sorted.toList
+      assert(shards === (0L to shards.max).toList, s"$src shards not contiguous")
+    }
+  }
+
   test("text family runs t8/t3/d7 off one token table with identical results") {
     val docs = Tables.t(spark, sf, "documents")
     val isBench = col("doc_id") % 97 === 0

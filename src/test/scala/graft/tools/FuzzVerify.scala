@@ -16,7 +16,7 @@ object FuzzVerify {
     "t1_lang_id",
     "t2_quality_score", "t3_token_stats", "t4_fingerprint",
     "t5_winnow_fingerprint", "t6_regex_tokens", "t7_repetition",
-    "t8_tfidf", "d7_decontaminate", "m1_media_meta",
+    "t8_tfidf", "t9_filter_cascade", "t10_shard_pack", "d7_decontaminate", "m1_media_meta",
     "m2_media_features", "m3_frame_sample", "d6_dedup_embedding",
     "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp", "s4_quantize",
     "s5_knn_batch", "s6_knn_srp_batch")

@@ -25,7 +25,7 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d9_simhash_clusters", "d10_dedup_pipeline",
            "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
-           "t6_regex_tokens", "t7_repetition", "t8_tfidf", "d7_decontaminate",
+           "t6_regex_tokens", "t7_repetition", "t8_tfidf", "t9_filter_cascade", "t10_shard_pack", "d7_decontaminate",
            "m1_media_meta", "m2_media_features",
            "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
            "s2_knn_ivf", "s3_knn_srp", "s4_quantize", "s5_knn_batch",
