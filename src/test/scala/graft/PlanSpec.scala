@@ -124,6 +124,21 @@ class PlanSpec extends SparkSpec {
       "rollup must not rescan the table per subtotal level")
   }
 
+  test("t9 filter cascade is map-only; t10 packs with one hash exchange") {
+    // t9: the whole rule battery is one projection over the scan — the
+    // only exchange allowed is the presentation orderBy's range shuffle
+    val p9 = plan("t9_filter_cascade")
+    assert("hashpartitioning".r.findAllIn(p9).isEmpty,
+      "t9 must not hash-shuffle — the cascade is per-row")
+    assert(!p9.contains("SortMergeJoin") && !p9.contains("BroadcastHashJoin"),
+      "t9 must not join")
+    // t10: exactly one hash exchange (the per-source window), no joins
+    val p10 = plan("t10_shard_pack")
+    assert("hashpartitioning".r.findAllIn(p10).length === 1,
+      "t10 needs exactly the one per-group exchange")
+    assert(!p10.contains("Join"), "t10 must not join")
+  }
+
   test("s5/s6 batched ANN: corpus joins the probe set by key, no all-pairs product") {
     for (q <- Seq("s5_knn_batch", "s6_knn_srp_batch")) {
       val p = plan(q)
