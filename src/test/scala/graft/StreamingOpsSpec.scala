@@ -132,7 +132,15 @@ class StreamingOpsSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    // a query with processing-time timeouts keeps scheduling batches to
+    // fire future expirations, so AvailableNow never self-terminates
+    // here — poll for the expected emissions, then stop explicitly
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.table("dedup_ttl").count() < 3 &&
+        System.nanoTime() < deadline && q.isActive)
+      Thread.sleep(200)
+    q.stop()
+    q.awaitTermination(60000)
     val got = spark.table("dedup_ttl").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got === Set((1L, "A"), (2L, "B"), (3L, "A")),
