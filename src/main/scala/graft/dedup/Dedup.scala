@@ -640,12 +640,15 @@ object Dedup {
     val survDocs = df.join(surv.select(col("survivor").as(idCol)), idCol)
     val sim = simhash(survDocs, idCol, textCol)
     val assign = simhashAssign(sim, idCol, maxHamming)
+    // private names: a caller's idCol may itself be "id"/"label",
+    // which would collide with connectedComponents' output columns
     val comps = connectedComponents(
       assign.select(col(idCol).as("d1"), col("canonical").as("d2")),
       maxIter, sweep)
-    doc2surv.join(comps, doc2surv("survivor") === comps("id"), "left")
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    doc2surv.join(comps, doc2surv("survivor") === comps("__cc_id"), "left")
       .select(col(idCol),
-        coalesce(col("label"), col("survivor")).as("cluster"))
+        coalesce(col("__cc_label"), col("survivor")).as("cluster"))
   }
 
   /** Free a localCheckpoint'ed dataset's backing RDD blocks.

@@ -106,6 +106,11 @@ class DedupSpec extends SparkSpec {
     val docs = Tables.t(spark, sf, "documents")
     val out = Dedup.dedupPipeline(docs, "doc_id", "text", maxHamming = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // idCol named like the component table's internals must not clash
+    val renamed = Dedup.dedupPipeline(
+      docs.withColumnRenamed("doc_id", "id"), "id", "text", maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(renamed === out, "idCol=\"id\" changed the clustering")
     assert(out.size === docs.count(), "one row per input doc")
     // cluster ids are canonical roots: never above the member, and the
     // root itself maps to itself
