@@ -632,20 +632,32 @@ object Dedup {
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
-    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    // null text hashes as "" (the file-wide convention — shingles and
+    // the simhash kernel do the same): md5(NULL) is NULL, and a NULL
+    // join key would silently DROP the doc from the output, violating
+    // the one-row-per-input-doc contract of a keep/drop table
+    val hashed = df.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("content_hash"))
     val surv = hashed.groupBy("content_hash")
       .agg(min(col(idCol)).as("survivor"))
     val doc2surv = hashed.join(surv, "content_hash")
       .select(col(idCol), col("survivor"))
     val survDocs = df.join(surv.select(col("survivor").as(idCol)), idCol)
-    val sim = simhash(survDocs, idCol, textCol)
+    // cached: simhashAssign reads the banded expansion twice (rep
+    // aggregate + probe), and the simhash kernel over the survivors is
+    // the chain's dominant map stage. Unlike the lazy operators, this
+    // chain materializes internally (the sweep loop), so the cache can
+    // be dropped before returning — no r5-style leak
+    val sim = simhash(survDocs, idCol, textCol).cache()
     val assign = simhashAssign(sim, idCol, maxHamming)
     // private names: a caller's idCol may itself be "id"/"label",
     // which would collide with connectedComponents' output columns
-    val comps = connectedComponents(
-      assign.select(col(idCol).as("d1"), col("canonical").as("d2")),
-      maxIter, sweep)
-      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    val comps =
+      try connectedComponents(
+        assign.select(col(idCol).as("d1"), col("canonical").as("d2")),
+        maxIter, sweep)
+        .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+      finally sim.unpersist() // labels are materialized by the loop
     doc2surv.join(comps, doc2surv("survivor") === comps("__cc_id"), "left")
       .select(col(idCol),
         coalesce(col("__cc_label"), col("survivor")).as("cluster"))

@@ -638,13 +638,13 @@ object PipelineQueries extends QueryPack {
     "t9_filter_cascade" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |         len(string_split(lower(text), ' ')) AS nt,
-        |         octet_length(encode(text)) - len(regexp_extract_all(text, ' ')) AS word_bytes,
-        |         CASE WHEN octet_length(encode(text)) = 0 THEN 1.0
-        |              ELSE CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-        |                   / octet_length(encode(text)) END AS digit_frac,
-        |         right(text, 1) IN ('.', '!', '?', '"') AS terminal
-        |  FROM documents),
+        |         len(string_split(lower(t), ' ')) AS nt,
+        |         octet_length(encode(t)) - len(regexp_extract_all(t, ' ')) AS word_bytes,
+        |         CASE WHEN octet_length(encode(t)) = 0 THEN 1.0
+        |              ELSE CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE)
+        |                   / octet_length(encode(t)) END AS digit_frac,
+        |         right(t, 1) IN ('.', '!', '?', '"') AS terminal
+        |  FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)),
         |r AS (
         |  SELECT doc_id,
         |         CASE WHEN nt < 5 THEN 'too_short'
@@ -662,7 +662,7 @@ object PipelineQueries extends QueryPack {
     "t10_shard_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
@@ -681,7 +681,7 @@ object PipelineQueries extends QueryPack {
     // edge makes each tree's min id its root).
     "d10_dedup_pipeline" ->
       """WITH RECURSIVE
-        |hsh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |hsh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
         |surv AS (SELECT h, MIN(doc_id) AS survivor FROM hsh GROUP BY 1),
         |d2s AS (SELECT doc_id, survivor FROM hsh JOIN surv USING (h)),
         |sdoc AS (SELECT d.doc_id, d.text FROM documents d
@@ -697,7 +697,8 @@ object PipelineQueries extends QueryPack {
         |      SELECT doc_id,
         |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
         |                  AS BIGINT) AS hv
-        |      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |      FROM (SELECT doc_id,
+        |                   unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
         |            FROM sdoc))
         |    CROSS JOIN (SELECT unnest(range(60)) AS j)
         |    GROUP BY 1, 2)

@@ -37,7 +37,8 @@ object StreamingOps {
         col("n"), col("sum_value"))
 
   final case class Doc(doc_id: Long, fp: String)
-  final case class SeenState(firstId: Long, nCopies: Long)
+  final case class SeenState(firstId: Long, nCopies: Long,
+      lastSeenMs: Long = 0L)
 
   /** Streaming ingest dedup: emit each document the FIRST time its
     * content fingerprint is seen across the whole stream, suppress every
@@ -67,13 +68,19 @@ object StreamingOps {
     val timeoutConf =
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val ttlMs = ttl.map { s =>
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0, "streamingDedup ttl must not use month units")
+      i.days * 86400000L + i.microseconds / 1000L
+    }
     docs.select(col("doc_id"), col("fp")).as[Doc]
       .groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (fp: String, rows: Iterator[Doc], state: GroupState[SeenState]) =>
           if (state.hasTimedOut) {
             // no sighting within the TTL: evict; the next copy (if any)
-            // re-enters the None branch below and is re-admitted
+            // re-enters the fresh branch below and is re-admitted
             state.remove()
             Iterator.empty
           } else {
@@ -83,12 +90,21 @@ object StreamingOps {
             var firstNew = Long.MaxValue
             var n = 0L
             rows.foreach { d => n += 1; if (d.doc_id < firstNew) firstNew = d.doc_id }
-            val out = state.getOption match {
+            val now =
+              if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+            // the timeout callback only fires for groups with NO data
+            // in a batch, so a copy arriving in the same batch that
+            // SHOULD have evicted the state must check expiry itself —
+            // otherwise that copy is suppressed against 23-days-stale
+            // state and re-arms it, breaking the re-admit contract
+            val live = state.getOption.filter(s =>
+              ttlMs.forall(t => now - s.lastSeenMs <= t))
+            val out = live match {
               case Some(s) =>
-                state.update(SeenState(s.firstId, s.nCopies + n))
+                state.update(SeenState(s.firstId, s.nCopies + n, now))
                 Iterator.empty
               case None =>
-                state.update(SeenState(firstNew, n))
+                state.update(SeenState(firstNew, n, now))
                 Iterator.single(Doc(firstNew, fp))
             }
             ttl.foreach(state.setTimeoutDuration) // sliding re-arm

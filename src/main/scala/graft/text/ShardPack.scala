@@ -25,8 +25,10 @@ object ShardPack {
       groupCol: String, budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
+    docs // null text counts as empty (one token) — a NULL token count
+      // would poison the prefix sum and every later shard id
+      .withColumn("n_tokens",
+        TextOps.tokenCount(coalesce(col(textCol), lit(""))))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col(idCol), col(groupCol), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / lit(budgetTokens))

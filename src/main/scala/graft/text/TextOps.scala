@@ -25,9 +25,13 @@ object TextOps {
     * punctuation, digit density) — the full C4 also drops boilerplate
     * by phrase lists, which is [[tokensInSet]] composition.
     */
-  def qualityFilter(text: Column, minTokens: Int = 5,
+  def qualityFilter(text0: Column, minTokens: Int = 5,
       minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
       maxDigitFrac: Double = 0.2): (Column, Column) = {
+    // null text = empty text: every rule below would evaluate NULL and
+    // fall through the when-chain, silently KEEPING a contentless row
+    // as clean training data
+    val text = coalesce(text0, lit(""))
     val nt = tokenCount(text)
     // BYTE-denominated word length and digit density: `length()` is
     // UTF-16 units in Spark but codepoints in DuckDB (astral chars
