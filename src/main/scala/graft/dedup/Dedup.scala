@@ -21,6 +21,11 @@ import graft.text.TextOps
   *  - [[SweepCheckpoint.Reliable]]: `checkpoint()` into a checkpoint
   *    directory (HDFS/object store on a cluster) — a lost executor
   *    re-reads the sweep table; this is the cluster-scale default.
+  *    The checkpoint dir is CONTEXT-GLOBAL in Spark: if the session
+  *    already has one set, it takes precedence and `dir` is only used
+  *    when none exists — callers who need a specific durable location
+  *    must own `sc.setCheckpointDir` themselves (use
+  *    [[SweepCheckpoint.Table]] for a per-invocation directory).
   *  - [[SweepCheckpoint.Table]]: explicit parquet round-trip — same
   *    durability as Reliable with a plain-table artifact a downstream
   *    job (or a resume-after-driver-crash) can pick up mid-chain; each
@@ -505,9 +510,10 @@ object Dedup {
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
       .cache()
+    var idx = 0
+    var labels: DataFrame = null
     try {
-      var idx = 0
-      var labels = sweepMaterialize(
+      labels = sweepMaterialize(
         edges.select(col("src").as("id")).distinct()
           .withColumn("label", col("id")), sweep, idx)
       // the initial materialization ran the edges cache, which is the
@@ -538,6 +544,16 @@ object Dedup {
             s"($changed labels still improving); the graph diameter " +
             "exceeds the sweep budget — raise maxIter")
       labels.select(col("id"), col("label"))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the caller never receives a result, so the "last sweep lives
+        // until the caller is done" cleanup path cannot run — free the
+        // current sweep (for Table: delete the stranded parquet dir,
+        // which would otherwise accumulate across retries) and rethrow
+        if (labels != null)
+          try sweepFree(labels, sweep, idx)
+          catch { case scala.util.control.NonFatal(_) => () }
+        throw e
     } finally {
       // safe on any path: unpersist is idempotent, and the returned
       // labels are materialized so they no longer depend on these

@@ -83,6 +83,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("a failed Table-sweep run deletes its stranded sweep directory") {
+    import spark.implicits._
+    import graft.dedup.{ConvergenceException, SweepCheckpoint}
+    val dir = java.nio.file.Files.createTempDirectory("cc_fail").toString
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[ConvergenceException] {
+      Dedup.connectedComponents(chain, maxIter = 3,
+        sweep = SweepCheckpoint.Table(dir)).collect()
+    }
+    val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("sweep_"))
+    assert(left.isEmpty,
+      s"stranded sweep tables after failure: ${left.map(_.getName).toSeq}")
+  }
+
   test("sweep strategies (Local/Reliable/Table) agree on the cluster result") {
     import graft.dedup.SweepCheckpoint
     val docs = Tables.t(spark, sf, "documents")
