@@ -23,13 +23,25 @@ import graft.text.TextOps
   *    re-reads the sweep table; this is the cluster-scale default.
   *    The checkpoint dir is CONTEXT-GLOBAL in Spark: if the session
   *    already has one set, it takes precedence and `dir` is only used
-  *    when none exists — callers who need a specific durable location
+  *    when none exists (a warning is logged when this operator sets
+  *    it, because later `checkpoint()` calls anywhere in the session
+  *    inherit it) — callers who need a specific durable location
   *    must own `sc.setCheckpointDir` themselves (use
   *    [[SweepCheckpoint.Table]] for a per-invocation directory).
+  *    Checkpoint files belong to the SparkContext and are only
+  *    reclaimed by the ContextCleaner when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (OFF by
+  *    default) — without it every sweep's checkpoint data accretes on
+  *    disk for the session lifetime; a warning is logged per
+  *    invocation when the conf is off.
   *  - [[SweepCheckpoint.Table]]: explicit parquet round-trip — same
   *    durability as Reliable with a plain-table artifact a downstream
   *    job (or a resume-after-driver-crash) can pick up mid-chain; each
-  *    sweep's table is deleted once the next one is written.
+  *    sweep's table is deleted once the next one is written. On
+  *    [[ConvergenceException]] the LAST completed sweep table is kept
+  *    as a resume artifact — restart with
+  *    `connectedComponents(resumeFrom = Some(dir))` to continue the
+  *    propagation from it instead of from sweep 0.
   */
 sealed trait SweepCheckpoint
 object SweepCheckpoint {
@@ -41,9 +53,14 @@ object SweepCheckpoint {
 /** Named non-convergence failure for iterative graph operators: the
   * component diameter exceeded the sweep budget. Carries the budget so
   * callers can retry with a bigger one instead of pattern-matching a
-  * require() message.
+  * require() message. Under [[SweepCheckpoint.Table]], `resumeDir` is
+  * the directory whose last completed sweep table was kept — pass it
+  * back as `connectedComponents(resumeFrom = ...)` to continue from
+  * the interrupted propagation with a bigger budget instead of
+  * restarting from sweep 0.
   */
-final class ConvergenceException(val sweeps: Int, msg: String)
+final class ConvergenceException(val sweeps: Int, msg: String,
+    val resumeDir: Option[String] = None)
   extends RuntimeException(msg)
 
 /** Corpus deduplication operators for training-data pipelines: exact
@@ -499,9 +516,19 @@ object Dedup {
     * [[ConvergenceException]] when the component diameter exceeds
     * `maxIter` — a named, catchable failure, because "increase the
     * budget and re-run" is a caller decision.
+    *
+    * `resumeFrom` restarts the loop from the last completed sweep
+    * table under the given directory (the [[SweepCheckpoint.Table]]
+    * artifact an interrupted run — [[ConvergenceException]] or a
+    * driver crash — left behind): the initial label table is READ from
+    * `sweep_<maxIdx>` instead of being rebuilt from the edge set, and
+    * `maxIter` budgets the REMAINING sweeps. The pair table must be
+    * the same one the interrupted run used (labels for nodes absent
+    * from it would go stale; new nodes would go unlabeled).
     */
   def connectedComponents(pairs0: DataFrame, maxIter: Int = 25,
-      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+      sweep: SweepCheckpoint = SweepCheckpoint.Local,
+      resumeFrom: Option[String] = None): DataFrame = {
     // cached: the symmetric union below reads the pair table twice, and
     // without the cache each branch re-runs whatever candidate join
     // produced the pairs — typically the most expensive upstream stage
@@ -510,21 +537,40 @@ object Dedup {
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .withColumnRenamed("d1", "src").withColumnRenamed("d2", "dst")
       .cache()
+    val spark = pairs0.sparkSession
     var idx = 0
+    // the sweep index `labels` is ACTUALLY materialized at — updated
+    // only after sweepMaterialize returns, so the failure path frees
+    // the table that exists, not the one that failed to be written
+    // (ADVICE r6: freeing `idx` after a failed materialize deleted the
+    // next, never-written sweep and stranded the one backing `labels`)
+    var labelsIdx = 0
     var labels: DataFrame = null
     try {
-      labels = sweepMaterialize(
-        edges.select(col("src").as("id")).distinct()
-          .withColumn("label", col("id")), sweep, idx)
-      // the initial materialization ran the edges cache, which is the
-      // only consumer of pairs — free it before the sweeps so the
-      // loop's working set is just edges + two label tables
-      pairs.unpersist()
+      resumeFrom match {
+        case Some(dir) =>
+          val (ri, path) = latestSweep(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"resumeFrom: no completed sweep_<i> table under $dir"))
+          idx = ri
+          labelsIdx = ri
+          labels = spark.read.parquet(path)
+          pairs.unpersist()
+        case None =>
+          labels = sweepMaterialize(
+            edges.select(col("src").as("id")).distinct()
+              .withColumn("label", col("id")), sweep, idx)
+          labelsIdx = idx
+          // the initial materialization ran the edges cache, which is
+          // the only consumer of pairs — free it before the sweeps so
+          // the loop's working set is just edges + two label tables
+          pairs.unpersist()
+      }
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
         val prev = labels
-        val prevIdx = idx
+        val prevIdx = labelsIdx
         val propagated = edges
           .join(labels, col("src") === col("id"))
           .select(col("dst").as("id"), col("label"))
@@ -533,26 +579,48 @@ object Dedup {
           labels.select(col("id"), col("label"))
             .union(propagated)
             .groupBy("id").agg(min(col("label")).as("label")), sweep, idx)
+        labelsIdx = idx
         changed = labels.join(prev.withColumnRenamed("label", "old"), "id")
           .filter(col("label") < col("old")).count()
         sweepFree(prev, sweep, prevIdx)
         iter += 1
       }
-      if (changed != 0)
+      if (changed != 0) {
+        val resumeDir = sweep match {
+          case SweepCheckpoint.Table(dir) => Some(dir)
+          case _ => None
+        }
         throw new ConvergenceException(maxIter,
           s"connected components did not converge in $maxIter sweeps " +
             s"($changed labels still improving); the graph diameter " +
-            "exceeds the sweep budget — raise maxIter")
+            "exceeds the sweep budget — raise maxIter" +
+            resumeDir.fold("")(d =>
+              s" (last sweep kept under $d — resumeFrom continues there)"),
+          resumeDir)
+      }
       labels.select(col("id"), col("label"))
     } catch {
+      case ce: ConvergenceException if ce.resumeDir.isDefined =>
+        // Table mode non-convergence: the last completed sweep IS the
+        // resume artifact — keep it (documented on SweepCheckpoint)
+        throw ce
       case scala.util.control.NonFatal(e) =>
         // the caller never receives a result, so the "last sweep lives
         // until the caller is done" cleanup path cannot run — free the
-        // current sweep (for Table: delete the stranded parquet dir,
-        // which would otherwise accumulate across retries) and rethrow
+        // sweep backing `labels` (for Table: delete the stranded
+        // parquet dir, which would otherwise accumulate across
+        // retries); if the FAILURE was a partial sweep write
+        // (idx advanced past labelsIdx), best-effort delete that
+        // partial output too, and rethrow
         if (labels != null)
-          try sweepFree(labels, sweep, idx)
+          try sweepFree(labels, sweep, labelsIdx)
           catch { case scala.util.control.NonFatal(_) => () }
+        sweep match {
+          case SweepCheckpoint.Table(_) if idx != labelsIdx =>
+            try deleteSweepDir(spark, sweep, idx)
+            catch { case scala.util.control.NonFatal(_) => () }
+          case _ => ()
+        }
         throw e
     } finally {
       // safe on any path: unpersist is idempotent, and the returned
@@ -562,17 +630,73 @@ object Dedup {
     }
   }
 
+  /** Highest completed (`_SUCCESS`-marked) `sweep_<i>` table under
+    * `dir`, as (index, path).
+    */
+  private def latestSweep(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Int, String)] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) None
+    else {
+      val pat = "sweep_(\\d+)".r
+      val done = fs.listStatus(base).filter(_.isDirectory).flatMap { st =>
+        st.getPath.getName match {
+          case pat(i) if fs.exists(
+              new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")) =>
+            Some(i.toInt -> st.getPath.toString)
+          case _ => None
+        }
+      }
+      if (done.isEmpty) None else Some(done.maxBy(_._1))
+    }
+  }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
+
+  /** Whether the ContextCleaner will reclaim checkpoint files — the
+    * conf [[SweepCheckpoint.Reliable]] callers must enable on clusters
+    * or accrete one checkpoint tree per sweep per run.
+    */
+  private[graft] def checkpointCleanerEnabled(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
+
   private def sweepMaterialize(df: DataFrame, sweep: SweepCheckpoint,
       idx: Int): DataFrame = sweep match {
     case SweepCheckpoint.Local => df.localCheckpoint()
     case SweepCheckpoint.Reliable(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      if (sc.getCheckpointDir.isEmpty) {
+        // context-global side effect (documented on SweepCheckpoint):
+        // every later checkpoint() in the session now lands here
+        log.warn(s"SweepCheckpoint.Reliable: setting the session-global " +
+          s"checkpoint dir to $dir (none was set); later checkpoint() " +
+          "calls in this session inherit it")
+        sc.setCheckpointDir(dir)
+      }
+      if (idx == 0 && !checkpointCleanerEnabled(df.sparkSession))
+        log.warn("SweepCheckpoint.Reliable: spark.cleaner." +
+          "referenceTracking.cleanCheckpoints is off — per-sweep " +
+          "checkpoint data will accrete for the session lifetime; " +
+          "enable it (or use SweepCheckpoint.Table) for production runs")
       df.checkpoint()
     case SweepCheckpoint.Table(dir) =>
       val p = s"$dir/sweep_$idx"
       df.write.mode("overwrite").parquet(p)
       df.sparkSession.read.parquet(p)
+  }
+
+  private def deleteSweepDir(spark: org.apache.spark.sql.SparkSession,
+      sweep: SweepCheckpoint, idx: Int): Unit = sweep match {
+    case SweepCheckpoint.Table(dir) =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/sweep_$idx")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    case _ => ()
   }
 
   /** Free a sweep table once the NEXT sweep is materialized. The last
@@ -588,10 +712,8 @@ object Dedup {
          // removes them when spark.cleaner.referenceTracking
          // .cleanCheckpoints is on, and they are the fault-tolerance
          // story until then — never delete underneath the context
-    case SweepCheckpoint.Table(dir) =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/sweep_$idx")
-      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(p, true)
+    case t: SweepCheckpoint.Table =>
+      deleteSweepDir(df.sparkSession, t, idx)
   }
 
   /** Near-dup CLUSTERS: connected components of the simhash pair graph

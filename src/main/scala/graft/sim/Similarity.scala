@@ -128,27 +128,49 @@ object Similarity {
     *
     * `queries` carries (`qidCol`, `qvecCol`); self-matches (corpus id
     * == query id) are excluded like the single-query operators.
+    *
+    * The broadcast of the probe expansion assumes the query set is
+    * small next to the corpus — true for a similarity service
+    * answering a probe batch, but `queries` is an arbitrary caller
+    * DataFrame and one COUPLED to the corpus (a predicate slice, a
+    * whole-table self-search) grows the broadcast linearly with the
+    * corpus until the driver dies. So the assumption is ENFORCED, not
+    * documented away (the d7 recipe, `Decontaminate.flags`): the
+    * query side is count-gated, and above `maxBroadcastQueries` the
+    * candidate join falls back to a shuffle equi-join on the cell key
+    * with sort-merge PINNED (Catalyst's size estimate for the probe
+    * expansion is crude and could re-broadcast it). Same results
+    * either way, spec-pinned. The gate runs one eager count over the
+    * pruned query projection, so the operator is not fully lazy — the
+    * price of refusing to OOM lazily. Each probe row carries the full
+    * query vector (nprobe x dim x 8 bytes per query), so the default
+    * gate (64k queries) keeps the broadcast ~100 MB at nprobe=2,
+    * dim=128; callers with fat vectors should lower it.
     */
   def ivfTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, ncells: Int = 8, nprobe: Int = 2): DataFrame = {
+      k: Int, ncells: Int = 8, nprobe: Int = 2,
+      maxBroadcastQueries: Long = 1L << 16): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
       .filter(nonZero(col("qv")))
     val cent = e.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
-    // per-query probe cells: queries x ncells is broadcast-sized; the
-    // nprobe cut is a row_number over that tiny table, not the corpus
+    // per-query probe cells: queries x nprobe rows; the nprobe cut is
+    // a row_number over the query table, not the corpus
     val qcells = q.join(broadcast(cent))
       .withColumn("d", Vec.sqDist(col("cv"), col("qv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("d").asc, col("cell").asc)))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
+    val probeSide =
+      if (q.count() <= maxBroadcastQueries) broadcast(qcells)
+      else qcells.hint("merge")
     assignCells(emb, idCol, vecCol, ncells)
       .filter(nonZero(col("v")))
-      .join(broadcast(qcells), "cell")
+      .join(probeSide, "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
       .withColumn("rk", row_number().over(
@@ -166,10 +188,18 @@ object Similarity {
     * the bucket value. The ball is enumerated driver-side (it is a
     * function of two small integers, not of data) and shipped as one
     * literal array.
+    *
+    * The probe-ball broadcast is count-gated exactly like
+    * [[ivfTopKAll]] (each query expands to sum of C(nPlanes, r) probe
+    * rows, each carrying the query vector): above
+    * `maxBroadcastQueries` the candidate join falls back to a PINNED
+    * sort-merge equi-join on the bucket key — same results, one eager
+    * count as the price.
     */
   def srpTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
+      k: Int, nPlanes: Int = 8, maxHamming: Int = 1,
+      maxBroadcastQueries: Long = 1L << 16): DataFrame = {
     import graft.functions.Hashing
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val dim = e.agg(max(size(col("v"))).as("dim"))
@@ -187,10 +217,10 @@ object Similarity {
         .groupBy(col(idc))
         .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
     val bucketed = bucketOf(e, "id", "v").filter(nonZero(col("v")))
-    val q = bucketOf(
-      queries.select(col(qidCol).as("qid"), asDouble(col(qvecCol)).as("qv"))
-        .filter(nonZero(col("qv"))),
-      "qid", "qv")
+    val qin = queries.select(col(qidCol).as("qid"),
+      asDouble(col(qvecCol)).as("qv"))
+      .filter(nonZero(col("qv")))
+    val q = bucketOf(qin, "qid", "qv")
     // Hamming ball of xor-masks at radius <= maxHamming (driver-side:
     // depends only on nPlanes/maxHamming)
     val ball = (0L until (1L << nPlanes))
@@ -199,8 +229,13 @@ object Similarity {
       explode(lit(ball.toArray)).as("mask"))
       .select(col("qid"), col("qv"),
         col("mask").bitwiseXOR(col("qb")).as("bucket"))
+    // gate on the pre-bucket query projection: same cardinality as `q`
+    // for unique qids, and it skips re-running the bucketing subplan
+    val probeSide =
+      if (qin.count() <= maxBroadcastQueries) broadcast(probes)
+      else probes.hint("merge")
     bucketed
-      .join(broadcast(probes), "bucket")
+      .join(probeSide, "bucket")
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
       .withColumn("rk", row_number().over(

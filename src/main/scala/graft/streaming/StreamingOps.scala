@@ -61,6 +61,15 @@ object StreamingOps {
     * Input must carry (doc_id, fp) — fingerprint upstream via
     * [[graft.text.TextOps.fingerprint]] so the hash is computed map-side
     * before the shuffle.
+    *
+    * STATE-SCHEMA NOTE (ADVICE r6): adding `lastSeenMs` to [[SeenState]]
+    * changed the flatMapGroupsWithState state encoder schema, so a
+    * streaming query RESTARTED from a checkpoint written by the
+    * 2-field version will fail state-schema compatibility — a live
+    * deployment must either drain its checkpoint (stop at a batch
+    * boundary, restart fresh, accepting one dup-horizon of
+    * re-admissions) or keep running the old build. State case classes
+    * are an on-disk format; future fields need the same care.
     */
   def streamingDedup(spark: SparkSession, docs: DataFrame,
       ttl: Option[String] = None): Dataset[Doc] = {

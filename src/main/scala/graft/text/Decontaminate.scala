@@ -37,10 +37,18 @@ object Decontaminate {
     * falls back to a shuffle join on the gram key, same results, no
     * broadcast. The gate runs one eager count, so this operator is not
     * fully lazy — the price of refusing to OOM lazily.
+    *
+    * The gate is denominated in DOCUMENTS but the broadcast payload is
+    * the exploded GRAM table (~doc length in grams x gram bytes per
+    * doc — roughly the benchmark's raw text size), so the default is
+    * sized for real eval suites (a few thousand docs, ADVICE r6: 1M
+    * docs of grams is multi-GB): 8k docs ~ tens of MB of grams.
+    * Callers with very long benchmark documents should lower it
+    * further.
     */
   def flags(docs: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int,
-      maxBroadcastBenchDocs: Long = 1L << 20): DataFrame = {
+      maxBroadcastBenchDocs: Long = 1L << 13): DataFrame = {
     // distinct n-gram shingling reuses the d2/d3 compiled kernel (same
     // lowercase/space-split/first-occurrence semantics, one split per
     // row instead of the interpreted-HOF re-evaluation)
@@ -56,7 +64,7 @@ object Decontaminate {
     * broadcast gate checks.
     */
   def flagsFromShingled(base: DataFrame, nBench: Long,
-      maxBroadcastBenchDocs: Long = 1L << 20): DataFrame = {
+      maxBroadcastBenchDocs: Long = 1L << 13): DataFrame = {
     val grams = base.select(col("doc_id"), col("is_bench"),
       explode(col("gs")).as("g"))
     val bench = grams.filter(col("is_bench"))

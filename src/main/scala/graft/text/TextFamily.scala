@@ -85,11 +85,19 @@ object TextFamily {
     * [[Decontaminate.flags]], the inline t3 query) keep their own
     * leaner plans; this is the explicit opt-in for pipelines running
     * the whole family.
+    *
+    * `isBench` is evaluated against the TOKEN table, so it may only
+    * reference `doc_id`, `groupCol`, or a column listed in
+    * `carryCols` — any other input column must be carried explicitly
+    * (ADVICE r6: the previous hard-coded carry made a predicate on,
+    * say, a url column an AnalysisException).
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, isBench: Column, gramN: Int,
-      maxBroadcastBenchDocs: Long = 1L << 20): TextFamilyResult = {
-    val tokens = tokenTable(docs, idCol, textCol, Seq(groupCol))
+      maxBroadcastBenchDocs: Long = 1L << 13,
+      carryCols: Seq[String] = Nil): TextFamilyResult = {
+    val tokens = tokenTable(docs, idCol, textCol,
+      (groupCol +: carryCols).distinct)
     val nDocs = tokens.agg(count(lit(1)).as("nd"))
     val t8 = TfIdf.topTermFromTokens(
       tokens.select(col("doc_id"), col("toks")), nDocs)

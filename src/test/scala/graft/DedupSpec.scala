@@ -83,19 +83,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("a failed Table-sweep run deletes its stranded sweep directory") {
+  test("Table-sweep non-convergence keeps ONE resume artifact; resumeFrom completes from it") {
     import spark.implicits._
     import graft.dedup.{ConvergenceException, SweepCheckpoint}
     val dir = java.nio.file.Files.createTempDirectory("cc_fail").toString
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("d1", "d2")
-    intercept[ConvergenceException] {
+    // mid-propagation kill: the 3-sweep budget is under the path
+    // diameter, so the run dies with the named failure — but in Table
+    // mode the LAST completed sweep must survive as the resume artifact
+    val e = intercept[ConvergenceException] {
       Dedup.connectedComponents(chain, maxIter = 3,
         sweep = SweepCheckpoint.Table(dir)).collect()
     }
+    assert(e.resumeDir === Some(dir), "exception must carry the resume dir")
     val left = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("sweep_"))
-    assert(left.isEmpty,
-      s"stranded sweep tables after failure: ${left.map(_.getName).toSeq}")
+    assert(left.length === 1,
+      s"exactly the last completed sweep must remain: ${left.map(_.getName).toSeq}")
+    // resume continues the propagation instead of restarting: labels
+    // must match the uninterrupted run exactly
+    val resumed = Dedup.connectedComponents(chain, maxIter = 15,
+      sweep = SweepCheckpoint.Table(dir), resumeFrom = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed === full, "resumed labels diverged from the uninterrupted run")
+    assert(resumed.values.forall(_ == 0L), "path graph must collapse to min id")
+    // resuming from a dir with no completed sweep is a named argument
+    // error, not a silent fresh start
+    val empty = java.nio.file.Files.createTempDirectory("cc_empty").toString
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 15,
+        sweep = SweepCheckpoint.Table(empty), resumeFrom = Some(empty))
+    }
+  }
+
+  test("checkpoint-cleaner conf surfaced for Reliable sweeps") {
+    // the helper the Reliable warning path keys on must reflect the
+    // context conf (off in this suite — the documented default that
+    // accretes checkpoint dirs unless enabled on clusters)
+    assert(Dedup.checkpointCleanerEnabled(spark) ===
+      spark.sparkContext.getConf.getBoolean(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", false))
   }
 
   test("sweep strategies (Local/Reliable/Table) agree on the cluster result") {

@@ -86,4 +86,49 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.count() === emb.count())
     assert(asg.select("id").distinct().count() === emb.count())
   }
+
+  test("batched ANN: a corpus-sized query table takes the sort-merge path, identical output") {
+    import org.apache.spark.sql.functions.col
+    // the whole corpus as the query table — the corpus-coupled shape
+    // (VERDICT r6 #1) whose probe expansion grows linearly with the
+    // data and must NOT be broadcast above the gate
+    val fatQ = emb
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    // ivf: gated run shuffles on the cell key with sort-merge pinned
+    val gatedIvf = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      fatQ, "vec_id", "embedding", k = 3, maxBroadcastQueries = 10)
+    val pIvf = gatedIvf.queryExecution.executedPlan.toString()
+    assert(pIvf.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("cell#")),
+      "gated ivf probe join should sort-merge on the cell key")
+    val openIvf = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      fatQ, "vec_id", "embedding", k = 3,
+      maxBroadcastQueries = Long.MaxValue)
+    assert(rows(gatedIvf) === rows(openIvf),
+      "ivf join-strategy fallback changed the results")
+    // srp: same contract on the bucket key
+    val gatedSrp = Similarity.srpTopKAll(emb, "vec_id", "embedding",
+      fatQ, "vec_id", "embedding", k = 3, maxBroadcastQueries = 10)
+    val pSrp = gatedSrp.queryExecution.executedPlan.toString()
+    assert(pSrp.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("bucket#")),
+      "gated srp probe join should sort-merge on the bucket key")
+    val openSrp = Similarity.srpTopKAll(emb, "vec_id", "embedding",
+      fatQ, "vec_id", "embedding", k = 3,
+      maxBroadcastQueries = Long.MaxValue)
+    assert(rows(gatedSrp) === rows(openSrp),
+      "srp join-strategy fallback changed the results")
+    // and below the gate the probe side must still broadcast (the
+    // fast path for real probe batches)
+    val small = emb.filter(col("vec_id") % 50 === 0)
+    val pFast = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3)
+      .queryExecution.executedPlan.toString()
+    assert(pFast.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("cell#")),
+      "small query batches must keep the broadcast probe join")
+  }
 }
