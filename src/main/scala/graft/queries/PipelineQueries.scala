@@ -207,6 +207,14 @@ object PipelineQueries extends QueryPack {
     graft.text.ShardPack.pack(docs(s, dir), "doc_id", "text", "source", 2000L)
       .orderBy("doc_id")
 
+  // t11: multi-level shard packing — deterministic sub-buckets bound
+  // the window partitions regardless of source skew; shard ids are
+  // renumbered globally unique via the broadcast offset table.
+  private def t11ShardPackBucketed(s: SparkSession, dir: String): DataFrame =
+    graft.text.ShardPack.packBucketed(docs(s, dir), "doc_id", "text",
+      "source", 500L, nBuckets = 4)
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -271,6 +279,7 @@ object PipelineQueries extends QueryPack {
     "t8_tfidf" -> (t8Tfidf _),
     "t9_filter_cascade" -> (t9FilterCascade _),
     "t10_shard_pack" -> (t10ShardPack _),
+    "t11_shard_pack_bucketed" -> (t11ShardPackBucketed _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -672,6 +681,32 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, source, n_tokens,
         |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // t11: bucketed packing — the sub-bucket is the shared 60-bit md5
+    // family (seed 0) mod 4, the local prefix sum runs per
+    // (source, bucket), and the global shard id adds the exclusive
+    // running count of shards over (source, bucket) order.
+    "t11_shard_pack_bucketed" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(lower(coalesce(text, '')), ' ')) AS BIGINT) AS n_tokens,
+        |         CAST(concat('0x', substr(md5(concat('0', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4 AS bucket
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, bucket, n_tokens,
+        |         CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY source, bucket
+        |             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_tokens AS DOUBLE) / 500.0) AS BIGINT) AS shard_local
+        |  FROM t),
+        |g AS (
+        |  SELECT source, bucket, max(shard_local) + 1 AS nsh FROM l GROUP BY 1, 2),
+        |o AS (
+        |  SELECT source, bucket,
+        |         coalesce(sum(nsh) OVER (ORDER BY source, bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM g)
+        |SELECT l.doc_id, l.source, l.bucket, l.n_tokens, l.shard_local,
+        |       l.shard_local + o.off AS shard
+        |FROM l JOIN o USING (source, bucket) ORDER BY doc_id""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
     // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),

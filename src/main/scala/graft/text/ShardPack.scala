@@ -34,4 +34,54 @@ object ShardPack {
         floor((col("cum") - col("n_tokens")) / lit(budgetTokens))
           .cast("long").as("shard"))
   }
+
+  /** Multi-level packing — the mechanism for the 100 TB sequential-span
+    * problem [[pack]] delegates to its caller's group key: a skewed
+    * group (one source holding half the corpus) makes the per-group
+    * prefix sum a single sorted partition of that size. Here every doc
+    * first lands in a deterministic sub-bucket (`hash(id) mod
+    * nBuckets`, the cross-engine md5 family so oracles reproduce it),
+    * the prefix sum runs per (group, bucket) — window partitions are
+    * bounded by ~|group|/nBuckets whatever the source skew — and shard
+    * ids are then renumbered GLOBALLY unique via a per-(group, bucket)
+    * offset table: one tiny aggregate (groups x buckets rows), an
+    * exclusive prefix sum over it, broadcast back. Shard boundaries
+    * still never split a document, every shard except each bucket's
+    * last still carries >= budget - max_doc_tokens + 1 tokens, and the
+    * only data-scale wide stages are the bucketed window and one
+    * partial-aggregatable max — the offset table's single-partition
+    * window is groups x buckets rows, not data.
+    *
+    * Output: (id, group, bucket, n_tokens, shard_local, shard) with
+    * `shard` unique across the whole output and contiguous per
+    * (group, bucket) span in (group, bucket) order.
+    */
+  def packBucketed(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long, nBuckets: Int): DataFrame = {
+    import graft.functions.Hashing
+    val wLocal = Window.partitionBy(col(groupCol), col("bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs
+      .withColumn("bucket",
+        Hashing.hash60(col(idCol).cast("string"), 0) % nBuckets)
+      .withColumn("n_tokens",
+        TextOps.tokenCount(coalesce(col(textCol), lit(""))))
+      .withColumn("cum", sum(col("n_tokens")).over(wLocal))
+      .select(col(idCol), col(groupCol), col("bucket"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budgetTokens))
+          .cast("long").as("shard_local"))
+    // shards per (group, bucket) -> exclusive running offset; the
+    // unpartitioned window is over the TINY aggregate only
+    val wOff = Window.orderBy(col(groupCol), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col(groupCol), col("bucket"))
+      .agg((max(col("shard_local")) + lit(1L)).as("nsh"))
+      .withColumn("off", coalesce(sum(col("nsh")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("bucket"), col("off"))
+    local.join(broadcast(offsets), Seq(groupCol, "bucket"))
+      .select(col(idCol), col(groupCol), col("bucket"), col("n_tokens"),
+        col("shard_local"),
+        (col("shard_local") + col("off")).as("shard"))
+  }
 }

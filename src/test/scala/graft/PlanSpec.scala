@@ -137,6 +137,17 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p10).length === 1,
       "t10 needs exactly the one per-group exchange")
     assert(!p10.contains("Join"), "t10 must not join")
+    // t11: the data-scale window hashes on (source, bucket) — bounded
+    // partitions under source skew — and the offset table comes back
+    // as a BROADCAST join, never a data-side shuffle join
+    val p11 = plan("t11_shard_pack_bucketed")
+    assert(p11.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("bucket#")),
+      "t11's window must partition on the sub-bucket")
+    assert(p11.contains("BroadcastHashJoin"),
+      "t11's offset renumber must broadcast the tiny offset table")
+    assert(!p11.contains("SortMergeJoin"),
+      "t11 must not shuffle-join the data side")
   }
 
   test("s5/s6 batched ANN: corpus joins the probe set by key, no all-pairs product") {

@@ -46,4 +46,44 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(0) === 4L)
     assert(r.getLong(1) === 3L)
   }
+
+  test("bucketed shard packing: dense global ids, local prefix intact, buckets bound the span") {
+    val docs = Tables.t(spark, sf, "documents")
+    val n = docs.count()
+    val out = graft.text.ShardPack.packBucketed(
+      docs, "doc_id", "text", "source", budgetTokens = 500L, nBuckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.length.toLong === n, "every doc packed exactly once")
+    // global shard ids are dense 0..K-1 (the renumber leaves no gaps)
+    val shards = out.map(_._6).toSet
+    assert(shards === (0L until shards.size.toLong).toSet,
+      "global shard ids must be dense from 0")
+    // within each (source, bucket): shard - shard_local is one constant
+    // offset, and local shards are a contiguous 0..max run
+    out.groupBy(t => (t._2, t._3)).foreach { case ((src, b), rows) =>
+      val offs = rows.map(t => t._6 - t._5).toSet
+      assert(offs.size === 1, s"($src,$b) has mixed offsets $offs")
+      val locals = rows.map(_._5).toSet
+      assert(locals === (0L to rows.map(_._5).max).toSet,
+        s"($src,$b) local shards not contiguous")
+      // the local prefix-sum semantics match the single-level pack:
+      // in doc_id order, a shard closes only once the budget is filled
+      val ordered = rows.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { t =>
+        assert(t._5 === cum / 500L, s"($src,$b) doc ${t._1} shard drifted")
+        cum += t._4
+      }
+    }
+    // offsets follow (source, bucket) order: the first shard of each
+    // span continues where the previous span ended
+    val spanOrder = out.groupBy(t => (t._2, t._3)).toSeq.sortBy(_._1)
+    val ends = spanOrder.map(_._2.map(_._6).max)
+    val starts = spanOrder.map(_._2.map(_._6).min)
+    starts.zip(-1L +: ends.dropRight(1)).foreach { case (s, prevEnd) =>
+      assert(s === prevEnd + 1, "global spans must be contiguous in (source,bucket) order")
+    }
+  }
 }
