@@ -419,7 +419,7 @@ object Dedup {
     * `sim0` itself — bands× less memory than caching this expansion,
     * and the caller owns the lifetime.
     */
-  private def bandedSimhash(sim0: DataFrame, idCol: String,
+  private[graft] def bandedSimhash(sim0: DataFrame, idCol: String,
       maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val base = 60 / nBands

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   *
   * Container: magic "Obj\\x01", a metadata map carrying avro.schema
   * (JSON) and avro.codec, a 16-byte sync marker, then blocks of
-  * (row count, byte size, payload, sync). Codecs: null and deflate
-  * (raw, nowrap). Binary encoding: zigzag varints, length-prefixed
+  * (row count, byte size, payload, sync). Codecs: null, deflate
+  * (raw, nowrap), snappy (+BE CRC32), zstandard (plain frames).
+  * Binary encoding: zigzag varints, length-prefixed
   * bytes/strings, little-endian float/double, records in field order,
   * unions as branch index + value, arrays/maps in counted blocks.
   *
@@ -256,6 +257,23 @@ object AvroReader {
         require(crc.getValue == want,
           "avro: snappy block CRC mismatch (corrupt block)")
         data
+      // zstandard (Avro 1.12 optional codec; the other codec modern
+      // Spark lakes commonly write): each block is one zstd frame, NO
+      // trailing checksum — unlike snappy. Stream-decode rather than a
+      // one-shot size probe: frames from stream encoders (avro-java's
+      // own ZstandardCodec wraps zstd-jni streams) omit the content
+      // size from the frame header, so only a streaming decoder covers
+      // both encoder families. zstd-jni ships in /opt/spark/jars.
+      case "zstandard" =>
+        val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+          new java.io.ByteArrayInputStream(payload, 0, size))
+        try {
+          val out = new ByteArrayOutputStream(size * 4)
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { out.write(tmp, 0, n); n = in.read(tmp) }
+          out.toByteArray
+        } finally in.close()
       case other => sys.error(s"avro: unsupported codec '$other'")
     }
     def rows: Iterator[Row] = new Iterator[Row] {
@@ -509,11 +527,11 @@ object AvroReader {
   }
 }
 
-/** Minimal container writer (null, deflate or snappy codec) — enough
-  * to round-trip DataFrames through the reader, interoperate with
-  * spark-avro (whose default write codec is snappy), and emit
-  * alert-shaped test files. Distributed writes go one container per
-  * partition.
+/** Minimal container writer (null, deflate, snappy or zstandard
+  * codec) — enough to round-trip DataFrames through the reader,
+  * interoperate with spark-avro (whose default write codec is snappy),
+  * and emit alert-shaped test files. Distributed writes go one
+  * container per partition.
   */
 object AvroWriter {
   import AvroSchema._
@@ -673,6 +691,13 @@ object AvroWriter {
             val c = crc.getValue
             o.write((c >>> 24).toInt & 0xff); o.write((c >>> 16).toInt & 0xff)
             o.write((c >>> 8).toInt & 0xff); o.write(c.toInt & 0xff)
+            o.toByteArray
+          case "zstandard" => // one zstd frame per block, no checksum;
+            // level 3 = avro-java's ZstandardCodec default, stream API
+            // so the frame shape matches what reference readers expect
+            val o = new ByteArrayOutputStream()
+            val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(o, 3)
+            try z.write(raw.toByteArray) finally z.close()
             o.toByteArray
           case other => sys.error(s"avro: unsupported codec '$other'")
         }

@@ -131,6 +131,115 @@ object StreamingOps {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))
 
+  final case class BandedDoc(doc_id: Long, simhash: Long, band: Int, bits: Long)
+  final case class BucketRep(repId: Long, repSim: Long, lastSeenMs: Long = 0L)
+  final case class NearDupCandidate(doc_id: Long, canonical: Long, ham: Long)
+
+  /** Streaming NEAR-dup canonical assignment — the streaming twin of
+    * the batch [[graft.dedup.Dedup.simhashAssign]] (d8), closing the
+    * batch/stream seam of the d10 chain: exact-fingerprint dedup
+    * ([[streamingDedup]]) upstream, near-dup assignment here. Input
+    * carries (doc_id, simhash) — compute the simhash map-side upstream
+    * via [[graft.dedup.Dedup.simhash]], exactly like the fingerprint
+    * convention.
+    *
+    * Shape: the SAME Hamming-LSH band expansion as the batch operator
+    * (pigeonhole over maxHamming+1 bands — shared code, so banding can
+    * never drift between the twins), then flatMapGroupsWithState keyed
+    * on the (band, bits) bucket. State per bucket is ONE canonical
+    * representative (id, simhash): the first document ever seen in the
+    * bucket. Each arriving doc verifies Hamming<=maxHamming against
+    * its buckets' representatives and emits a (doc, canonical, ham)
+    * candidate per verifying bucket; reduce candidates to the final
+    * per-doc assignment with [[nearDupAssignReduce]] (the cross-band
+    * min the batch operator folds into its aggregate — a second
+    * stateful stage here, so it runs in the caller's foreachBatch/
+    * downstream batch job). State scales with DISTINCT occupied
+    * buckets, bounded by (maxHamming+1) x distinct signatures.
+    *
+    * Semantics: one-hop sound assignment exactly like d8 — every
+    * emitted canonical is a verified neighbor with a smaller id. On
+    * in-order arrival (doc_id ascending across batches; within a
+    * batch the group is sorted) the first-seen representative IS the
+    * bucket's min id, so reduced emissions equal the batch operator
+    * (spec-pinned). Out-of-order arrival keeps soundness (the
+    * `rep < doc` guard never assigns to a larger id) but may pick a
+    * later-id representative than batch mode — the documented
+    * streaming trade.
+    *
+    * `ttl` composes the [[streamingDedup]] TTL machinery per BUCKET:
+    * sliding re-arm on every sighting, timeout eviction, and the
+    * same-batch stale-state check, so an expired bucket's next doc
+    * becomes a fresh representative (re-admission) instead of
+    * verifying against dead state.
+    */
+  def streamingNearDupAssign(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int, ttl: Option[String] = None): Dataset[NearDupCandidate] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    val ttlMs = ttl.map { s =>
+      val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      require(i.months == 0,
+        "streamingNearDupAssign ttl must not use month units")
+      i.days * 86400000L + i.microseconds / 1000L
+    }
+    val banded = graft.dedup.Dedup.bandedSimhash(
+      docs.select(col("doc_id"), col("simhash")), "doc_id", maxHamming)
+      .select(col("doc_id"), col("simhash"),
+        col("band").cast("int").as("band"), col("bits"))
+      .as[BandedDoc]
+    banded.groupByKey(b => (b.band, b.bits))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
+        (_: (Int, Long), rows: Iterator[BandedDoc],
+            state: GroupState[BucketRep]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // within-batch determinism under shuffle: process in id
+            // order, so the smallest new doc becomes the representative
+            val sorted = rows.toArray.sortBy(_.doc_id)
+            val now =
+              if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
+            // same-batch stale-state check (see streamingDedup): a doc
+            // arriving after the TTL lapsed must not verify against —
+            // and re-arm — a dead representative
+            var rep = state.getOption.filter(s =>
+              ttlMs.forall(t => now - s.lastSeenMs <= t))
+            val out = Array.newBuilder[NearDupCandidate]
+            sorted.foreach { d =>
+              rep match {
+                case None =>
+                  rep = Some(BucketRep(d.doc_id, d.simhash, now))
+                case Some(r) =>
+                  val ham =
+                    java.lang.Long.bitCount(d.simhash ^ r.repSim).toLong
+                  if (r.repId < d.doc_id && ham <= maxHamming)
+                    out += NearDupCandidate(d.doc_id, r.repId, ham)
+              }
+            }
+            rep.foreach(r => state.update(
+              if (ttl.isDefined) r.copy(lastSeenMs = now) else r))
+            ttl.foreach(state.setTimeoutDuration) // sliding re-arm
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Fold per-bucket candidates from [[streamingNearDupAssign]] into
+    * the final one-canonical-per-doc assignment (the batch operator's
+    * min_by aggregate): smallest canonical wins, like
+    * [[graft.dedup.Dedup.simhashAssign]].
+    */
+  def nearDupAssignReduce(candidates: DataFrame): DataFrame =
+    candidates.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("canonical"), col("ham")), col("canonical")).as("m"))
+      .select(col("doc_id"), col("m.canonical").as("canonical"),
+        col("m.ham").as("ham"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

@@ -240,4 +240,71 @@ class AvroSpec extends SparkSpec {
       (m.contains("CRC") || m.contains("FAILED_TO_UNCOMPRESS") ||
         m.contains("corrupt"))), s"unexpected error: $e")
   }
+
+  test("zstandard containers written by the Avro reference library read back") {
+    // ground truth from org.apache.avro's own ZstandardCodec (stream
+    // frames without a content-size header — the family a one-shot
+    // decoder cannot read), crossing block boundaries via readSplit
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema: Schema = SchemaBuilder.record("doc").fields()
+      .requiredLong("doc_id").requiredString("text").endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("avro_zstd").toString
+    val f = new java.io.File(s"$dir/ref.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.setCodec(CodecFactory.zstandardCodec(3))
+    w.setSyncInterval(256)
+    w.create(schema, f)
+    val n = 300
+    (0 until n).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("doc_id", i.toLong)
+      r.put("text", s"payload $i " + ("z" * (i % 37)))
+      w.append(r)
+    }
+    w.close()
+    val got = AvroReader.read(spark, f.getPath)
+    assert(got.count() === n)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until n.toLong))
+    assert(got.filter(col("doc_id") === 5).select("text").head.getString(0)
+      === "payload 5 zzzzz")
+    val split = AvroReader.readSplit(spark, f.getPath, maxSplitBytes = 512)
+    assert(split.count() === n)
+    assert(split.exceptAll(got).count() === 0)
+  }
+
+  test("zstandard round-trips through our writer and the reference library reads it") {
+    import spark.implicits._
+    val src = (0L until 200L).map(i => (i, s"text $i")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("avro_zstd_rt").toString
+    val schema = graft.sources.AvroWriter.schemaFor(src.schema)
+    graft.sources.AvroWriter.write(s"$dir/rt.avro", schema,
+      src.collect().iterator, "zstandard", blockRows = 16)
+    val back = AvroReader.read(spark, s"$dir/rt.avro")
+    assert(back.count() === 200)
+    assert(back.exceptAll(src).count() === 0 && src.exceptAll(back).count() === 0)
+    // the reference library must also read our container
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val rd = new DataFileReader[GenericRecord](
+      new java.io.File(s"$dir/rt.avro"), new GenericDatumReader[GenericRecord]())
+    var cnt = 0
+    while (rd.hasNext) { rd.next(); cnt += 1 }
+    rd.close()
+    assert(cnt === 200, "org.apache.avro could not read our zstandard container")
+    // and the simple one-shot zstd API (frames WITH a content-size
+    // header) must interop with our streaming block decoder too
+    val raw = (0 until 64).map(i => s"row $i").mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val oneShot = com.github.luben.zstd.Zstd.compress(raw, 3)
+    val c = AvroReader.container(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/rt.avro")))
+    val zc = c.copy() // same codec field ("zstandard"), inflate directly
+    assert(java.util.Arrays.equals(zc.inflate(oneShot, oneShot.length), raw),
+      "one-shot zstd frame did not stream-decode")
+  }
 }

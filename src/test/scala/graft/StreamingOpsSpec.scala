@@ -147,6 +147,106 @@ class StreamingOpsSpec extends SparkSpec {
       "expired fingerprint did not re-admit (or TTL evicted too eagerly)")
   }
 
+  private def writeSlices(slices: Seq[org.apache.spark.sql.DataFrame],
+      prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-s$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, f"$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    dir
+  }
+
+  test("streaming near-dup assignment equals batch simhashAssign on in-order batches") {
+    import graft.dedup.Dedup
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text").cache()
+    try {
+      // four ascending doc_id ranges -> every batch's ids exceed all
+      // earlier batches' (the in-order contract under which first-seen
+      // representative == the batch operator's min-id representative)
+      val ids = sim.select("doc_id").collect().map(_.getLong(0)).sorted
+      val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2),
+        ids(3 * ids.length / 4))
+      val slices = Seq(
+        sim.filter(col("doc_id") < cuts(0)),
+        sim.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+        sim.filter(col("doc_id") >= cuts(1) && col("doc_id") < cuts(2)),
+        sim.filter(col("doc_id") >= cuts(2)))
+      val dir = writeSlices(slices, "neardup-stream")
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingOps.streamingNearDupAssign(spark, stream.toDF(),
+        maxHamming = 4)
+        .writeStream
+        .format("memory").queryName("neardup_stream")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      val got = StreamingOps.nearDupAssignReduce(spark.table("neardup_stream"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Dedup.simhashAssign(sim, "doc_id", maxHamming = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "corpus produced no near-dup assignments to compare")
+      assert(got === batch,
+        "streamed near-dup assignments must equal the batch twin on in-order replay")
+    } finally sim.unpersist()
+  }
+
+  test("near-dup TTL: an expired bucket's next doc re-admits as representative") {
+    import spark.implicits._
+    // two docs with IDENTICAL simhash (0) in batches 0 and 2; batch 1
+    // only touches other buckets (both 30-bit bands of its signature
+    // are nonzero at maxHamming=1). Without TTL doc 3 must be assigned
+    // to doc 1; with a 1 ms TTL the bucket state expires between the
+    // batches and doc 3 must be re-admitted as a fresh representative
+    // (no emission at all).
+    val other = (1L << 59) - 1L
+    val slices = Seq(Seq((1L, 0L)), Seq((2L, other)), Seq((3L, 0L)))
+      .map(_.toDF("doc_id", "simhash"))
+    def run(ttl: Option[String], name: String): Set[(Long, Long, Long)] = {
+      val dir = writeSlices(slices, s"neardup-ttl-$name")
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingOps.streamingNearDupAssign(spark, stream.toDF(),
+        maxHamming = 1, ttl = ttl)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (ttl.isDefined) {
+        // processing-time timeouts keep AvailableNow scheduling batches
+        // indefinitely — poll until all 3 input rows are through, then
+        // stop explicitly (same protocol as the ingest-dedup TTL spec)
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        def consumed = q.recentProgress
+          .flatMap(_.sources.map(_.numInputRows)).sum
+        while (consumed < 3 && System.nanoTime() < deadline && q.isActive)
+          Thread.sleep(200)
+        Thread.sleep(500) // let the final batch's emissions commit
+        q.stop()
+        q.awaitTermination(60000)
+      } else q.awaitTermination(300000)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val without = run(None, "neardup_nottl")
+    assert(without === Set((3L, 1L, 0L)),
+      "without TTL the identical later doc must assign to the first")
+    val withTtl = run(Some("1 millisecond"), "neardup_ttl")
+    assert(withTtl === Set.empty[(Long, Long, Long)],
+      "expired bucket state must not capture the re-admitted doc")
+  }
+
   test("mapGroupsWithState running stats: final state equals batch aggregate") {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
