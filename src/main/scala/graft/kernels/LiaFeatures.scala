@@ -41,11 +41,25 @@ package graft.kernels
   *    counts(0-2,7-9), duplicate-value binaries(11-13),
   *    first/last argmin-max locations(14-15,21-22), con/con2(17-18),
   *    ratio_recurring(34), half_mag_amplitude_ratio(40).
+  *  - ANCHOR-ADOPTED (r7, tools/LiaAnchors: candidate definitions
+  *    discriminated against rf.sav's split-threshold distribution —
+  *    CART thresholds sit at midpoints of training values, so their
+  *    quantiles sketch the training marginal — plus pca.sav's
+  *    training means): median_buffer_range(31) = fraction within
+  *    amplitude/10 of the median (also the statistic's
+  *    literature-canonical form, Richards et al. 2011);
+  *    median_distance(32) = MAG-domain Euclidean step distance (the
+  *    flux-domain variant cannot reach the threshold mass at
+  *    0.31-0.47); peak_detection(33) = peakutils-style half-range
+  *    local-max count with min_dist=25 (thresholds are exactly
+  *    {0.5, 1.5, 2.5} — an integer count in 0..3, training mean 1.44).
   *  - RECONSTRUCTED (LIA-specific parameterization not recoverable
-  *    offline — binning/radius/entropy parameters are plausible
-  *    choices, liveness-confirmed but not value-pinned):
-  *    median_buffer_range(31), median_distance(32),
-  *    peak_detection(33), sample_entropy(36), shannon_entropy(37).
+  *    offline; liveness-confirmed, anchor-shape-compatible, not
+  *    value-pinned): sample_entropy(36) — SampEn(2, 0.2*std), both
+  *    flux and mag domains anchor-compatible, flux retained;
+  *    shannon_entropy(37) — error-CDF surprisal family (the r6
+  *    histogram form was artifact-REFUTED: bounded by 1 against
+  *    training thresholds reaching 4.81).
   *
   * Scoring therefore runs the REAL bundled forest over a vector whose
   * layout and per-index liveness are artifact-confirmed; the
@@ -70,7 +84,6 @@ object LiaFeatures {
     val mean = nf.sum / n
     val std = math.sqrt(nf.map(x => (x - mean) * (x - mean)).sum / n)
     val med = median(nf)
-    val sorted = nf.sorted
 
     def countAbove(k: Double) = nf.count(_ > mean + k * std).toDouble
     def countBelow(k: Double) = nf.count(_ < mean - k * std).toDouble
@@ -140,13 +153,35 @@ object LiaFeatures {
         .sum / (n - 2)
 
     val mad = median(nf.map(x => math.abs(x - med)))
-    val medianBufferRange = nf.count(x => math.abs(x - med) < 0.1 * med).toDouble / n
-    val medianDistance = median(Array.tabulate(n - 1)(i =>
-      math.sqrt(diffs(i) * diffs(i) +
-        (ne(i + 1) - ne(i)) * (ne(i + 1) - ne(i)))))
+    // fraction within amplitude/10 of the median (Richards et al. 2011
+    // "medianBRP", the statistic's literature-canonical form; anchor
+    // check r7: ensemble mean 0.50 vs the 0.446 training mean in
+    // pca.sav, thresholds straddled — tools/LiaAnchors)
+    val medianBufferRange = {
+      val amp10 = (nf.max - nf.min) / 20.0
+      nf.count(x => math.abs(x - med) < amp10).toDouble / n
+    }
+    // MAGNITUDE-domain Euclidean step distance: the rf.sav threshold
+    // quantiles for this index ([0.0135, 0.473], quartile mass at
+    // 0.31-0.47) are routine for mag/magerr steps and unreachable for
+    // the normalized-flux variant (ensemble p90 0.11) — anchor-adopted
+    // r7 (tools/LiaAnchors; ensemble mean 0.16 vs training mean 0.142)
+    val medianDistance =
+      if (n < 2) 0.0
+      else median(Array.tabulate(n - 1)(i =>
+        math.sqrt(math.pow(mag(i + 1) - mag(i), 2) +
+          math.pow(magerr(i + 1) - magerr(i), 2))))
 
-    val peaks = (1 until n - 1).count(i =>
-      nf(i) > nf(i - 1) && nf(i) > nf(i + 1) && nf(i) > mean + std).toDouble
+    // peakutils.indexes-style count on |nf - median|: strict local
+    // maxima above half the range, greedy min_dist=25 suppression.
+    // Anchor-adopted r7: rf.sav splits this index ONLY at
+    // {0.5, 1.5, 2.5} (an integer count in 0..3) with training mean
+    // 1.44; this definition's ensemble mean is 1.60 with range 0-3,
+    // while the previous mean+sigma local-max count sat at 5.2
+    val peaks = {
+      val y = nf.map(x => math.abs(x - med))
+      peakCount(y, 0.5, 25).toDouble
+    }
 
     val recurring = counts.count(_ > 1).toDouble
     val ratioRecurring = if (counts.isEmpty) 0.0 else recurring / counts.size
@@ -155,20 +190,32 @@ object LiaFeatures {
 
     val sampEn = sampleEntropy(nf, 2, 0.2 * std)
 
-    // normalized histogram Shannon entropy (10 bins over the range)
+    // error-CDF surprisal (mag domain): -sum log2(p_i) with p_i the
+    // Gaussian(mean, std) mass inside the point's DOUBLED error bar.
+    // Near 0 when every error bar covers the sample spread (a
+    // Gaussian-consistent constant source with conservative errors)
+    // and unbounded on structured excursions. The r6 histogram
+    // definition was REFUTED by the artifact in r7: it is bounded by
+    // 1, but rf.sav's split thresholds for this index reach 4.81 (and
+    // CART thresholds never exceed the largest observed training
+    // value) while half the threshold mass sits below 0.008 — the
+    // training statistic has exactly this near-zero-mass/unbounded-
+    // tail shape (tools/LiaAnchors). Family-level reconstruction;
+    // still surfaced via mulens_features_approx.
     val shannon = {
-      val lo = sorted.head; val hi = sorted.last
-      if (hi == lo) 0.0
+      val mMn = mag.sum / n
+      val mSd = math.sqrt(mag.map(x => (x - mMn) * (x - mMn)).sum / n)
+      if (mSd == 0) 0.0
       else {
-        val bins = new Array[Int](10)
-        nf.foreach { x =>
-          val b = math.min(9, ((x - lo) / (hi - lo) * 10).toInt)
-          bins(b) += 1
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val p = normCdf((mag(i) + 2 * magerr(i) - mMn) / mSd) -
+            normCdf((mag(i) - 2 * magerr(i) - mMn) / mSd)
+          s -= math.log(math.max(p, 1e-12)) / math.log(2.0)
+          i += 1
         }
-        -bins.filter(_ > 0).map { c =>
-          val p = c.toDouble / n
-          p * math.log(p)
-        }.sum / math.log(10.0)
+        s
       }
     }
 
@@ -252,6 +299,33 @@ object LiaFeatures {
       mMean, // 44 meanMag
       trend, // 45 (mag slope vs index)
       vonNeumann) // 46 (mag domain)
+  }
+
+  /** peakutils.indexes-style peak count: strict local maxima of y
+    * above thres*(ymax-ymin)+ymin, then greedy suppression keeping
+    * the highest peak within each minDist window.
+    */
+  private def peakCount(y: Array[Double], thres: Double, minDist: Int): Int = {
+    val n = y.length
+    if (n < 3) return 0
+    val cut = thres * (y.max - y.min) + y.min
+    val raw = (1 until n - 1).filter(i =>
+      y(i) > y(i - 1) && y(i) > y(i + 1) && y(i) > cut)
+    if (raw.isEmpty) return 0
+    val keep = scala.collection.mutable.ArrayBuffer[Int]()
+    raw.sortBy(i => -y(i)).foreach { i =>
+      if (keep.forall(j => math.abs(j - i) >= minDist)) keep += i
+    }
+    keep.length
+  }
+
+  /** Standard normal CDF via Abramowitz-Stegun 7.1.26 (|eps| < 1.5e-7). */
+  private def normCdf(z: Double): Double = {
+    val x = z / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(x))
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) *
+      t - 0.284496736) * t + 0.254829592) * t * math.exp(-x * x)
+    0.5 * (1.0 + (if (x >= 0) y else -y))
   }
 
   private def median(xs: Array[Double]): Double = {

@@ -167,10 +167,15 @@ object Classifiers {
     * features, not the 44-dim pca.sav output) via
     * [[graft.models.RefModels.mulensForest]], over the
     * [[graft.kernels.LiaFeatures]] vector, whose LAYOUT is confirmed
-    * against the bundled artifacts but whose individual statistic
-    * definitions are a best-effort reconstruction of the external LIA
-    * package — surfaced by `mulens_features_approx`. Falls back to the
-    * documented stand-in when the bundle is absent.
+    * against the bundled artifacts. After the r7 anchor narrowing
+    * (tools/LiaAnchors: candidate definitions discriminated against
+    * rf.sav's split-threshold distribution and pca.sav's training
+    * means) the approximation scope surfaced by
+    * `mulens_features_approx` is down to TWO statistics — the
+    * sample-entropy domain choice (36) and the shannon-entropy
+    * parameterization (37); everything else is canonical,
+    * parameter-pinned, or anchor-adopted (see the kernel's tier doc).
+    * Falls back to the documented stand-in when the bundle is absent.
     */
   def microlensing(spark: SparkSession, df: DataFrame,
       forest: Option[graft.models.SklearnModels.ForestClassifier] =

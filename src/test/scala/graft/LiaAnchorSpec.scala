@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tools.LiaAnchors
+
+/** Artifact-anchor regression pins for the r7 LIA narrowing (VERDICT
+  * r6 #5): the three ANCHOR-ADOPTED definitions (31/32/33) and the
+  * shape constraint that refuted the old shannon_entropy (37) are
+  * pinned against the bundled rf.sav/pca.sav so drift in either the
+  * kernel or the artifact parsing is caught. The anchors: CART places
+  * split thresholds at midpoints of observed training values, so the
+  * threshold distribution at a feature index sketches the training
+  * marginal; pca.sav's mean_ carries the training mean per index.
+  */
+class LiaAnchorSpec extends AnyFunSuite {
+
+  private lazy val ens = LiaAnchors.ensemble(400, 7)
+  private def feat(i: Int): Array[Double] =
+    ens.map { case (m, e) => graft.kernels.LiaFeatures.extractAll(m, e)(i) }.toArray
+
+  test("f33 peak_detection: the artifact thresholds are the integer-count set and the kernel lives in it") {
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val (n, _) = LiaAnchors.thresholdStats(33)
+    assert(n > 0)
+    val forest = graft.models.RefModels.mulensForest.get
+    val distinct = forest.trees.flatMap { t =>
+      t.feature.indices.collect {
+        case k if t.left(k) != -1 && t.feature(k).toInt == 33 => t.threshold(k)
+      }
+    }.toSet
+    // the artifact fact that adopted the definition: every threshold
+    // is a half-integer in 0.5..2.5 (training counts in 0..3)
+    assert(distinct.subsetOf(Set(0.5, 1.5, 2.5)), s"thresholds drifted: $distinct")
+    val f = feat(33)
+    assert(f.forall(x => x == x.floor && x >= 0), "not an integer count")
+    val mean = f.sum / f.length
+    assert(mean > 0.5 && mean < 2.5,
+      s"ensemble mean $mean left the threshold band (training mean 1.44)")
+  }
+
+  test("f32 median_distance: the mag-domain definition reaches both ends of the threshold range") {
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val (_, q) = LiaAnchors.thresholdStats(32)
+    val f = feat(32).sorted
+    // observed values must cross the low-quartile AND high-quartile
+    // threshold mass — the flux-domain variant failed the high end
+    // (p90 of 0.11 against thresholds at 0.31-0.47)
+    assert(f.head < q(2), s"no mass below the p25 threshold ${q(2)}")
+    assert(f.last > q(4), s"no mass above the p75 threshold ${q(4)} — " +
+      "the high threshold band is unreachable (flux-domain regression?)")
+  }
+
+  test("f31 median_buffer_range: a fraction, anchor-plausible mean") {
+    val f = feat(31)
+    assert(f.forall(x => x >= 0 && x <= 1))
+    val mean = f.sum / f.length
+    assert(math.abs(mean - 0.446) < 0.25,
+      s"ensemble mean $mean too far from the 0.446 training mean")
+  }
+
+  test("f37 shannon_entropy: unbounded tail plus near-zero mass (the shape that refuted the histogram form)") {
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val f = feat(37)
+    // training thresholds reach 4.81 — the statistic must exceed 1
+    // (the old histogram definition was bounded by 1)
+    assert(f.max > 1.0, "no tail above 1 — bounded-entropy regression")
+    // and half the threshold mass is below 0.008 — quiet curves must
+    // be able to land near zero
+    assert(f.min < 0.1, s"no near-zero mass (min ${f.min})")
+  }
+}
