@@ -26,7 +26,8 @@ import graft.models.Hdf5Reader.Tensor
   * at the ~1e-6 level (pinned against an independent NumPy evaluation of
   * the same archive in CatsModelSpec).
   */
-final class CatsModel(w: Map[String, Tensor]) extends Serializable {
+final class CatsModel(w: Map[String, Tensor],
+    kern: CatsKernel = CatsKernel.Scalar) extends Serializable {
   import CatsModel._
 
   private def mat(name: String): Array[Array[Float]] = w(name).matrix
@@ -38,6 +39,13 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     require(k.shape(0) == 2, s"conv kernel ${k.shape.toList}")
     (k.shape(1), k.shape(2), k.data.map(_.toDouble),
       vec(s"/layers/$base/vars/1").map(_.toDouble))
+  }
+  // the conv taps as per-tap weight-row matrices [dt][in][outC], the
+  // shape CatsKernel.gemmAcc consumes in the batched forward
+  private val convTapRows = convs.map { case (in, outC, kdata, _) =>
+    Array.tabulate(2)(dt => Array.tabulate(in)(j =>
+      java.util.Arrays.copyOfRange(kdata, (dt * in + j) * outC,
+        (dt * in + j + 1) * outC)))
   }
   private val bns = Array.tabulate(3) { i =>
     val base = if (i == 0) "batch_normalization" else s"batch_normalization_$i"
@@ -206,8 +214,11 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
 
     // ---- CNN branch (batched) ----
     var cnn: Array[Array[Array[Double]]] = a
+    val xRows = new Array[Array[Double]](bN)
+    val oRows = new Array[Array[Double]](bN)
     for (layer <- 0 until 3) {
-      val (in, outC, kdata, bias) = convs(layer)
+      val (_, outC, _, bias) = convs(layer)
+      val taps = convTapRows(layer)
       val conv = Array.fill(bN)(Array.ofDim[Double](steps, outC))
       var t = 0
       while (t < steps) {
@@ -216,24 +227,18 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
           val row = conv(b)(t)
           var c = 0
           while (c < outC) { row(c) = bias(c); c += 1 }
+          oRows(b) = row
           b += 1
         }
+        // both conv taps through the CatsKernel seam; per output
+        // element the add order (bias, tap 0 j-ascending, tap 1
+        // j-ascending) matches the per-row forward bit-for-bit
         var dt = 0
         while (dt < 2) {
           if (t + dt < steps) {
-            var j = 0
-            while (j < in) {
-              val kOff = (dt * in + j) * outC
-              b = 0
-              while (b < bN) {
-                val xv = cnn(b)(t + dt)(j)
-                val row = conv(b)(t)
-                var c = 0
-                while (c < outC) { row(c) += xv * kdata(kOff + c); c += 1 }
-                b += 1
-              }
-              j += 1
-            }
+            b = 0
+            while (b < bN) { xRows(b) = cnn(b)(t + dt); b += 1 }
+            kern.gemmAcc(xRows, taps(dt), oRows)
           }
           dt += 1
         }
@@ -293,8 +298,8 @@ final class CatsModel(w: Map[String, Tensor]) extends Serializable {
     }
 
     // ---- RNN branch (batched lockstep) ----
-    val h1 = lstm1.sequencesBatch(a)
-    val rnnOut = lstm2.lastStateBatch(h1)
+    val h1 = lstm1.sequencesBatch(a, kern)
+    val rnnOut = lstm2.lastStateBatch(h1, kern)
 
     // ---- head + global max pool, per row ----
     Array.tabulate(bN) { b =>
@@ -401,15 +406,15 @@ object CatsModel {
       * read from L2 once per step and reused across the batch — the
       * per-row path re-streams the full weight matrices every row.
       */
-    def runBatch(x: Array[Array[Array[Double]]],
-        reverse: Boolean): Array[Array[Array[Double]]] = {
+    def runBatch(x: Array[Array[Array[Double]]], reverse: Boolean,
+        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Array[Double]]] = {
       val bN = x.length
       val n = x(0).length
-      val inDim = if (n == 0) 0 else x(0)(0).length
       val h = Array.ofDim[Double](bN, units)
       val c = Array.ofDim[Double](bN, units)
       val out = Array.fill(bN)(new Array[Array[Double]](n))
       val gates = Array.ofDim[Double](bN, 4 * units)
+      val xRows = new Array[Array[Double]](bN) // per-step input-row views
       var step = 0
       while (step < n) {
         val ti = if (reverse) n - 1 - step else step
@@ -418,72 +423,17 @@ object CatsModel {
           val g = gates(b)
           var k = 0
           while (k < 4 * units) { g(k) = bias(k); k += 1 }
+          xRows(b) = x(b)(ti)
           b += 1
         }
-        // 4-row tiles with the TILE OUTERMOST: each tile streams the
-        // (in+units) x 4u weight matrices from L2 once for 4 rows
-        // while its 4 gate rows (~19 KB) stay L1-resident across the
-        // whole j loop (tile-inside-j would cycle every row's gates
-        // through L1 per weight row). Measured gain is a modest
-        // ~1.15x — the axpy loop is already near the JVM's superword
-        // ceiling (see tools/AxpyBench) — but the shape is the right
-        // one for a future explicit-SIMD kernel.
-        b = 0
-        while (b + 4 <= bN) {
-          val g0 = gates(b); val g1 = gates(b + 1)
-          val g2 = gates(b + 2); val g3 = gates(b + 3)
-          var j = 0
-          while (j < inDim) {
-            val kr = kernel(j)
-            val x0 = x(b)(ti)(j); val x1 = x(b + 1)(ti)(j)
-            val x2 = x(b + 2)(ti)(j); val x3 = x(b + 3)(ti)(j)
-            var k = 0
-            val len = kr.length
-            while (k < len) {
-              val w = kr(k)
-              g0(k) += x0 * w; g1(k) += x1 * w
-              g2(k) += x2 * w; g3(k) += x3 * w
-              k += 1
-            }
-            j += 1
-          }
-          j = 0
-          while (j < units) {
-            val rr = recurrent(j)
-            val x0 = h(b)(j); val x1 = h(b + 1)(j)
-            val x2 = h(b + 2)(j); val x3 = h(b + 3)(j)
-            var k = 0
-            val len = rr.length
-            while (k < len) {
-              val w = rr(k)
-              g0(k) += x0 * w; g1(k) += x1 * w
-              g2(k) += x2 * w; g3(k) += x3 * w
-              k += 1
-            }
-            j += 1
-          }
-          b += 4
-        }
-        while (b < bN) { // remainder rows, single-row order
-          val g = gates(b)
-          var j = 0
-          while (j < inDim) {
-            val kr = kernel(j)
-            val xv = x(b)(ti)(j)
-            var k = 0
-            while (k < 4 * units) { g(k) += xv * kr(k); k += 1 }
-            j += 1
-          }
-          j = 0
-          while (j < units) {
-            val rr = recurrent(j)
-            val hv = h(b)(j)
-            var k = 0
-            while (k < 4 * units) { g(k) += hv * rr(k); k += 1 }
-            j += 1
-          }
-          b += 1
-        }
+        // the two hot batch GEMMs go through the CatsKernel seam (the
+        // pinned scalar default is the 4-row-tile loop measured at the
+        // JVM superword ceiling — see CatsKernel.Scalar); per gate
+        // element the accumulation order is unchanged (input j
+        // ascending, then recurrent j ascending), so results stay
+        // bit-identical to the per-row path
+        kern.gemmAcc(xRows, kernel, gates)
+        kern.gemmAcc(h, recurrent, gates)
         b = 0
         while (b < bN) {
           val g = gates(b); val hb = h(b); val cb = c(b)
@@ -526,20 +476,20 @@ object CatsModel {
     }
 
     /** Batched [[sequences]] (lockstep; see [[LstmCell.runBatch]]). */
-    def sequencesBatch(
-        x: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
-      val f = fwd.runBatch(x, reverse = false)
-      val b = bwd.runBatch(x, reverse = true)
+    def sequencesBatch(x: Array[Array[Array[Double]]],
+        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Array[Double]]] = {
+      val f = fwd.runBatch(x, reverse = false, kern)
+      val b = bwd.runBatch(x, reverse = true, kern)
       val n = x(0).length
       Array.tabulate(x.length)(r =>
         Array.tabulate(n)(t => f(r)(t) ++ b(r)(n - 1 - t)))
     }
 
     /** Batched [[lastState]] (lockstep; see [[LstmCell.runBatch]]). */
-    def lastStateBatch(
-        x: Array[Array[Array[Double]]]): Array[Array[Double]] = {
-      val f = fwd.runBatch(x, reverse = false)
-      val b = bwd.runBatch(x, reverse = true)
+    def lastStateBatch(x: Array[Array[Array[Double]]],
+        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Double]] = {
+      val f = fwd.runBatch(x, reverse = false, kern)
+      val b = bwd.runBatch(x, reverse = true, kern)
       Array.tabulate(x.length)(r => f(r).last ++ b(r).last)
     }
   }
@@ -550,9 +500,11 @@ object CatsModel {
       w(s"/layers/$base/cell/vars/2").vector)
 
   /** Load from a Keras v3 `.keras` archive (a zip holding
-    * model.weights.h5).
+    * model.weights.h5); `kern` selects the batched-GEMM kernel
+    * (default: the pinned scalar path).
     */
-  def load(kerasPath: String): CatsModel = {
+  def load(kerasPath: String,
+      kern: CatsKernel = CatsKernel.Scalar): CatsModel = {
     val zf = new ZipFile(kerasPath)
     try {
       val entry = zf.getEntry("model.weights.h5")
@@ -560,7 +512,7 @@ object CatsModel {
       val in = zf.getInputStream(entry)
       val bytes = in.readAllBytes()
       in.close()
-      new CatsModel(Hdf5Reader.read(bytes))
+      new CatsModel(Hdf5Reader.read(bytes), kern)
     } finally zf.close()
   }
 }

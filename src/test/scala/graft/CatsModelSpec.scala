@@ -83,4 +83,38 @@ class CatsModelSpec extends AnyFunSuite {
     assume(available)
     assert(RefModels.cats.isDefined)
   }
+
+  test("the CatsKernel seam is live: a delegating kernel is invoked and bit-identical") {
+    assume(available)
+    var calls = 0L
+    val counting = new graft.models.CatsKernel {
+      def gemmAcc(x: Array[Array[Double]], w: Array[Array[Double]],
+          out: Array[Array[Double]]): Unit = {
+        calls += 1
+        graft.models.CatsKernel.Scalar.gemmAcc(x, w, out)
+      }
+    }
+    val base = CatsModel.load(kerasPath)
+    val seamed = CatsModel.load(kerasPath, counting)
+    val lcg = new Lcg(99L)
+    val bands = Array("u", "g", "r", "i", "z", "y")
+    val xs = Array(5, 5, 12).map { seqLen =>
+      val incs = Array.fill(seqLen)(math.abs(lcg.next()) * 3 + 0.1)
+      val mjd = incs.scanLeft(0.0)(_ + _).drop(1).map(_ + 60000.0)
+      val flux = Array.fill(seqLen)(lcg.next() * 1e4)
+      val err = Array.fill(seqLen)(math.abs(lcg.next()) * 100 + 1)
+      val band = Array.fill(seqLen)(bands(((lcg.next() + 1) * 3).toInt % 6))
+      Rubin.catsInputTensor(mjd, flux, err, band)
+    }
+    val got = seamed.forwardBatch(xs)
+    assert(calls > 0, "the injected kernel was never invoked — dead seam")
+    // bit-identical both to the default-kernel batch path and to the
+    // per-row forward (the contract CatsKernel documents)
+    val viaDefault = base.forwardBatch(xs)
+    val viaPerRow = xs.map(base.forward)
+    for (i <- xs.indices; c <- 0 until 5) {
+      assert(got(i)(c) == viaDefault(i)(c), s"row $i class $c vs default batch")
+      assert(got(i)(c) == viaPerRow(i)(c), s"row $i class $c vs per-row")
+    }
+  }
 }
