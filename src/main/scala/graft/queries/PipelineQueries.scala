@@ -215,6 +215,27 @@ object PipelineQueries extends QueryPack {
       "source", 500L, nBuckets = 4)
       .orderBy("doc_id")
 
+  // p1: the COMPOSED corpus-construction chain — quality cascade ->
+  // dedup chain (one representative per verified cluster) ->
+  // benchmark decontamination -> shard packing — as ONE operator over
+  // the oracle-verified pieces. doc_id % 97 == 0 plays the external
+  // benchmark set (the d7 convention); t9's cascade, d10's
+  // maxHamming=4 chain, d7's 4-grams, t10's 2000-token budget.
+  private def p1CorpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    graft.text.CorpusBuild.build(
+      all.filter(col("doc_id") % 97 =!= 0),
+      all.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", "source",
+      maxHamming = 4, ngram = 4, budgetTokens = 2000L,
+      // the synthetic corpus is word-salad (no sentence-final
+      // punctuation), so the C4 terminal rule would empty it — the
+      // composed chain runs with that rule off, the standalone t9
+      // keeps reporting it
+      requireTerminal = false)
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -280,6 +301,7 @@ object PipelineQueries extends QueryPack {
     "t9_filter_cascade" -> (t9FilterCascade _),
     "t10_shard_pack" -> (t10ShardPack _),
     "t11_shard_pack_bucketed" -> (t11ShardPackBucketed _),
+    "p1_corpus_build" -> (p1CorpusBuild _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -759,6 +781,103 @@ object PipelineQueries extends QueryPack {
         |       CAST(coalesce(r.root, d.survivor) AS BIGINT) AS cluster
         |FROM d2s d LEFT JOIN root r ON r.doc_id = d.survivor
         |ORDER BY d.doc_id""".stripMargin,
+    // p1: the composed corpus build — t9's cascade gates the corpus
+    // (doc_id % 97 <> 0), the d10 chain runs over the kept docs and
+    // keeps each cluster's min-id representative, d7's 4-gram veto
+    // runs reps-vs-bench, and t10's 2000-token packing shards the
+    // final keep set. Every stage's SQL is the already-hash-green
+    // oracle of its standalone query, re-rooted on the prior stage.
+    "p1_corpus_build" ->
+      """WITH RECURSIVE
+        |corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+        |q AS (
+        |  SELECT doc_id,
+        |         len(string_split(lower(t), ' ')) AS nt,
+        |         octet_length(encode(t)) - len(regexp_extract_all(t, ' ')) AS word_bytes,
+        |         CASE WHEN octet_length(encode(t)) = 0 THEN 1.0
+        |              ELSE CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE)
+        |                   / octet_length(encode(t)) END AS digit_frac
+        |  FROM (SELECT doc_id, coalesce(text, '') AS t FROM corpus)),
+        |kept AS (
+        |  SELECT c.doc_id, c.source, c.text
+        |  FROM corpus c JOIN q USING (doc_id)
+        |  WHERE NOT (q.nt < 5
+        |         OR CAST(q.word_bytes AS DOUBLE)/q.nt < 3.0
+        |         OR CAST(q.word_bytes AS DOUBLE)/q.nt > 10.0
+        |         OR q.digit_frac > 0.2)),
+        |hsh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM kept),
+        |surv AS (SELECT h, MIN(doc_id) AS survivor FROM hsh GROUP BY 1),
+        |d2s AS (SELECT doc_id, survivor FROM hsh JOIN surv USING (h)),
+        |sdoc AS (SELECT d.doc_id, d.text FROM kept d
+        |         JOIN surv ON d.doc_id = surv.survivor),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
+        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, j,
+        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |      FROM (SELECT doc_id,
+        |                   unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        |            FROM sdoc))
+        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, b, (simhash >> CAST(12*b AS INT)) & 4095 AS bits
+        |  FROM sim CROSS JOIN (SELECT unnest(range(5)) AS b)),
+        |breps AS (
+        |  SELECT b, bits, MIN(doc_id) AS rep, arg_min(simhash, doc_id) AS rep_sim
+        |  FROM banded GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT t.doc_id, MIN(r.rep) AS canonical
+        |  FROM banded t JOIN breps r ON t.b = r.b AND t.bits = r.bits
+        |  WHERE r.rep < t.doc_id
+        |    AND bit_count(xor(t.simhash, r.rep_sim)) <= 4
+        |  GROUP BY 1),
+        |anc(doc_id, a) AS (
+        |  SELECT doc_id, canonical FROM asg
+        |  UNION
+        |  SELECT anc.doc_id, asg.canonical FROM anc JOIN asg ON anc.a = asg.doc_id),
+        |root AS (SELECT doc_id, MIN(a) AS root FROM anc GROUP BY 1),
+        |repdoc AS (
+        |  SELECT s.survivor AS doc_id
+        |  FROM (SELECT DISTINCT survivor FROM d2s) s
+        |  LEFT JOIN root r ON r.doc_id = s.survivor
+        |  WHERE coalesce(r.root, s.survivor) = s.survivor),
+        |bgrams AS (
+        |  SELECT DISTINCT ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+        |  FROM (SELECT string_split(lower(text), ' ') AS ts FROM documents
+        |        WHERE doc_id % 97 = 0),
+        |       LATERAL (SELECT unnest(range(1, len(ts)-2)) AS i)
+        |  WHERE len(ts) >= 4),
+        |cgrams AS (
+        |  SELECT DISTINCT t.doc_id,
+        |         ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+        |  FROM (SELECT k.doc_id, string_split(lower(k.text), ' ') AS ts
+        |        FROM kept k JOIN repdoc USING (doc_id)) t,
+        |       LATERAL (SELECT unnest(range(1, len(ts)-2)) AS i)
+        |  WHERE len(ts) >= 4),
+        |contam AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN bgrams b USING (g)),
+        |clean AS (
+        |  SELECT r.doc_id FROM repdoc r
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |pt AS (
+        |  SELECT k.doc_id, k.source,
+        |         CAST(len(string_split(lower(coalesce(k.text, '')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM kept k JOIN clean USING (doc_id)),
+        |pc AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pt)
+        |SELECT doc_id, source, n_tokens,
+        |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000.0) AS BIGINT) AS shard
+        |FROM pc ORDER BY doc_id""".stripMargin,
     // t8: multiplication order mirrors the Spark side exactly —
     // (cnt/nt) * ln(nd/df); QUALIFY row_number mirrors min_by's
     // (max tfidf, then smallest term) tie-break.

@@ -27,7 +27,8 @@ object TextOps {
     */
   def qualityFilter(text0: Column, minTokens: Int = 5,
       minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
-      maxDigitFrac: Double = 0.2): (Column, Column) = {
+      maxDigitFrac: Double = 0.2,
+      requireTerminal: Boolean = true): (Column, Column) = {
     // null text = empty text: every rule below would evaluate NULL and
     // fall through the when-chain, silently KEEPING a contentless row
     // as clean training data
@@ -47,11 +48,14 @@ object TextOps {
     // last-character test instead of a '$'-anchored regex: Java and
     // RE2 disagree about '$' before a trailing newline
     val terminal = substring(text, -1, 1).isin(".", "!", "?", "\"")
-    val reason =
+    // the terminal-punctuation rule is a C4-specific option — corpora
+    // of non-prose documents (code, tables, logs) turn it off
+    val base =
       when(nt < minTokens, "too_short")
         .when(avgWord < minAvgWordLen || avgWord > maxAvgWordLen, "word_shape")
         .when(digitFrac > maxDigitFrac, "digit_heavy")
-        .when(!terminal, "no_terminal_punct")
+    val reason =
+      (if (requireTerminal) base.when(!terminal, "no_terminal_punct") else base)
         .otherwise(lit(null).cast("string"))
     (reason.isNull, reason)
   }
