@@ -68,6 +68,14 @@ object PipelineQueries extends QueryPack {
     Similarity.srpTopK(emb(s, dir), "vec_id", "embedding", 0L, 10)
       .select(col("id").as("vec_id"), col("bucket"), col("cos"))
 
+  // s7: Lloyd-trained IVF cells over the int8 code table — 3
+  // iterations from the deterministic seed, 8 cells; integer code
+  // sums keep the centroid means exact in both engines.
+  private def s7Kmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansCells(emb(s, dir), "vec_id", "embedding", 8, 3)
+      .select(col("id").as("vec_id"), col("cell"))
+      .orderBy("vec_id")
+
   // s5/s6: BATCHED ANN — the production entry point serves a query
   // TABLE (every 50th vector here), not a single id: the corpus joins
   // the query set's probe cells/buckets with an equi-join, per-query
@@ -290,6 +298,7 @@ object PipelineQueries extends QueryPack {
     "s4_quantize" -> (s4Quantize _),
     "s5_knn_batch" -> (s5KnnBatch _),
     "s6_knn_srp_batch" -> (s6SrpBatch _),
+    "s7_kmeans_cells" -> (s7Kmeans _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -558,6 +567,7 @@ object PipelineQueries extends QueryPack {
         |         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
         |  END AS cos
         |FROM d ORDER BY vec_id""".stripMargin,
+    "s7_kmeans_cells" -> s7KmeansSql(8, 3),
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -965,6 +975,52 @@ object PipelineQueries extends QueryPack {
       |  CROSS JOIN (SELECT unnest(range(60)) AS j)
       |  GROUP BY 1, 2, 3)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** s7 mirror: the code table from the s4 quantization CTE, then
+    * `iters` unrolled Lloyd iterations — assignment by the same
+    * dot-identity distance and (distance, cell) tie-break as s2,
+    * per-(cell, dim) BIGINT code sums (exact, like the Spark side's
+    * long sums), one double division per mean, empty cells inherited
+    * via LEFT JOIN — and a final assignment against the last table.
+    */
+  private def s7KmeansSql(ncells: Int, iters: Int): String = {
+    def assign(k: Int): String =
+      s"""a$k AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT c0.vec_id, c0.q, ct.cell,
+         |           row_number() OVER (PARTITION BY c0.vec_id ORDER BY
+         |             (list_dot_product(c0.q, c0.q) + list_dot_product(ct.cv, ct.cv)
+         |              - 2.0 * list_dot_product(c0.q, ct.cv)) ASC, ct.cell ASC) AS rn
+         |    FROM c0 CROSS JOIN cent${k - 1} ct)
+         |  WHERE rn = 1)""".stripMargin
+    def update(k: Int): String =
+      s"""m$k AS (
+         |  SELECT cell, i, CAST(sum(CAST(q[i] AS BIGINT)) AS DOUBLE) / count(*) AS m
+         |  FROM a$k, LATERAL (SELECT unnest(range(1, len(q)+1)) AS i)
+         |  GROUP BY 1, 2),
+         |cent$k AS (
+         |  SELECT c.cell, coalesce(n.nc, c.cv) AS cv
+         |  FROM cent${k - 1} c LEFT JOIN
+         |       (SELECT cell, list(m ORDER BY i) AS nc FROM m$k GROUP BY 1) n
+         |       USING (cell))""".stripMargin
+    val steps = (1 to iters).map(k => s"${assign(k)},\n${update(k)}")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+       |      FROM e),
+       |c0 AS (SELECT vec_id,
+       |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+       |          ELSE list_transform(v, x ->
+       |            greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+       |        END AS q
+       |      FROM s),
+       |cent0 AS (SELECT vec_id AS cell, q AS cv FROM c0 WHERE vec_id < $ncells),
+       |$steps,
+       |${assign(iters + 1)}
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+  }
 
   private def langIdSql(): String = {
     val sets = TextOps.stopwords.map { case (l, ws) =>

@@ -26,6 +26,21 @@ object Quantize {
     transform(v, x =>
       greatest(lit(-127.0), least(lit(127.0), floor(x / scale + lit(0.5)))))
 
+  /** (id, q): the int8 code vectors themselves (integer-valued
+    * doubles in [-127, 127]; a zero vector codes to zeros) — the
+    * representation [[graft.sim.Similarity.kmeansCells]] trains on.
+    * Map-only like [[int8Stats]].
+    */
+  def int8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    e.withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .select(col("id"),
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(quantize(col("v"), col("scale"))).as("q"))
+  }
+
   /** (id, scale, mse, cos): per-vector int8 round-trip fidelity. A
     * zero vector has scale 0 and is defined to reconstruct exactly
     * (mse 0, cos 0 by the zero-norm guard).

@@ -68,6 +68,62 @@ object Similarity {
       .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
   }
 
+  /** Lloyd-trained IVF cell assignment over int8 CODES — real IVF
+    * trains its centroid table rather than taking arbitrary seed
+    * vectors, and at corpus scale it trains on the quantized
+    * representation it will serve from (composes [[Quantize]]; the
+    * code table is 4x smaller than float32). `iters` Lloyd iterations
+    * from the deterministic seed (the vectors with id < `ncells`, the
+    * [[assignCells]] convention), then the final assignment.
+    *
+    * Cross-engine exactness: integer code sums make every cross-row
+    * aggregate EXACT (order-invariant under Spark's nondeterministic
+    * partial-aggregation order — the float-mean trap the q1 decimal
+    * convention exists for); the only float arithmetic is one
+    * division per (cell, dim) mean and the per-row [[Vec.sqDist]]
+    * folds, both bit-stable against DuckDB.
+    *
+    * Scale shape per iteration: broadcast the ncells-row centroid
+    * table, per-row argmin via partial-aggregatable min_by (no
+    * window), one (cell, dim)-keyed hash aggregate over the exploded
+    * codes (n x dim rows, map-side combine). Empty cells keep their
+    * previous centroid. The whole train+assign is left as one lazy
+    * plan here; at 100 TB materialize the (ncells x dim) centroid
+    * table per iteration to cut the lineage — it is tiny by
+    * construction.
+    */
+  def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
+      ncells: Int, iters: Int): DataFrame = {
+    val codes = Quantize.int8Codes(emb, idCol, vecCol)
+    var cent = codes.filter(col("id") < ncells)
+      .select(col("id").as("cell"), col("q").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(codes, cent)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+      val means = sums
+        .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("nc"))
+      cent = cent.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("nc"), col("cv")).as("cv"))
+    }
+    assignToCentroids(codes, cent).select(col("id"), col("cell"))
+  }
+
+  private def assignToCentroids(codes: DataFrame,
+      cent: DataFrame): DataFrame =
+    codes.join(broadcast(cent))
+      .withColumn("d", Vec.sqDist(col("q"), col("cv")))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cell"), col("q")),
+        struct(col("d"), col("cell"))).as("m"))
+      .select(col("id"), col("m.cell").as("cell"), col("m.q").as("q"))
+
   /** Signed-random-projection LSH search (Charikar STOC'02 cosine
     * sketch): each vector is bucketed by the sign pattern of `nPlanes`
     * +/-1 hyperplane projections; a query probes every bucket within
