@@ -87,10 +87,13 @@ object Similarity {
     * table, per-row argmin via partial-aggregatable min_by (no
     * window), one (cell, dim)-keyed hash aggregate over the exploded
     * codes (n x dim rows, map-side combine). Empty cells keep their
-    * previous centroid. The whole train+assign is left as one lazy
-    * plan here; at 100 TB materialize the (ncells x dim) centroid
-    * table per iteration to cut the lineage — it is tiny by
-    * construction.
+    * previous centroid. Each iteration's centroid table — tiny by
+    * construction — is EAGERLY materialized (localCheckpoint), so
+    * training makes the canonical one-pass-over-the-data-per-
+    * iteration k-means schedule and the returned assignment plan is
+    * one scan plus one broadcast join against a literal-sized table
+    * (left lazy, the plan re-scans the corpus iters+1 times and
+    * chains every iteration's joins into one monster plan).
     */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, iters: Int): DataFrame = {
@@ -111,6 +114,7 @@ object Similarity {
           p => p.getField("m")).as("nc"))
       cent = cent.join(means, Seq("cell"), "left")
         .select(col("cell"), coalesce(col("nc"), col("cv")).as("cv"))
+        .localCheckpoint()
     }
     assignToCentroids(codes, cent).select(col("id"), col("cell"))
   }

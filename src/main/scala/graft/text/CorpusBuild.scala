@@ -27,6 +27,15 @@ import graft.dedup.{Dedup, SweepCheckpoint}
   * Returns one row per RETAINED doc: (idCol, groupCol, n_tokens,
   * shard). The benchmark set is a separate relation — eval data never
   * enters the corpus, it only vetoes grams.
+  *
+  * The chain composes LAZILY, so the quality-kept relation is
+  * recomputed by the dedup input, the representative join, and the
+  * packer (three corpus passes; the cascade itself is a cheap map).
+  * At 100 TB a production run materializes stage boundaries instead —
+  * persist the kept/clean tables between stages and feed them back
+  * in; the operator deliberately does not cache internally because a
+  * lazily-returned result cannot own a cache lifecycle (the r5
+  * lesson).
   */
 object CorpusBuild {
 

@@ -170,4 +170,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("s7 kmeans: per-iteration materialization keeps the final plan one pass") {
+    // training materializes each (tiny) centroid table eagerly, so the
+    // RETURNED assignment plan must be a single corpus pass against a
+    // checkpointed centroid table — not the chained iters+1-scan,
+    // sort-merge-joined monster the lazy composition produces
+    val p = plan("s7_kmeans_cells")
+    assert("FileScan".r.findAllIn(p).length <= 2,
+      s"final assignment re-scans the corpus:\n${p.take(400)}")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroids must broadcast")
+    assert(!p.contains("Window "), "argmin must be min_by, not a window sort")
+  }
 }
