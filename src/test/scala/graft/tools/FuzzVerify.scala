@@ -19,7 +19,8 @@ object FuzzVerify {
     "t8_tfidf", "t9_filter_cascade", "t10_shard_pack", "d7_decontaminate", "m1_media_meta",
     "m2_media_features", "m3_frame_sample", "d6_dedup_embedding",
     "s1_knn_bruteforce", "s2_knn_ivf", "s3_knn_srp", "s4_quantize",
-    "s5_knn_batch", "s6_knn_srp_batch")
+    "s5_knn_batch", "s6_knn_srp_batch", "s7_kmeans_cells",
+    "t11_shard_pack_bucketed", "p1_corpus_build")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")
