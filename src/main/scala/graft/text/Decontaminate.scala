@@ -31,40 +31,48 @@ object Decontaminate {
     * is an arbitrary caller predicate, though, and a careless one
     * selecting a corpus-scale slice would make the "benchmark" gram set
     * a multi-GB broadcast (driver/executor OOM), so the assumption is
-    * ENFORCED, not documented away: the bench side is count-gated
-    * (a column-pruned scan of the predicate columns — cheap next to
-    * the gram explode) and above `maxBroadcastBenchDocs` the overlap
-    * falls back to a shuffle join on the gram key, same results, no
-    * broadcast. The gate runs one eager count, so this operator is not
-    * fully lazy — the price of refusing to OOM lazily.
+    * ENFORCED, not documented away: one eager map-only pass over the
+    * bench rows (shingle + size, no explode, no shuffle) counts docs
+    * and grams, and if either bound fails the overlap falls back to a
+    * shuffle join on the gram key — same results, no broadcast. The
+    * gate makes this operator not fully lazy — the price of refusing
+    * to OOM lazily.
     *
-    * The gate is denominated in DOCUMENTS but the broadcast payload is
-    * the exploded GRAM table (~doc length in grams x gram bytes per
-    * doc — roughly the benchmark's raw text size), so the default is
-    * sized for real eval suites (a few thousand docs, ADVICE r6: 1M
-    * docs of grams is multi-GB): 8k docs ~ tens of MB of grams.
-    * Callers with very long benchmark documents should lower it
-    * further.
+    * The broadcast payload is the exploded GRAM table (~doc length in
+    * grams x gram bytes per doc — roughly the benchmark's raw text
+    * size), so the gate is denominated in BOTH documents and grams
+    * (ADVICE r6: a doc-only gate lets a few very long "benchmark"
+    * documents through as a multi-GB gram broadcast): the bench pass
+    * counts docs AND sums per-doc distinct-gram counts in the same
+    * aggregate, and either bound failing takes the shuffle fallback.
+    * Defaults: 8k docs / 4M grams ~ tens of MB broadcast.
     */
   def flags(docs: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int,
-      maxBroadcastBenchDocs: Long = 1L << 13): DataFrame = {
+      maxBroadcastBenchDocs: Long = 1L << 13,
+      maxBroadcastBenchGrams: Long = 1L << 22): DataFrame = {
     // distinct n-gram shingling reuses the d2/d3 compiled kernel (same
     // lowercase/space-split/first-occurrence semantics, one split per
     // row instead of the interpreted-HOF re-evaluation)
     val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
       graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
-    flagsFromShingled(base, docs.filter(isBench).count(),
-      maxBroadcastBenchDocs)
+    val stats = base.filter(col("is_bench"))
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
+    flagsFromShingled(base, stats.getLong(0), maxBroadcastBenchDocs,
+      stats.getLong(1), maxBroadcastBenchGrams)
   }
 
   /** The d7 engine over a pre-shingled (doc_id, is_bench, gs) relation
     * — [[graft.text.TextFamily]] feeds this from its shared token
-    * table. `nBench` is the pre-counted benchmark-doc cardinality the
-    * broadcast gate checks.
+    * table. `nBench`/`nBenchGrams` are the pre-counted benchmark-doc
+    * and distinct-gram cardinalities the broadcast gate checks; a
+    * negative `nBenchGrams` means unknown and disables the gram bound.
     */
   def flagsFromShingled(base: DataFrame, nBench: Long,
-      maxBroadcastBenchDocs: Long = 1L << 13): DataFrame = {
+      maxBroadcastBenchDocs: Long = 1L << 13,
+      nBenchGrams: Long = -1L,
+      maxBroadcastBenchGrams: Long = 1L << 22): DataFrame = {
     val grams = base.select(col("doc_id"), col("is_bench"),
       explode(col("gs")).as("g"))
     val bench = grams.filter(col("is_bench"))
@@ -73,7 +81,9 @@ object Decontaminate {
     // estimate for the exploded gram table (crude for generators) can
     // still pick an auto-broadcast and OOM exactly as the hint would
     val benchSide =
-      if (nBench <= maxBroadcastBenchDocs) broadcast(bench)
+      if (nBench <= maxBroadcastBenchDocs &&
+          (nBenchGrams < 0 || nBenchGrams <= maxBroadcastBenchGrams))
+        broadcast(bench)
       else bench.hint("merge")
     val matched = grams.filter(!col("is_bench"))
       .join(benchSide, "g")

@@ -104,9 +104,11 @@ object TextFamily {
     val t3 = tokenStatsFromTokens(tokens, groupCol)
     val shingled = tokens.select(col("doc_id"), isBench.as("is_bench"),
       gramsFromTokens(col("toks"), gramN).as("gs"))
-    val nBench = tokens.filter(isBench).count()
-    val d7 = Decontaminate.flagsFromShingled(shingled, nBench,
-      maxBroadcastBenchDocs)
+    val stats = shingled.filter(col("is_bench"))
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
+    val d7 = Decontaminate.flagsFromShingled(shingled, stats.getLong(0),
+      maxBroadcastBenchDocs, stats.getLong(1))
     TextFamilyResult(tokens, t8, t3, d7)
   }
 }

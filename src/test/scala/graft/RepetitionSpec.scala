@@ -157,4 +157,21 @@ class RepetitionSpec extends SparkSpec {
     val b = broadcasted.orderBy("doc_id").collect().toSeq
     assert(a === b, "join-strategy fallback changed the results")
   }
+
+  test("a gram-heavy bench set falls back even under the doc gate (ADVICE r6: payload-denominated bound)") {
+    val docs = Tables.t(spark, sf, "documents")
+    // few bench DOCS (well under the doc gate) — but the broadcast
+    // payload is their GRAM table, so the gram bound must gate too
+    val bench = col("doc_id") % 97 === 0
+    val guarded = Decontaminate.flags(docs, "doc_id", "text", bench, 4,
+      maxBroadcastBenchGrams = 8)
+    val p = guarded.queryExecution.executedPlan.toString()
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("[g#")),
+      "gram-heavy bench side should shuffle-join on the gram key")
+    val normal = Decontaminate.flags(docs, "doc_id", "text", bench, 4)
+    assert(guarded.orderBy("doc_id").collect().toSeq ===
+      normal.orderBy("doc_id").collect().toSeq,
+      "gram-gate fallback changed the results")
+  }
 }
