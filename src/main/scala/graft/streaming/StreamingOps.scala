@@ -36,7 +36,12 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
-  final case class Doc(doc_id: Long, fp: String)
+  /** `simhash` rides along so a near-dup stage can chain downstream of
+    * the exact dedup without recovering it from the fingerprint
+    * (0 when the input carries no simhash column). Emission schema
+    * only — the dedup STATE stays the 3-field [[SeenState]].
+    */
+  final case class Doc(doc_id: Long, fp: String, simhash: Long = 0L)
   final case class SeenState(firstId: Long, nCopies: Long,
       lastSeenMs: Long = 0L)
 
@@ -83,7 +88,11 @@ object StreamingOps {
       require(i.months == 0, "streamingDedup ttl must not use month units")
       i.days * 86400000L + i.microseconds / 1000L
     }
-    docs.select(col("doc_id"), col("fp")).as[Doc]
+    val in =
+      if (docs.columns.contains("simhash"))
+        docs.select(col("doc_id"), col("fp"), col("simhash"))
+      else docs.select(col("doc_id"), col("fp"), lit(0L).as("simhash"))
+    in.as[Doc]
       .groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (fp: String, rows: Iterator[Doc], state: GroupState[SeenState]) =>
@@ -97,8 +106,12 @@ object StreamingOps {
             // order; keep the smallest doc_id as the canonical first
             // sighting so the operator is deterministic under shuffle
             var firstNew = Long.MaxValue
+            var firstSim = 0L
             var n = 0L
-            rows.foreach { d => n += 1; if (d.doc_id < firstNew) firstNew = d.doc_id }
+            rows.foreach { d =>
+              n += 1
+              if (d.doc_id < firstNew) { firstNew = d.doc_id; firstSim = d.simhash }
+            }
             val now =
               if (ttl.isDefined) state.getCurrentProcessingTimeMs() else 0L
             // the timeout callback only fires for groups with NO data
@@ -114,7 +127,7 @@ object StreamingOps {
                 Iterator.empty
               case None =>
                 state.update(SeenState(firstNew, n, now))
-                Iterator.single(Doc(firstNew, fp))
+                Iterator.single(Doc(firstNew, fp, firstSim))
             }
             ttl.foreach(state.setTimeoutDuration) // sliding re-arm
             out
@@ -126,10 +139,15 @@ object StreamingOps {
     * fingerprint. Equal to the stream's union of per-batch emissions
     * when batches arrive in doc_id order.
     */
-  def streamingDedupBatch(docs: DataFrame): DataFrame =
-    docs.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("fp"))
+  def streamingDedupBatch(docs: DataFrame): DataFrame = {
+    val in =
+      if (docs.columns.contains("simhash")) docs
+      else docs.withColumn("simhash", lit(0L))
+    in.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("simhash"), col("doc_id")).as("simhash"))
+      .select(col("doc_id"), col("fp"), col("simhash"))
+  }
 
   final case class BandedDoc(doc_id: Long, simhash: Long, band: Int, bits: Long)
   final case class BucketRep(repId: Long, repSim: Long, lastSeenMs: Long = 0L)
@@ -239,6 +257,46 @@ object StreamingOps {
       .agg(min_by(struct(col("canonical"), col("ham")), col("canonical")).as("m"))
       .select(col("doc_id"), col("m.canonical").as("canonical"),
         col("m.ham").as("ham"))
+
+  /** The streaming front half of [[graft.text.CorpusBuild]] as ONE
+    * continuous query: quality-filter arriving documents
+    * ([[graft.text.TextOps.qualityFilter]], map-side), admit each
+    * distinct content fingerprint once ([[streamingDedup]] state), and
+    * surface verified near-dup candidates among the admitted docs
+    * ([[streamingNearDupAssign]] state) — the ingest-time keep/drop
+    * decision stream a training pipeline runs in front of batch
+    * compaction. Two chained flatMapGroupsWithState stages on
+    * DIFFERENT keys (content fingerprint, then band bucket); both are
+    * processing-time only, so no event-time watermark crosses the
+    * seam — the configuration Spark's multi-stateful correctness
+    * check accepts.
+    *
+    * Output = suppression decisions: exact duplicates never appear
+    * (suppressed by the dedup stage); an admitted doc that verifies
+    * against an earlier representative appears as (doc_id, canonical,
+    * ham) — downstream keeps an admitted doc unless such a record
+    * names it. The simhash is computed map-side BEFORE the dedup
+    * shuffle and rides the [[Doc]] emission, so the chain hashes each
+    * document's text exactly once. `ttl` applies to BOTH state
+    * machines (fingerprints and bucket representatives age out on the
+    * same horizon).
+    */
+  def streamingCorpusIngest(spark: SparkSession, docs: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int,
+      requireTerminal: Boolean = true,
+      ttl: Option[String] = None): Dataset[NearDupCandidate] = {
+    val (keep, _) = graft.text.TextOps.qualityFilter(col(textCol),
+      requireTerminal = requireTerminal)
+    val fingered = graft.dedup.Dedup.simhash(
+      docs.filter(keep), idCol, textCol, carryCols = Seq(textCol))
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.text.TextOps.fingerprint(col(textCol)).as("fp"),
+        col("simhash"))
+    val admitted = streamingDedup(spark, fingered.toDF(), ttl)
+    streamingNearDupAssign(spark,
+      admitted.toDF().select(col("doc_id"), col("simhash")),
+      maxHamming, ttl)
+  }
 
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)

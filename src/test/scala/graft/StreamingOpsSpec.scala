@@ -200,6 +200,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally sim.unpersist()
   }
 
+  test("streaming corpus ingest equals the composed batch front-half on in-order batches") {
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    // four ascending doc_id ranges (the in-order contract)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2),
+      ids(3 * ids.length / 4))
+    val slices = Seq(
+      docs.filter(col("doc_id") < cuts(0)),
+      docs.filter(col("doc_id") >= cuts(0) && col("doc_id") < cuts(1)),
+      docs.filter(col("doc_id") >= cuts(1) && col("doc_id") < cuts(2)),
+      docs.filter(col("doc_id") >= cuts(2)))
+    val dir = writeSlices(slices, "ingest-stream")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the synthetic corpus has no sentence-final punctuation (see p1)
+    val q = StreamingOps.streamingCorpusIngest(spark, stream.toDF(),
+      "doc_id", "text", maxHamming = 4, requireTerminal = false)
+      .writeStream
+      .format("memory").queryName("ingest_stream")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val got = StreamingOps.nearDupAssignReduce(spark.table("ingest_stream"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: quality filter -> min-id-per-fingerprint admission ->
+    // batch near-dup assignment over the admitted docs
+    val (keep, _) = TextOps.qualityFilter(col("text"), requireTerminal = false)
+    val kept = docs.filter(keep)
+    val fp = Dedup.simhash(kept, "doc_id", "text", carryCols = Seq("text"))
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        col("simhash"))
+    val admitted = StreamingOps.streamingDedupBatch(fp)
+    val batch = Dedup.simhashAssign(
+      admitted.select(col("doc_id"), col("simhash")), "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "corpus produced no near-dup assignments to compare")
+    assert(got === batch,
+      "the chained two-stage ingest must equal the composed batch front-half")
+  }
+
   test("near-dup TTL: an expired bucket's next doc re-admits as representative") {
     import spark.implicits._
     // two docs with IDENTICAL simhash (0) in batches 0 and 2; batch 1
