@@ -182,6 +182,73 @@ class StreamingFuzzSpec extends SparkSpec {
     out.toSet
   }
 
+  /** The composed two-stage ingest under RANDOM batch splits. Out of
+    * order, the stream may pick a later-id bucket representative than
+    * batch mode (the documented trade), so the pin here is SOUNDNESS
+    * + admission totality rather than batch equality:
+    *  - every emitted candidate names two quality-passing docs whose
+    *    contents differ (an exact dup can never be a candidate — its
+    *    copy was suppressed upstream), verified Hamming <= k, and
+    *    canonical arrived no later than doc within the stream order;
+    *  - the candidate doc set never includes a suppressed copy.
+    */
+  test("fuzz: chained corpus ingest emits only sound candidates on random splits (6 corpora)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFewPartitions { for (seed <- 401 to 406) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      val n = 20 + rnd.nextInt(40)
+      // quality-passing base texts (>=5 tokens) with exact-dup and
+      // near-dup (one-word-swap) copies mixed in
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until n).foreach { i =>
+        if (i > 2 && rnd.nextDouble() < 0.3) texts += texts(rnd.nextInt(i)) // exact dup
+        else if (i > 2 && rnd.nextDouble() < 0.3) { // near dup: swap one word
+          val base = texts(rnd.nextInt(i)).split(" ")
+          base(rnd.nextInt(base.length)) = words(rnd.nextInt(words.size))
+          texts += base.mkString(" ")
+        } else texts += Vector.fill(5 + rnd.nextInt(8))(
+          words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val nBatches = 1 + rnd.nextInt(5)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(n)).sorted :+ n
+      val batches = (0 +: cuts).sliding(2)
+        .map { case Seq(a, b) => docs.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val ms = MemoryStream[(Long, String)]
+      val q = StreamingOps.streamingCorpusIngest(spark,
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming = 6, requireTerminal = false)
+        .writeStream.format("memory").queryName(s"fz_ci_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally { q.stop(); q.awaitTermination(60000) }
+      val got = spark.table(s"fz_ci_$seed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // reference facts
+      val text = docs.toMap
+      val firstSeen = scala.collection.mutable.Map[String, Long]()
+      docs.foreach { case (id, t) =>
+        if (!firstSeen.contains(t)) firstSeen(t) = id }
+      val admitted = docs.filter { case (id, t) => firstSeen(t) == id }
+        .map(_._1).toSet
+      got.foreach { case (d, c, ham) =>
+        assert(c < d, s"seed $seed: canonical must have the smaller id")
+        assert(admitted.contains(d) && admitted.contains(c),
+          s"seed $seed: candidate names a suppressed copy ($d, $c)")
+        assert(text(d) != text(c), s"seed $seed: exact dup leaked to near-dup stage")
+        assert(ham <= 6, s"seed $seed: unverified candidate ham=$ham")
+        val hd = java.lang.Long.bitCount(
+          graft.dedup.Dedup.simhashKernel(text(d)) ^
+          graft.dedup.Dedup.simhashKernel(text(c)))
+        assert(hd.toLong === ham, s"seed $seed: reported hamming wrong")
+      }
+    } }
+  }
+
   test("fuzz: streaming near-dup assignment matches the simulator on random splits (8 corpora)") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
