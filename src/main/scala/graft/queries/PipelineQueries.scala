@@ -737,7 +737,7 @@ object PipelineQueries extends QueryPack {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |  FROM g)
         |SELECT l.doc_id, l.source, l.bucket, l.n_tokens, l.shard_local,
-        |       l.shard_local + o.off AS shard
+        |       CAST(l.shard_local + o.off AS BIGINT) AS shard
         |FROM l JOIN o USING (source, bucket) ORDER BY doc_id""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
