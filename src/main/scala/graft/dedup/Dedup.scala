@@ -664,7 +664,7 @@ object Dedup {
     spark.sparkContext.getConf
       .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false)
 
-  private def sweepMaterialize(df: DataFrame, sweep: SweepCheckpoint,
+  private[graft] def sweepMaterialize(df: DataFrame, sweep: SweepCheckpoint,
       idx: Int): DataFrame = sweep match {
     case SweepCheckpoint.Local => df.localCheckpoint()
     case SweepCheckpoint.Reliable(dir) =>
@@ -704,7 +704,7 @@ object Dedup {
     * callers: the final `sweep_<n>` directory lives until the caller is
     * done with the result).
     */
-  private def sweepFree(df: DataFrame, sweep: SweepCheckpoint,
+  private[graft] def sweepFree(df: DataFrame, sweep: SweepCheckpoint,
       idx: Int): Unit = sweep match {
     case SweepCheckpoint.Local => freeCheckpoint(df)
     case SweepCheckpoint.Reliable(_) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Vec
+import graft.dedup.{Dedup, SweepCheckpoint, Vec}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -88,19 +88,36 @@ object Similarity {
     * window), one (cell, dim)-keyed hash aggregate over the exploded
     * codes (n x dim rows, map-side combine). Empty cells keep their
     * previous centroid. Each iteration's centroid table — tiny by
-    * construction — is EAGERLY materialized (localCheckpoint), so
-    * training makes the canonical one-pass-over-the-data-per-
-    * iteration k-means schedule and the returned assignment plan is
-    * one scan plus one broadcast join against a literal-sized table
-    * (left lazy, the plan re-scans the corpus iters+1 times and
-    * chains every iteration's joins into one monster plan).
+    * construction — is EAGERLY materialized through `sweep` (the
+    * [[graft.dedup.SweepCheckpoint]] media shared with
+    * [[graft.dedup.Dedup.connectedComponents]]), so training makes
+    * the canonical one-pass-over-the-data-per-iteration k-means
+    * schedule and the returned assignment plan is one scan plus one
+    * broadcast join against a literal-sized table (left lazy, the
+    * plan re-scans the corpus iters+1 times and chains every
+    * iteration's joins into one monster plan). `Local` is the
+    * single-box default; on a real cluster pass `Reliable`/`Table` —
+    * localCheckpoint is executor-memory-backed and one lost executor
+    * kills the training loop. Under `Table` the final iteration's
+    * `sweep_<iters-1>` directory backs the (lazy) returned
+    * assignment and lives until the caller is done with it.
+    *
+    * The seed table is eagerly required nonempty: a corpus whose ids
+    * do not start at 0 (so no id < ncells exists) must fail loudly,
+    * not return an empty assignment.
     */
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
-      ncells: Int, iters: Int): DataFrame = {
+      ncells: Int, iters: Int,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
     val codes = Quantize.int8Codes(emb, idCol, vecCol)
-    var cent = codes.filter(col("id") < ncells)
+    val seed = codes.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("q").as("cv"))
-    for (_ <- 0 until iters) {
+    require(!seed.isEmpty, s"kmeansCells: seed centroid table is empty — " +
+      s"no $idCol < ncells=$ncells exists (ids must start at 0 per the " +
+      "assignCells convention); normalize ids or raise ncells")
+    var cent = seed
+    var prev: Option[DataFrame] = None
+    for (i <- 0 until iters) {
       val assigned = assignToCentroids(codes, cent)
       val sums = assigned
         .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
@@ -112,9 +129,12 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("nc"))
-      cent = cent.join(means, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("nc"), col("cv")).as("cv"))
-        .localCheckpoint()
+      cent = Dedup.sweepMaterialize(
+        cent.join(means, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("nc"), col("cv")).as("cv")),
+        sweep, i)
+      prev.foreach(p => Dedup.sweepFree(p, sweep, i - 1))
+      prev = Some(cent)
     }
     assignToCentroids(codes, cent).select(col("id"), col("cell"))
   }

@@ -52,4 +52,24 @@ class KmeansSpec extends SparkSpec {
     assert(a.exceptAll(b).count() === 0L)
     assert(b.exceptAll(a).count() === 0L)
   }
+
+  test("Reliable and Table sweep media produce the Local assignment") {
+    import graft.dedup.SweepCheckpoint
+    def run(s: SweepCheckpoint): Set[(Long, Long)] =
+      Similarity.kmeansCells(emb, "vec_id", "embedding", 8, 2, sweep = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run(SweepCheckpoint.Local)
+    val relDir = java.nio.file.Files.createTempDirectory("km_rel").toString
+    val tblDir = java.nio.file.Files.createTempDirectory("km_tbl").toString
+    assert(run(SweepCheckpoint.Reliable(relDir)) === local)
+    assert(run(SweepCheckpoint.Table(tblDir)) === local)
+  }
+
+  test("an id-offset corpus fails loudly instead of assigning nothing") {
+    val shifted = emb.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCells(shifted, "vec_id", "embedding", 8, 1)
+    }
+    assert(e.getMessage.contains("seed centroid table is empty"))
+  }
 }
