@@ -240,7 +240,11 @@ object PipelineQueries extends QueryPack {
       // punctuation), so the C4 terminal rule would empty it — the
       // composed chain runs with that rule off, the standalone t9
       // keeps reporting it
-      requireTerminal = false)
+      requireTerminal = false,
+      // the production mode: each stage boundary persisted once, so
+      // every stage scans the corpus exactly once instead of the lazy
+      // chain's three passes (rows identical either way)
+      stageMaterialize = Some(graft.dedup.SweepCheckpoint.Local))
       .orderBy("doc_id")
   }
 

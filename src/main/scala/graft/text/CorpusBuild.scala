@@ -28,14 +28,25 @@ import graft.dedup.{Dedup, SweepCheckpoint}
   * shard). The benchmark set is a separate relation — eval data never
   * enters the corpus, it only vetoes grams.
   *
-  * The chain composes LAZILY, so the quality-kept relation is
-  * recomputed by the dedup input, the representative join, and the
-  * packer (three corpus passes; the cascade itself is a cheap map).
-  * At 100 TB a production run materializes stage boundaries instead —
-  * persist the kept/clean tables between stages and feed them back
-  * in; the operator deliberately does not cache internally because a
-  * lazily-returned result cannot own a cache lifecycle (the r5
-  * lesson).
+  * By default the chain composes LAZILY, so the quality-kept relation
+  * is recomputed by the dedup input, the representative join, and the
+  * packer (three corpus passes; the cascade itself is a cheap map) —
+  * correct, and right for small inputs where a pass is cheap. At
+  * 100 TB three corpus passes is the difference between a night and a
+  * weekend: pass `stageMaterialize = Some(medium)` and each stage
+  * boundary (quality-kept, representatives, decontaminated-clean) is
+  * EAGERLY persisted through the given [[SweepCheckpoint]] medium and
+  * freed as soon as the next boundary is materialized, so every stage
+  * scans the corpus exactly once and the returned frame is one packing
+  * pass over the final clean table (its plan no longer references the
+  * input relation at all). The last boundary backs the lazily-returned
+  * result, so it is NOT freed — under `Table` the final `stages/`
+  * artifact lives until the caller is done with the result (the same
+  * contract as the sweep tables). A `Table` medium's stage tables are
+  * written under `<dir>/stages`, so the same directory can safely
+  * serve both `sweep` and `stageMaterialize`. The default stays lazy
+  * because a lazily-returned result cannot own a cache lifecycle (the
+  * r5 lesson) — materialization is an explicit, caller-owned choice.
   */
 object CorpusBuild {
 
@@ -44,28 +55,42 @@ object CorpusBuild {
       ngram: Int = 4, budgetTokens: Long = 2000L,
       requireTerminal: Boolean = true,
       sweep: SweepCheckpoint = SweepCheckpoint.Local,
-      maxBroadcastBenchDocs: Long = 1L << 13): DataFrame = {
+      maxBroadcastBenchDocs: Long = 1L << 13,
+      stageMaterialize: Option[SweepCheckpoint] = None): DataFrame = {
+    // stage tables get their own namespace under a Table medium so a
+    // shared dir cannot collide with the dedup sweeps' sweep_<n>
+    val medium = stageMaterialize.map {
+      case SweepCheckpoint.Table(dir) => SweepCheckpoint.Table(s"$dir/stages")
+      case m => m
+    }
+    def mat(df: DataFrame, idx: Int): DataFrame =
+      medium.fold(df)(m => Dedup.sweepMaterialize(df, m, idx))
+    def free(df: DataFrame, idx: Int): Unit =
+      medium.foreach(m => Dedup.sweepFree(df, m, idx))
+
     val (keep, _) = TextOps.qualityFilter(col(textCol),
       requireTerminal = requireTerminal)
-    val kept = docs.filter(keep)
+    val kept = mat(docs.filter(keep), 0)
     val clusters = Dedup.dedupPipeline(kept, idCol, textCol, maxHamming,
       sweep = sweep)
     // the cluster label is the component's min doc id, so the labeled
     // doc with cluster == id IS the cluster's one representative
-    val reps = kept.join(
+    val reps = mat(kept.join(
       clusters.filter(col("cluster") === col(idCol)).select(col(idCol)),
-      Seq(idCol))
+      Seq(idCol)), 1)
+    free(kept, 0)
     val unioned = reps
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
         lit(false).as("__is_bench"))
       .unionByName(bench.select(col(idCol).as("doc_id"),
         col(textCol).as("__text"), lit(true).as("__is_bench")))
-    val clean = reps.join(
+    val clean = mat(reps.join(
       Decontaminate.flags(unioned, "doc_id", "__text", col("__is_bench"),
           ngram, maxBroadcastBenchDocs)
         .filter(!col("contaminated"))
         .select(col("doc_id").as(idCol)),
-      Seq(idCol))
+      Seq(idCol)), 2)
+    free(reps, 1)
     ShardPack.pack(clean, idCol, textCol, groupCol, budgetTokens)
   }
 }

@@ -58,4 +58,42 @@ class CorpusBuildSpec extends SparkSpec {
         floor((col("cum") - col("n_tokens")) / lit(2000L)).cast("long"))
     assert(re.filter(col("shard") =!= col("expect")).count() === 0L)
   }
+
+  test("stage-materialized builds (Local and Table) return the lazy rows") {
+    import graft.dedup.SweepCheckpoint
+    def run(m: SweepCheckpoint): Set[(Long, String, Long, Long)] =
+      CorpusBuild.build(corpus, bench, "doc_id", "text", "source",
+        maxHamming = 4, ngram = 4, budgetTokens = 2000L,
+        requireTerminal = false, stageMaterialize = Some(m))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val lazyRows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("cb_tbl").toString
+    assert(run(SweepCheckpoint.Local) === lazyRows)
+    assert(run(SweepCheckpoint.Table(dir)) === lazyRows)
+    // intermediate boundaries are freed; only the final clean table
+    // (which backs the returned frame) remains on disk
+    val stages = new java.io.File(s"$dir/stages").listFiles()
+      .map(_.getName).filter(_.startsWith("sweep_")).toSet
+    assert(stages === Set("sweep_2"))
+  }
+
+  test("the materialized result's plan never rescans the input relation") {
+    import graft.dedup.SweepCheckpoint
+    val m = CorpusBuild.build(corpus, bench, "doc_id", "text", "source",
+      maxHamming = 4, ngram = 4, budgetTokens = 2000L,
+      requireTerminal = false,
+      stageMaterialize = Some(SweepCheckpoint.Local))
+    val plan = m.queryExecution.optimizedPlan.toString
+    // under Local the final boundary is an in-memory checkpoint: the
+    // returned plan is one packing pass over it — no file scan at all
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"materialized plan still scans a file source:\n$plan")
+    // the lazy default, by contrast, does reference the input relation
+    val lzy = out.queryExecution.optimizedPlan.toString
+    assert(lzy.toLowerCase.contains("parquet"))
+  }
 }
