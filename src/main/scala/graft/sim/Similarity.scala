@@ -139,6 +139,29 @@ object Similarity {
     assignToCentroids(codes, cent).select(col("id"), col("cell"))
   }
 
+  /** The batched-ANN probe-broadcast gate: does the query side fit
+    * under BOTH the query-count and the float (count x dim) bound?
+    * With no hints, one eager aggregate over the raw query input
+    * (column-pruned to the vector column, no cast, no norm filter —
+    * an upper bound of the filtered probe side). `knownQueryCount`
+    * >= 0 skips the job; a nonpositive dim (hinted or from an empty
+    * table) disables the float bound. Division instead of
+    * multiplication so a huge hinted count cannot overflow the
+    * comparison.
+    */
+  private def probeFits(queries: DataFrame, qvecCol: String,
+      maxQueries: Long, maxFloats: Long,
+      knownCount: Long, knownDim: Long): Boolean = {
+    val (nq, qdim) =
+      if (knownCount >= 0L) (knownCount, knownDim)
+      else {
+        val r = queries.agg(count(lit(1)).as("n"),
+          coalesce(max(size(col(qvecCol))), lit(0)).as("d")).head()
+        (r.getLong(0), r.getInt(1).toLong)
+      }
+    nq <= maxQueries && (qdim <= 0L || nq <= maxFloats / qdim)
+  }
+
   private def assignToCentroids(codes: DataFrame,
       cent: DataFrame): DataFrame =
     codes.join(broadcast(cent))
@@ -216,21 +239,36 @@ object Similarity {
     * whole-table self-search) grows the broadcast linearly with the
     * corpus until the driver dies. So the assumption is ENFORCED, not
     * documented away (the d7 recipe, `Decontaminate.flags`): the
-    * query side is count-gated, and above `maxBroadcastQueries` the
-    * candidate join falls back to a shuffle equi-join on the cell key
-    * with sort-merge PINNED (Catalyst's size estimate for the probe
+    * query side is gated, and above either bound the candidate join
+    * falls back to a shuffle equi-join on the cell key with
+    * sort-merge PINNED (Catalyst's size estimate for the probe
     * expansion is crude and could re-broadcast it). Same results
-    * either way, spec-pinned. The gate runs one eager count over the
-    * pruned query projection, so the operator is not fully lazy — the
-    * price of refusing to OOM lazily. Each probe row carries the full
-    * query vector (nprobe x dim x 8 bytes per query), so the default
-    * gate (64k queries) keeps the broadcast ~100 MB at nprobe=2,
-    * dim=128; callers with fat vectors should lower it.
+    * either way, spec-pinned.
+    *
+    * Each probe row carries the full query vector (nprobe x dim x 8
+    * bytes per query), so a count-only gate has a fat-vector hole:
+    * 64k queries at dim=4096 is a ~4 GB broadcast that a doc bound
+    * alone admits. The gate is therefore denominated in BOTH queries
+    * and floats (count x dim), the d7 doc+gram double-bound recipe;
+    * the defaults coincide at dim=128 (2^16 queries x 128 = 2^23
+    * floats ~ 100 MB at nprobe=2).
+    *
+    * The gate runs ONE eager aggregate (count + max dim) over the raw
+    * query input — column-pruned, no vector cast, no norm filter, so
+    * it is an upper bound of the filtered probe side and strictly
+    * cheaper than the probe subplan itself — the price of refusing to
+    * OOM lazily. Callers that already know their probe batch size can
+    * skip the job entirely with `knownQueryCount`/`knownQueryDim`
+    * (TRUSTED upper bound / exact dim; a count hint without a dim
+    * hint disables the float bound, the flagsFromShingled negative
+    * convention).
     */
   def ivfTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, ncells: Int = 8, nprobe: Int = 2,
-      maxBroadcastQueries: Long = 1L << 16): DataFrame = {
+      maxBroadcastQueries: Long = 1L << 16,
+      maxBroadcastQueryFloats: Long = 1L << 23,
+      knownQueryCount: Long = -1L, knownQueryDim: Long = -1L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
@@ -246,7 +284,9 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qv"), col("cell"))
     val probeSide =
-      if (q.count() <= maxBroadcastQueries) broadcast(qcells)
+      if (probeFits(queries, qvecCol, maxBroadcastQueries,
+        maxBroadcastQueryFloats, knownQueryCount, knownQueryDim))
+        broadcast(qcells)
       else qcells.hint("merge")
     assignCells(emb, idCol, vecCol, ncells)
       .filter(nonZero(col("v")))
@@ -269,17 +309,20 @@ object Similarity {
     * function of two small integers, not of data) and shipped as one
     * literal array.
     *
-    * The probe-ball broadcast is count-gated exactly like
-    * [[ivfTopKAll]] (each query expands to sum of C(nPlanes, r) probe
-    * rows, each carrying the query vector): above
-    * `maxBroadcastQueries` the candidate join falls back to a PINNED
-    * sort-merge equi-join on the bucket key — same results, one eager
-    * count as the price.
+    * The probe-ball broadcast is gated exactly like [[ivfTopKAll]]
+    * (each query expands to sum of C(nPlanes, r) probe rows, each
+    * carrying the query vector): above the query-count OR float
+    * (count x dim) bound the candidate join falls back to a PINNED
+    * sort-merge equi-join on the bucket key — same results, one
+    * eager aggregate over the raw query input as the price, skipped
+    * when the caller passes `knownQueryCount`/`knownQueryDim`.
     */
   def srpTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nPlanes: Int = 8, maxHamming: Int = 1,
-      maxBroadcastQueries: Long = 1L << 16): DataFrame = {
+      maxBroadcastQueries: Long = 1L << 16,
+      maxBroadcastQueryFloats: Long = 1L << 23,
+      knownQueryCount: Long = -1L, knownQueryDim: Long = -1L): DataFrame = {
     import graft.functions.Hashing
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val dim = e.agg(max(size(col("v"))).as("dim"))
@@ -309,10 +352,12 @@ object Similarity {
       explode(lit(ball.toArray)).as("mask"))
       .select(col("qid"), col("qv"),
         col("mask").bitwiseXOR(col("qb")).as("bucket"))
-    // gate on the pre-bucket query projection: same cardinality as `q`
-    // for unique qids, and it skips re-running the bucketing subplan
+    // gate on the RAW query input: an upper bound of the bucketed
+    // probe side, and it skips re-running the bucketing subplan
     val probeSide =
-      if (qin.count() <= maxBroadcastQueries) broadcast(probes)
+      if (probeFits(queries, qvecCol, maxBroadcastQueries,
+        maxBroadcastQueryFloats, knownQueryCount, knownQueryDim))
+        broadcast(probes)
       else probes.hint("merge")
     bucketed
       .join(probeSide, "bucket")

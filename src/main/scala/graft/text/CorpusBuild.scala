@@ -56,7 +56,9 @@ object CorpusBuild {
       requireTerminal: Boolean = true,
       sweep: SweepCheckpoint = SweepCheckpoint.Local,
       maxBroadcastBenchDocs: Long = 1L << 13,
-      stageMaterialize: Option[SweepCheckpoint] = None): DataFrame = {
+      stageMaterialize: Option[SweepCheckpoint] = None,
+      knownBenchDocs: Long = -1L,
+      knownBenchGrams: Long = -1L): DataFrame = {
     // stage tables get their own namespace under a Table medium so a
     // shared dir cannot collide with the dedup sweeps' sweep_<n>
     val medium = stageMaterialize.map {
@@ -86,7 +88,8 @@ object CorpusBuild {
         col(textCol).as("__text"), lit(true).as("__is_bench")))
     val clean = mat(reps.join(
       Decontaminate.flags(unioned, "doc_id", "__text", col("__is_bench"),
-          ngram, maxBroadcastBenchDocs)
+          ngram, maxBroadcastBenchDocs,
+          knownBenchDocs = knownBenchDocs, knownBenchGrams = knownBenchGrams)
         .filter(!col("contaminated"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol)), 2)

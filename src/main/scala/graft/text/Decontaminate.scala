@@ -46,21 +46,34 @@ object Decontaminate {
     * counts docs AND sums per-doc distinct-gram counts in the same
     * aggregate, and either bound failing takes the shuffle fallback.
     * Defaults: 8k docs / 4M grams ~ tens of MB broadcast.
+    *
+    * A caller that already knows its benchmark's size (a service with
+    * a fixed eval suite) can skip the eager gate pass entirely with
+    * `knownBenchDocs`/`knownBenchGrams` — TRUSTED upper bounds; a doc
+    * hint without a gram hint (negative) disables the gram bound,
+    * the [[flagsFromShingled]] convention.
     */
   def flags(docs: DataFrame, idCol: String, textCol: String,
       isBench: Column, n: Int,
       maxBroadcastBenchDocs: Long = 1L << 13,
-      maxBroadcastBenchGrams: Long = 1L << 22): DataFrame = {
+      maxBroadcastBenchGrams: Long = 1L << 22,
+      knownBenchDocs: Long = -1L,
+      knownBenchGrams: Long = -1L): DataFrame = {
     // distinct n-gram shingling reuses the d2/d3 compiled kernel (same
     // lowercase/space-split/first-occurrence semantics, one split per
     // row instead of the interpreted-HOF re-evaluation)
     val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
       graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
-    val stats = base.filter(col("is_bench"))
-      .agg(count(lit(1)).as("nd"),
-        coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
-    flagsFromShingled(base, stats.getLong(0), maxBroadcastBenchDocs,
-      stats.getLong(1), maxBroadcastBenchGrams)
+    val (nd, ng) =
+      if (knownBenchDocs >= 0L) (knownBenchDocs, knownBenchGrams)
+      else {
+        val stats = base.filter(col("is_bench"))
+          .agg(count(lit(1)).as("nd"),
+            coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
+        (stats.getLong(0), stats.getLong(1))
+      }
+    flagsFromShingled(base, nd, maxBroadcastBenchDocs,
+      ng, maxBroadcastBenchGrams)
   }
 
   /** The d7 engine over a pre-shingled (doc_id, is_bench, gs) relation

@@ -95,7 +95,9 @@ object TextFamily {
   def run(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, isBench: Column, gramN: Int,
       maxBroadcastBenchDocs: Long = 1L << 13,
-      carryCols: Seq[String] = Nil): TextFamilyResult = {
+      carryCols: Seq[String] = Nil,
+      knownBenchDocs: Long = -1L,
+      knownBenchGrams: Long = -1L): TextFamilyResult = {
     val tokens = tokenTable(docs, idCol, textCol,
       (groupCol +: carryCols).distinct)
     val nDocs = tokens.agg(count(lit(1)).as("nd"))
@@ -104,11 +106,19 @@ object TextFamily {
     val t3 = tokenStatsFromTokens(tokens, groupCol)
     val shingled = tokens.select(col("doc_id"), isBench.as("is_bench"),
       gramsFromTokens(col("toks"), gramN).as("gs"))
-    val stats = shingled.filter(col("is_bench"))
-      .agg(count(lit(1)).as("nd"),
-        coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
-    val d7 = Decontaminate.flagsFromShingled(shingled, stats.getLong(0),
-      maxBroadcastBenchDocs, stats.getLong(1))
+    // the broadcast-gate cardinalities: hinted by callers that know
+    // their benchmark's size (trusted, the Decontaminate.flags
+    // convention), otherwise one eager pass over the bench shingles
+    val (nd, ng) =
+      if (knownBenchDocs >= 0L) (knownBenchDocs, knownBenchGrams)
+      else {
+        val stats = shingled.filter(col("is_bench"))
+          .agg(count(lit(1)).as("nd"),
+            coalesce(sum(size(col("gs"))), lit(0L)).as("ng")).head()
+        (stats.getLong(0), stats.getLong(1))
+      }
+    val d7 = Decontaminate.flagsFromShingled(shingled, nd,
+      maxBroadcastBenchDocs, ng)
     TextFamilyResult(tokens, t8, t3, d7)
   }
 }

@@ -174,4 +174,31 @@ class RepetitionSpec extends SparkSpec {
       normal.orderBy("doc_id").collect().toSeq,
       "gram-gate fallback changed the results")
   }
+
+  test("bench-size hints skip the gate pass without changing results") {
+    val docs = Tables.t(spark, sf, "documents")
+    val bench = col("doc_id") % 97 === 0
+    val unhinted = Decontaminate.flags(docs, "doc_id", "text", bench, 4)
+    // truthful small hints keep the broadcast path
+    val hinted = Decontaminate.flags(docs, "doc_id", "text", bench, 4,
+      knownBenchDocs = 16, knownBenchGrams = 1000)
+    assert(hinted.orderBy("doc_id").collect().toSeq ===
+      unhinted.orderBy("doc_id").collect().toSeq)
+    // an over-the-gate doc hint forces the shuffle fallback
+    val big = Decontaminate.flags(docs, "doc_id", "text", bench, 4,
+      knownBenchDocs = 1L << 40)
+    assert(big.queryExecution.executedPlan.toString().linesIterator.exists(
+      l => l.contains("SortMergeJoin") && l.contains("[g#")),
+      "an over-the-gate hint should take the shuffle path")
+    assert(big.orderBy("doc_id").collect().toSeq ===
+      unhinted.orderBy("doc_id").collect().toSeq)
+    // TextFamily forwards the hints to its shared-token d7
+    val fam = graft.text.TextFamily.run(docs, "doc_id", "text",
+      groupCol = "source", isBench = bench, gramN = 4,
+      knownBenchDocs = 16, knownBenchGrams = 1000)
+    try {
+      assert(fam.decontamination.orderBy("doc_id").collect().toSeq ===
+        unhinted.orderBy("doc_id").collect().toSeq)
+    } finally fam.unpersist()
+  }
 }

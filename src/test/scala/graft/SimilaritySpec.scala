@@ -131,4 +131,61 @@ class SimilaritySpec extends SparkSpec {
       l.contains("BroadcastHashJoin") && l.contains("cell#")),
       "small query batches must keep the broadcast probe join")
   }
+
+  test("batched ANN: the float bound catches a small-count fat-vector query table") {
+    import org.apache.spark.sql.functions.col
+    // few queries (passes the doc-count gate) whose count x dim
+    // exceeds a tiny float budget — the VERDICT r7 fat-vector hole:
+    // a count-only gate admits a multi-GB broadcast at dim=4096
+    val small = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val gated = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3, maxBroadcastQueryFloats = 4)
+    val p = gated.queryExecution.executedPlan.toString()
+    assert(p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("cell#")),
+      "a fat-vector query table must take the sort-merge fallback")
+    val open = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3)
+    assert(rows(gated) === rows(open),
+      "the float-bound fallback changed the results")
+    val gatedSrp = Similarity.srpTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3, maxBroadcastQueryFloats = 4)
+    val pSrp = gatedSrp.queryExecution.executedPlan.toString()
+    assert(pSrp.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("bucket#")),
+      "srp: a fat-vector query table must take the sort-merge fallback")
+    assert(rows(gatedSrp) === rows(Similarity.srpTopKAll(emb, "vec_id",
+      "embedding", small, "vec_id", "embedding", k = 3)),
+      "srp: the float-bound fallback changed the results")
+  }
+
+  test("batched ANN: query-size hints skip the gate job without changing results") {
+    import org.apache.spark.sql.functions.col
+    val small = emb.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val unhinted = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3)
+    // a truthful small hint keeps the broadcast path
+    val hinted = Similarity.ivfTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3,
+      knownQueryCount = small.count(), knownQueryDim = 64L)
+    assert(hinted.queryExecution.executedPlan.toString().linesIterator
+      .exists(l => l.contains("BroadcastHashJoin") && l.contains("cell#")))
+    assert(rows(hinted) === rows(unhinted))
+    // an over-the-gate hint forces the fallback — still same rows
+    val big = Similarity.srpTopKAll(emb, "vec_id", "embedding",
+      small, "vec_id", "embedding", k = 3,
+      knownQueryCount = (1L << 20), knownQueryDim = 4096L)
+    assert(big.queryExecution.executedPlan.toString().linesIterator
+      .exists(l => l.contains("SortMergeJoin") && l.contains("bucket#")))
+    assert(rows(big) === rows(Similarity.srpTopKAll(emb, "vec_id",
+      "embedding", small, "vec_id", "embedding", k = 3)))
+  }
 }
