@@ -13,6 +13,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session tz as Verify.scala so bench and verify agree on
+      // timestamp semantics (events.ts NTZ→TZ cast is identity under UTC)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,8 +26,12 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+    // A query that throws must be VISIBLE, not timed as a ~60 ms no-op:
+    // an environment break would otherwise masquerade as a speedup and
+    // silently shrink the total. Failed queries are excluded from the
+    // total and reported under "errors".
+    val runs = selected.map { case (name, fn) =>
+      val reps_ = (0 until reps).map { _ =>
         // queries that .cache() intermediates would otherwise hand reps
         // 2..n warm cached data via the CacheManager's plan-keyed lookup,
         // turning the median into a warm-cache number — evict first
@@ -33,16 +40,31 @@ object Bench {
         // Materialize EVERY column: count() lets Catalyst prune unreferenced
         // projections, which under-measures projection-heavy queries. toRdd
         // forces full row production through the whole plan.
-        try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        val err = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(200))
+        }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      name -> reps_
+    }
+    val ok = runs.collect { case (name, rs) if rs.forall(_._2.isEmpty) =>
+      val times = rs.map(_._1).sorted
       name -> times(times.length / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val errors = runs.collect { case (name, rs) if rs.exists(_._2.nonEmpty) =>
+      name -> rs.flatMap(_._2).head
+    }.toMap
+    errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

@@ -39,7 +39,12 @@ object StreamingOps {
   /** `simhash` rides along so a near-dup stage can chain downstream of
     * the exact dedup without recovering it from the fingerprint
     * (0 when the input carries no simhash column). Emission schema
-    * only — the dedup STATE stays the 3-field [[SeenState]].
+    * only — the dedup STATE stays [[SeenState]] — but note that an
+    * emission-schema change is still a SINK-compat event: consumers
+    * writing [[streamingDedup]]'s output to a typed sink (parquet dir,
+    * Delta-style table) saw a new `simhash` column appear when this
+    * field landed, and any future field here changes their downstream
+    * schema the same way. Checkpoint state is unaffected.
     */
   final case class Doc(doc_id: Long, fp: String, simhash: Long = 0L)
   final case class SeenState(firstId: Long, nCopies: Long,

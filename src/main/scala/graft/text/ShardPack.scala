@@ -53,8 +53,14 @@ object ShardPack {
     * window is groups x buckets rows, not data.
     *
     * Output: (id, group, bucket, n_tokens, shard_local, shard) with
-    * `shard` unique across the whole output and contiguous per
-    * (group, bucket) span in (group, bucket) order.
+    * `shard` unique across the whole output, and each (group, bucket)
+    * occupying a disjoint id RANGE in (group, bucket) order. Within a
+    * range, ids are consecutive only while every document fits the
+    * budget: a single over-budget document advances the running token
+    * sum by more than `budgetTokens`, so `floor(cum/budget)` skips the
+    * intermediate values and leaves unused shard ids (holes) — by
+    * construction, since shards never split a document. Consumers must
+    * treat `shard` as an opaque grouping key, not a dense sequence.
     */
   def packBucketed(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, budgetTokens: Long, nBuckets: Int): DataFrame = {

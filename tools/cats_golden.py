@@ -279,8 +279,10 @@ def q17_golden(net, sf_dir):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     ev = ev[ev.user_id % 20 == 0].copy()
     ev["b"] = ev.event_type.map(lambda t: BAND_MAP.get(t, "u"))
-    # unix seconds (events.ts is nanosecond precision)
-    ev["ts_s"] = (ev.ts.astype("int64") // 10**9).astype("float64")
+    # unix seconds — normalize to ns first so both testdata encodings
+    # (TIMESTAMP_NANOS and TIMESTAMP_MICROS) divide by the right base
+    ev["ts_s"] = (ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+                  ).astype("float64")
     out = {}
     for uid, g in ev.groupby("user_id"):
         # q17 sorts the struct array (ts_s, event_id, v, b) lexicographically
