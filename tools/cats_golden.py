@@ -297,7 +297,10 @@ def q17_golden(net, sf_dir):
             preds = [float(x)
                      for x in net.forward(input_tensor(mjd, flux, err, band))]
         # broad_class mirrors the query's array_position(max)-1 (first max)
-        out[int(uid)] = {"broad_class": preds.index(max(preds)),
+        # str key: json object keys are strings anyway, and a mixed
+        # int/str key dict breaks json.dump(sort_keys=True) once the
+        # _events_md5 entry is added
+        out[str(int(uid))] = {"broad_class": preds.index(max(preds)),
                          "p_max": max(preds), "preds": preds}
     return out
 
