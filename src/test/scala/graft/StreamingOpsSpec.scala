@@ -291,6 +291,166 @@ class StreamingOpsSpec extends SparkSpec {
       "expired bucket state must not capture the re-admitted doc")
   }
 
+  test("checkpoint restart: envelope state survives a stop/start across builds' state shape") {
+    import graft.text.TextOps
+    // query 1 processes the originals against a checkpoint, STOPS;
+    // query 2 restarts from the same checkpoint and processes exact
+    // copies under higher ids. If the binary-envelope state restored,
+    // every copy is suppressed; if state were lost (or the schema
+    // check rejected the restore), copies would re-emit.
+    val original = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val copies = original.select((col("doc_id") + 100000L).as("doc_id"), col("fp"))
+    val srcDir = java.nio.file.Files.createTempDirectory("restart-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("restart-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("restart-ck").toString
+    def addSlice(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"restart-s$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, f"$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    addSlice(original, 0)
+    val schema = spark.read.parquet(srcDir).schema
+    def runOnce(): Long = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val q = StreamingOps.streamingDedup(spark, stream.toDF())
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      q.recentProgress.flatMap(_.sources.map(_.numInputRows)).sum
+    }
+    runOnce() // query 1: originals
+    addSlice(copies, 1)
+    val consumed2 = runOnce() // query 2: restart, copies arrive
+    assert(consumed2 > 0L,
+      "restarted query consumed nothing — the restart never saw the copies")
+    val emitted = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val nDistinct = original.select("fp").distinct().count()
+    assert(emitted.size.toLong === nDistinct,
+      "emission count changed across restart — state not restored")
+    assert(!emitted.exists(_._1 >= 100000L),
+      "a copy re-emitted after restart — envelope state did not restore from the checkpoint")
+  }
+
+  /** Stage rows as single-file micro-batches in an EXPLICIT order. */
+  private def writeOrdered(slices: Seq[Seq[(Long, String, Long)]],
+      prefix: String): String = {
+    import spark.implicits._
+    writeSlices(slices.map(_.toDF("doc_id", "fp", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")), prefix)
+  }
+
+  test("event-time dedup: two different replay orders yield the same emissions = batch twin") {
+    val t0 = 1700000000000L
+    // fp A: the event-time winner (doc 10, t0+10s) has the LARGER id and
+    //   arrives AFTER doc 5 in order 1 — id order and arrival order both
+    //   disagree with event time, so only event-time logic passes.
+    // fp B: tied timestamps -> doc_id breaks the tie (20 beats 21).
+    // fp C: singleton.
+    // FLUSH: far-future row advancing the watermark past every real ts
+    //   (its own fp stays pending and is excluded from the compare).
+    val rows = Map(
+      "a1" -> (10L, "A", t0 + 10000L), "a2" -> (5L, "A", t0 + 20000L),
+      "b1" -> (20L, "B", t0 + 30000L), "b2" -> (21L, "B", t0 + 30000L),
+      "c1" -> (30L, "C", t0 + 5000L),
+      "fl" -> (999L, "FLUSH", t0 + 7200000L))
+    val order1 = Seq(Seq("a2", "b2"), Seq("a1", "c1"), Seq("b1"), Seq("fl"))
+    val order2 = Seq(Seq("b1"), Seq("c1", "a1"), Seq("a2", "b2"), Seq("fl"))
+    def run(order: Seq[Seq[String]], name: String): Set[(Long, String, Long)] = {
+      val dir = writeOrdered(order.map(_.map(rows)), s"evt-$name")
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      // 1 hour watermark delay >> the 30 s disorder: nothing is late,
+      // so determinism must be EXACT
+      val q = StreamingOps.streamingDedupEventTime(spark, stream.toDF(),
+        "ts", watermark = "1 hour")
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .filter(_._2 != "FLUSH").toSet
+    }
+    val got1 = run(order1, "evt_order1")
+    val got2 = run(order2, "evt_order2")
+    import spark.implicits._
+    val batch = StreamingOps.streamingDedupEventTimeBatch(
+      rows.values.toSeq.filter(_._2 != "FLUSH")
+        .toDF("doc_id", "fp", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch === Set((10L, "A", t0 + 10000L), (20L, "B", t0 + 30000L),
+      (30L, "C", t0 + 5000L)), "batch twin definition drifted")
+    assert(got1 === batch, "order-1 replay diverged from the batch twin")
+    assert(got2 === batch, "order-2 replay diverged from the batch twin")
+  }
+
+  test("event-time corpus ingest: admissions are replay-deterministic and equal the batch twin") {
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+      .withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + (col("doc_id") % 7) * 60000L))
+    // the flush sentinel reuses a real kept doc's text (passes the same
+    // quality filter) with a far-future ts: it advances the watermark
+    // past every real timestamp, and as the LATEST copy of its
+    // fingerprint it can never displace the real winner
+    val (keepProbe, _) = graft.text.TextOps.qualityFilter(col("text"),
+      requireTerminal = false)
+    val keptText = docs.filter(keepProbe).orderBy("doc_id")
+      .select("text").head().getString(0)
+    import spark.implicits._
+    val flush = Seq((999999L, keptText))
+      .toDF("doc_id", "text")
+      .withColumn("ts", timestamp_millis(lit(1700000000000L + 86400000L)))
+    // flush stays LAST in every ordering: it is the row that advances
+    // the watermark past the data, so a batch after it would arrive
+    // behind a frozen watermark and never flush its own fingerprints
+    def slicesBy(mod: Int, rev: Boolean): Seq[org.apache.spark.sql.DataFrame] = {
+      val data = (0 until mod).map(i => docs.filter(col("doc_id") % mod === i))
+      (if (rev) data.reverse else data) :+ flush
+    }
+    def run(slices: Seq[org.apache.spark.sql.DataFrame], name: String)
+        : Set[(Long, String)] = {
+      val dir = writeSlices(slices, s"evtcorpus-$name")
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingOps.streamingCorpusIngestEventTime(spark,
+        stream.toDF(), "doc_id", "text", "ts", watermark = "2 hours",
+        requireTerminal = false)
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .filter(_._1 != 999999L).toSet
+    }
+    val got1 = run(slicesBy(3, rev = false), "evtcorpus_a")
+    val got2 = run(slicesBy(4, rev = true), "evtcorpus_b")
+    val batch = StreamingOps.streamingCorpusIngestEventTimeBatch(
+      docs, "doc_id", "text", "ts", requireTerminal = false)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty, "no documents admitted — quality filter ate the corpus")
+    assert(got1 === batch, "slicing-A replay diverged from the batch twin")
+    assert(got2 === batch, "slicing-B (reversed) replay diverged from the batch twin")
+  }
+
   test("mapGroupsWithState running stats: final state equals batch aggregate") {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
