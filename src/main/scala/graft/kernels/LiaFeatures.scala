@@ -52,19 +52,25 @@ package graft.kernels
   *    flux-domain variant cannot reach the threshold mass at
   *    0.31-0.47); peak_detection(33) = peakutils-style half-range
   *    local-max count with min_dist=25 (thresholds are exactly
-  *    {0.5, 1.5, 2.5} — an integer count in 0..3, training mean 1.44).
+  *    {0.5, 1.5, 2.5} — an integer count in 0..3, training mean 1.44);
+  *    sample_entropy(36) = SampEn(m=1, r=0.15*std) on the MAGNITUDE
+  *    series (r9 sweep over domain x template x tolerance: matches the
+  *    threshold median to 5% and the p25/p50/p75 ladder far better
+  *    than the r7 flux-domain (2, 0.2*std) choice — see the inline
+  *    rationale).
   *  - RECONSTRUCTED (LIA-specific parameterization not recoverable
   *    offline; liveness-confirmed, anchor-shape-compatible, not
-  *    value-pinned): sample_entropy(36) — SampEn(2, 0.2*std), both
-  *    flux and mag domains anchor-compatible, flux retained;
-  *    shannon_entropy(37) — error-CDF surprisal family (the r6
-  *    histogram form was artifact-REFUTED: bounded by 1 against
-  *    training thresholds reaching 4.81).
+  *    value-pinned): shannon_entropy(37) — PER-POINT error-CDF
+  *    surprisal (the r6 histogram form was artifact-REFUTED in r7:
+  *    bounded by 1 against training thresholds reaching 4.81; the r7
+  *    unnormalized sum was artifact-REFUTED in r9: training-like
+  *    ensemble mean ~144 against the 0.474 training mean in
+  *    pca.mean_).
   *
   * Scoring therefore runs the REAL bundled forest over a vector whose
   * layout and per-index liveness are artifact-confirmed; the
-  * RECONSTRUCTED tier is why the operator still surfaces
-  * `mulens_features_approx`.
+  * RECONSTRUCTED tier — now down to shannon_entropy(37) alone — is
+  * why the operator still surfaces `mulens_features_approx`.
   */
 object LiaFeatures {
 
@@ -188,19 +194,37 @@ object LiaFeatures {
 
     val rms = math.sqrt(nf.map(x => x * x).sum / n)
 
-    val sampEn = sampleEntropy(nf, 2, 0.2 * std)
+    // ANCHOR-ADOPTED (r9, tools/LiaAnchors sweep): SampEn(m=1,
+    // r=0.15*std) on the MAGNITUDE series. The r7 choice —
+    // SampEn(2, 0.2*std) on normalized flux — put 76-79% of the
+    // training-like ensemble's mass below the p25..p50 split
+    // thresholds (ideal 25%/50%); the (m=1, 0.15*std, mag)
+    // parameterization sits at 45%/52%/73% against the p25/p50/p75
+    // thresholds (ideal 25/50/75), matches the threshold median
+    // almost exactly (ensemble p50 0.88 vs threshold p50 0.92), and
+    // closes most of the training-mean gap (ensemble mean 1.16 vs
+    // pca.mean 1.49, from 0.66). Stable under ensemble reseeding.
+    val sampEnMag = {
+      val mMn0 = mag.sum / n
+      val mSd0 = math.sqrt(mag.map(x => (x - mMn0) * (x - mMn0)).sum / n)
+      sampleEntropy(mag, 1, 0.15 * mSd0)
+    }
 
-    // error-CDF surprisal (mag domain): -sum log2(p_i) with p_i the
-    // Gaussian(mean, std) mass inside the point's DOUBLED error bar.
-    // Near 0 when every error bar covers the sample spread (a
-    // Gaussian-consistent constant source with conservative errors)
-    // and unbounded on structured excursions. The r6 histogram
-    // definition was REFUTED by the artifact in r7: it is bounded by
-    // 1, but rf.sav's split thresholds for this index reach 4.81 (and
-    // CART thresholds never exceed the largest observed training
-    // value) while half the threshold mass sits below 0.008 — the
-    // training statistic has exactly this near-zero-mass/unbounded-
-    // tail shape (tools/LiaAnchors). Family-level reconstruction;
+    // error-CDF surprisal (mag domain), PER-POINT: -sum log2(p_i)/n
+    // with p_i the Gaussian(mean, std) mass inside the point's DOUBLED
+    // error bar. Near 0 when every error bar covers the sample spread
+    // (a Gaussian-consistent source with conservative errors); grows
+    // on structured excursions. The r6 histogram definition was
+    // REFUTED in r7 (bounded by 1 against thresholds reaching 4.81);
+    // the r7 UNNORMALIZED sum is REFUTED in r9 by the training-mean
+    // anchor: its training-like ensemble mean is ~144 against
+    // pca.mean_ = 0.474 (a 300x gap, reseed-stable — tools/LiaAnchors
+    // r9 sweep), because every structured curve accumulates tens of
+    // bits per excursion point. The per-point mean keeps the
+    // near-zero-mass/tail shape that adopted the family (consistent
+    // curves ~0.0x, structured curves cross every threshold up to
+    // 4.81) while landing the ensemble mean at 2.6 — the closest of
+    // the 26 swept parameterizations. Family-level reconstruction;
     // still surfaced via mulens_features_approx.
     val shannon = {
       val mMn = mag.sum / n
@@ -215,7 +239,7 @@ object LiaFeatures {
           s -= math.log(math.max(p, 1e-12)) / math.log(2.0)
           i += 1
         }
-        s
+        s / n
       }
     }
 
@@ -289,7 +313,7 @@ object LiaFeatures {
       peaks, // 33 peak_detection
       ratioRecurring, // 34
       rms, // 35 root_mean_squared
-      sampEn, // 36
+      sampEnMag, // 36
       shannon, // 37
       skewness, // 38
       stdOverMean, // 39

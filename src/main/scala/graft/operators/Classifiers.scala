@@ -170,11 +170,14 @@ object Classifiers {
     * against the bundled artifacts. After the r7 anchor narrowing
     * (tools/LiaAnchors: candidate definitions discriminated against
     * rf.sav's split-threshold distribution and pca.sav's training
-    * means) the approximation scope surfaced by
-    * `mulens_features_approx` is down to TWO statistics — the
-    * sample-entropy domain choice (36) and the shannon-entropy
-    * parameterization (37); everything else is canonical,
-    * parameter-pinned, or anchor-adopted (see the kernel's tier doc).
+    * means) and the r9 parameterization sweep (sample_entropy
+    * anchor-adopted at SampEn(m=1, 0.15*std, mag); the shannon
+    * unnormalized sum refuted by the training-mean anchor and
+    * narrowed to its per-point form) the approximation scope surfaced
+    * by `mulens_features_approx` is down to ONE statistic — the
+    * shannon-entropy (37) residual parameterization; everything else
+    * is canonical, parameter-pinned, or anchor-adopted (see the
+    * kernel's tier doc).
     * Falls back to the documented stand-in when the bundle is absent.
     */
   def microlensing(spark: SparkSession, df: DataFrame,

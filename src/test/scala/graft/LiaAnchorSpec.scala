@@ -69,4 +69,35 @@ class LiaAnchorSpec extends AnyFunSuite {
     // be able to land near zero
     assert(f.min < 0.1, s"no near-zero mass (min ${f.min})")
   }
+
+  test("f37 shannon_entropy: training-mean anchor (the shape that refuted the r7 unnormalized sum)") {
+    val f = feat(37)
+    val mean = f.sum / f.length
+    // pca.mean_(37) = 0.474: the r7 unnormalized sum sat at ~144 on
+    // this ensemble (300x); the adopted per-point form must stay
+    // within the same order of magnitude as the training mean
+    assert(mean < 10.0,
+      s"ensemble mean $mean detached from the 0.474 training mean — " +
+        "unnormalized-sum regression")
+  }
+
+  test("f36 sample_entropy: r9 anchor adoption holds (mag domain, m=1, r=0.15*std)") {
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val (_, q) = LiaAnchors.thresholdStats(36)
+    val f = feat(36)
+    val mean = f.sum / f.length
+    // pca.mean_(36) = 1.49; the r7 flux-domain (2, 0.2*std) choice sat
+    // at 0.66 on this ensemble, the adopted parameterization at ~1.2
+    assert(mean > 0.9 && mean < 2.2,
+      s"ensemble mean $mean left the anchor band (training mean 1.49)")
+    // the adoption's discriminating fact: the ensemble median tracks
+    // the threshold median (0.92) instead of sitting at a third of it
+    val sorted = f.sorted
+    val med = sorted(sorted.length / 2)
+    assert(med > 0.5 * q(3) && med < 2.0 * q(3),
+      s"ensemble median $med detached from the threshold median ${q(3)}")
+    // liveness across the threshold range (0.39 .. 2.88)
+    assert(f.min < q(0) && f.max > q(6),
+      "feature no longer crosses the full threshold range")
+  }
 }

@@ -104,10 +104,61 @@ object LiaAnchors {
     eval("A SampEn(2,.2std) nf (current)", cands.sampEnNf)
     eval("B SampEn(2,.2std) mag", cands.sampEnMag)
     println("-- f37 shannon_entropy (anchor mean 0.474, thr p50=0.008 tail 4.8)")
-    eval("A hist10/log10 nf (current)", cands.shannonHist)
+    eval("A hist10/log10 nf (refuted r7)", cands.shannonHist)
     eval("B err-CDF -sum p*log2 p", cands.shannonCdf)
     eval("C err-CDF sum -log2(p)/n", cands.shannonCdfMean)
     eval("D -sum log2(p)(1-p) mag 2err", cands.shannonInvMag)
     eval("E -sum log2(p)(1-p) nf 2err", cands.shannonInvNf)
+
+    // ---- r9 parameterization sweeps (VERDICT r8 #5): score each
+    // candidate's ensemble distribution against BOTH anchors — the
+    // training mean (pca.mean_) and the threshold-quantile sketch of
+    // the training marginal (frac< columns: fraction of ensemble
+    // values below the thr p25/p50/p75 — were the candidate the
+    // training statistic, these sit near 0.25/0.50/0.75).
+    def evalFit(name: String, idx: Int,
+        f: (Array[Double], Array[Double]) => Double): Unit = {
+      val xs = ens.map { case (m, e) => f(m, e) }.toArray
+      val (_, qs) = thresholdStats(idx)
+      def fracBelow(t: Double) = xs.count(_ < t).toDouble / xs.length
+      println(f"$name%-34s ${quants(xs)} " +
+        f"frac<[p25,p50,p75]=${fracBelow(qs(2))}%.2f ${fracBelow(qs(3))}%.2f ${fracBelow(qs(4))}%.2f")
+    }
+    println("-- f36 r9 sweep (training mean 1.49; ideal frac< = .25 .50 .75)")
+    for (mag <- Seq(false, true); mm <- Seq(1, 2);
+         rf <- Seq(0.1, 0.15, 0.2, 0.25, 0.3))
+      evalFit(f"SampEn(m=$mm,r=$rf%.2f,${if (mag) "mag" else "nf"})", 36,
+        cands.sampEnParam(mag, mm, rf))
+    println("-- f37 r9 sweep (training mean 0.474; ideal frac< = .25 .50 .75)")
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0, 3.0);
+         ln <- Seq(false, true); pp <- Seq(false, true))
+      evalFit(f"surprisal(${if (mag) "mag" else "nf"},k=$k%.0f," +
+        f"${if (ln) "ln" else "log2"}${if (pp) ",/n" else ""})", 37,
+        cands.shannonSurprisal(mag, k, ln, pp))
+    evalFit("Mislis dblCDF mag", 37, cands.shannonMislis(true))
+    evalFit("Mislis dblCDF nf", 37, cands.shannonMislis(false))
+    for (bins <- Seq(20, 30, 32, 40, 50, 64))
+      evalFit(s"fixedHist($bins) bits nf", 37, cands.shannonFixedHist(bins))
+    println("-- f36 fine sweep around the m=1 mag ladder")
+    for (rf <- Seq(0.05, 0.08, 0.1, 0.12, 0.15))
+      evalFit(f"SampEn(m=1,r=$rf%.2f,mag)", 36, cands.sampEnParam(true, 1, rf))
+    // ensemble-robustness: the two leading candidates under a DIFFERENT
+    // synthetic seed (adoption requires the ladder to survive reseeding)
+    val ens2 = ensemble(2000, 31)
+    def evalFit2(name: String, idx: Int,
+        f: (Array[Double], Array[Double]) => Double): Unit = {
+      val xs = ens2.map { case (m, e) => f(m, e) }.toArray
+      val (_, qs) = thresholdStats(idx)
+      def fracBelow(t: Double) = xs.count(_ < t).toDouble / xs.length
+      println(f"$name%-34s ${quants(xs)} " +
+        f"frac<[p25,p50,p75]=${fracBelow(qs(2))}%.2f ${fracBelow(qs(3))}%.2f ${fracBelow(qs(4))}%.2f")
+    }
+    println("-- reseeded (seed 31) stability check")
+    evalFit2("SampEn(m=1,r=0.10,mag)", 36, cands.sampEnParam(true, 1, 0.1))
+    evalFit2("SampEn(m=1,r=0.15,mag)", 36, cands.sampEnParam(true, 1, 0.15))
+    evalFit2("SampEn(m=2,r=0.20,nf) current", 36, cands.sampEnParam(false, 2, 0.2))
+    evalFit2("fixedHist(32) bits nf", 37, cands.shannonFixedHist(32))
+    evalFit2("surprisal(mag,k=2,log2) current", 37,
+      cands.shannonSurprisal(true, 2.0, false, false))
   }
 }

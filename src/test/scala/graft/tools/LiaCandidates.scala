@@ -143,6 +143,19 @@ object LiaCandidates {
     sampEn(m, 2, 0.2 * std)
   }
 
+  /** r9 parameterization sweep: (domain, template length m, tolerance
+    * factor r/std) — the two axes the r7 adoption left open plus the
+    * template length, scored against the f36 anchors (training mean
+    * 1.49, thresholds 0.39..2.88 with p50 at 0.92).
+    */
+  def sampEnParam(useMag: Boolean, mm: Int, rf: Double)
+      : (Array[Double], Array[Double]) => Double = (m, e) => {
+    val x = if (useMag) m else nfne(m, e)._1
+    val mean = x.sum / x.length
+    val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / x.length)
+    sampEn(x, mm, rf * std)
+  }
+
   // ---- f37 shannon_entropy ----
 
   val shannonHist: (Array[Double], Array[Double]) => Double = (m, e) => {
@@ -221,6 +234,86 @@ object LiaCandidates {
     }
     s
   }
+
+  /** r9 parameterization sweep of the ADOPTED error-CDF surprisal
+    * family (the kernel's current f37 is useMag=true, k=2, log2,
+    * unnormalized): -sum log_base(p_i), p_i = Gaussian(mean, std) mass
+    * inside [x_i - k*err_i, x_i + k*err_i]. Axes left open by the r7
+    * family adoption: domain, error-bar multiplier k, log base, and
+    * per-point normalization.
+    */
+  def shannonSurprisal(useMag: Boolean, k: Double, lnBase: Boolean,
+      perPoint: Boolean): (Array[Double], Array[Double]) => Double = (m, e) => {
+    val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+    val n = x.length
+    val mean = x.sum / n
+    val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / n)
+    if (std == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val p = phi((x(i) + k * xe(i) - mean) / std) -
+          phi((x(i) - k * xe(i) - mean) / std)
+        s -= math.log(math.max(p, 1e-12)) /
+          (if (lnBase) 1.0 else math.log(2.0))
+        i += 1
+      }
+      if (perPoint) s / n else s
+    }
+  }
+
+  /** FIXED-range histogram entropy in bits: -sum p_b log2 p_b over
+    * `bins` equal cells of [0, 1] on normalized flux (nf = flux/max is
+    * in (0, 1] by construction). Unlike the min-max-ranged r6
+    * histogram (bounded by 1 after its /log10 normalization — refuted
+    * by thresholds reaching 4.81), the FIXED range makes the statistic
+    * collapse to ~0 for any low-noise curve (every point lands in the
+    * top cell) and reach log2(bins) for high-amplitude spread — the
+    * near-zero-mass / bounded-tail ladder the f37 anchors describe
+    * (bound 4.81 < log2(bins) needs bins >= 29).
+    */
+  def shannonFixedHist(bins: Int): (Array[Double], Array[Double]) => Double =
+    (m, e) => {
+      val (nf, _) = nfne(m, e)
+      val counts = new Array[Int](bins)
+      nf.foreach { x =>
+        val b = math.min(bins - 1, math.max(0, (x * bins).toInt))
+        counts(b) += 1
+      }
+      -counts.filter(_ > 0).map { c =>
+        val p = c.toDouble / nf.length
+        p * math.log(p) / math.log(2.0)
+      }.sum
+    }
+
+  /** Mislis et al. 2015-style double-CDF form, error-bar weighted:
+    * -sum 2*err_i * (log2 P(X < x_i+err_i) + log2 P(X < x_i-err_i)),
+    * Gaussian(mean, std) CDF — the published-entropy shape LIA's
+    * docstring points at, included so the adopted family is tested
+    * AGAINST it rather than assumed past it.
+    */
+  def shannonMislis(useMag: Boolean): (Array[Double], Array[Double]) => Double =
+    (m, e) => {
+      val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+      val n = x.length
+      val mean = x.sum / n
+      val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / n)
+      if (std == 0) 0.0
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val pUp = phi((x(i) + xe(i) - mean) / (std * math.sqrt(2.0)))
+          val pDn = phi((x(i) - xe(i) - mean) / (std * math.sqrt(2.0)))
+          s -= 2.0 * xe(i) *
+            (math.log(math.max(pUp, 1e-12)) + math.log(math.max(pDn, 1e-12))) /
+            math.log(2.0)
+          i += 1
+        }
+        s
+      }
+    }
 
   /** Same inverse-weighted surprisal on normalized flux. */
   val shannonInvNf: (Array[Double], Array[Double]) => Double = (m, e) => {
