@@ -28,6 +28,33 @@ trait CatsKernel extends Serializable {
 
 object CatsKernel {
 
+  /** Runtime-selected kernel. MEASURED NULL RESULT (r9,
+    * tools/GemmBench on the model's two hot shapes): the explicit
+    * Vector-API kernel lands at 0.86-1.02x of Scalar — C2's superword
+    * pass already auto-vectorizes the scalar k-loop (~7.3 GMAC/s, up
+    * from the 5.3 the r7 AxpyBench measured on the narrower tile),
+    * and the bit-stability contract forbids the fused add(mul)->fma
+    * rewrite where the remaining explicit-SIMD headroom lives. So
+    * Scalar stays the default; `-Dgraft.cats.kernel=vector` opts in
+    * to [[CatsVectorKernel]] (bit-identical by contract and by
+    * CatsModelSpec's fuzzed raw-bits pin, so selection never changes
+    * results), falling back cleanly when the incubator module is
+    * absent from the runtime.
+    */
+  lazy val default: CatsKernel =
+    if (!sys.props.get("graft.cats.kernel").contains("vector")) Scalar
+    else
+      try {
+        val k = CatsVectorKernel
+        // force linkage of the incubator classes NOW so an absent
+        // module surfaces here (caught) and not mid-inference
+        val probe = Array(new Array[Double](3))
+        k.gemmAcc(Array(Array(1.0, 2.0)),
+          Array(Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)), probe)
+        require(probe(0)(0) == 9.0 && probe(0)(2) == 15.0)
+        k
+      } catch { case _: LinkageError | _: Exception => Scalar }
+
   /** Pinned-default scalar kernel: 4-row batch tiles with the tile
     * OUTERMOST, so each weight row streams from L2 once per 4 batch
     * rows while the 4 output rows stay L1-resident across the j loop.

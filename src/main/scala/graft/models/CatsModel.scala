@@ -27,7 +27,7 @@ import graft.models.Hdf5Reader.Tensor
   * the same archive in CatsModelSpec).
   */
 final class CatsModel(w: Map[String, Tensor],
-    kern: CatsKernel = CatsKernel.Scalar) extends Serializable {
+    kern: CatsKernel = CatsKernel.default) extends Serializable {
   import CatsModel._
 
   private def mat(name: String): Array[Array[Float]] = w(name).matrix
@@ -407,7 +407,7 @@ object CatsModel {
       * per-row path re-streams the full weight matrices every row.
       */
     def runBatch(x: Array[Array[Array[Double]]], reverse: Boolean,
-        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Array[Double]]] = {
+        kern: CatsKernel = CatsKernel.default): Array[Array[Array[Double]]] = {
       val bN = x.length
       val n = x(0).length
       val h = Array.ofDim[Double](bN, units)
@@ -477,7 +477,7 @@ object CatsModel {
 
     /** Batched [[sequences]] (lockstep; see [[LstmCell.runBatch]]). */
     def sequencesBatch(x: Array[Array[Array[Double]]],
-        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Array[Double]]] = {
+        kern: CatsKernel = CatsKernel.default): Array[Array[Array[Double]]] = {
       val f = fwd.runBatch(x, reverse = false, kern)
       val b = bwd.runBatch(x, reverse = true, kern)
       val n = x(0).length
@@ -487,7 +487,7 @@ object CatsModel {
 
     /** Batched [[lastState]] (lockstep; see [[LstmCell.runBatch]]). */
     def lastStateBatch(x: Array[Array[Array[Double]]],
-        kern: CatsKernel = CatsKernel.Scalar): Array[Array[Double]] = {
+        kern: CatsKernel = CatsKernel.default): Array[Array[Double]] = {
       val f = fwd.runBatch(x, reverse = false, kern)
       val b = bwd.runBatch(x, reverse = true, kern)
       Array.tabulate(x.length)(r => f(r).last ++ b(r).last)
@@ -504,7 +504,7 @@ object CatsModel {
     * (default: the pinned scalar path).
     */
   def load(kerasPath: String,
-      kern: CatsKernel = CatsKernel.Scalar): CatsModel = {
+      kern: CatsKernel = CatsKernel.default): CatsModel = {
     val zf = new ZipFile(kerasPath)
     try {
       val entry = zf.getEntry("model.weights.h5")
