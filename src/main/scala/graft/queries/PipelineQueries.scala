@@ -248,6 +248,25 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // p2: deterministic hash-bucket train/val/test assignment — 90/5/5
+  // at granularity 1000, seed 7 of the shared md5 family. Map-only at
+  // any corpus size; a doc's split never changes as the corpus grows.
+  private def p2SplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.assignSplits(
+      docs(s, dir).select(col("doc_id")), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed = 7, granularity = 1000)
+      .orderBy("doc_id")
+
+  // t12: deterministic k-per-stratum sample — the 5 smallest
+  // (hash, id) per language; salted two-phase top-k so no stratum is
+  // ever sorted on one task (plan pinned in SamplingSpec).
+  private def t12StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.stratifiedSample(
+      docs(s, dir), "doc_id", "lang", k = 5, seed = 3, salts = 8)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy("strata", "rk")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -315,6 +334,8 @@ object PipelineQueries extends QueryPack {
     "t10_shard_pack" -> (t10ShardPack _),
     "t11_shard_pack_bucketed" -> (t11ShardPackBucketed _),
     "p1_corpus_build" -> (p1CorpusBuild _),
+    "p2_split_assign" -> (p2SplitAssign _),
+    "t12_stratified_sample" -> (t12StratifiedSample _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -743,6 +764,33 @@ object PipelineQueries extends QueryPack {
         |SELECT l.doc_id, l.source, l.bucket, l.n_tokens, l.shard_local,
         |       CAST(l.shard_local + o.off AS BIGINT) AS shard
         |FROM l JOIN o USING (source, bucket) ORDER BY doc_id""".stripMargin,
+    // p2: the split is a pure function of the doc_id hash bucket —
+    // same md5 family (seed 7), same rounded cumulative boundaries
+    // (0.9/0.05/0.05 @ 1000 -> 900/950/1000).
+    "p2_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(concat('7', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 900 THEN 'train'
+        |            WHEN bucket < 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // t12: the salted two-phase plan reduces to the direct
+    // per-stratum ROW_NUMBER over (hash, id) — the oracle states the
+    // logical result, the Spark side owns the scale shape.
+    "t12_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang AS strata, doc_id AS id,
+        |         CAST(concat('0x', substr(md5(concat('3', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hkey
+        |  FROM documents),
+        |r AS (
+        |  SELECT strata, id,
+        |         ROW_NUMBER() OVER (PARTITION BY strata ORDER BY hkey, id) AS rk
+        |  FROM h)
+        |SELECT strata, id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY strata, rk""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
     // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic corpus-curation operators: train/val/test split
+  * assignment and stratified sampling. Both key every decision on the
+  * cross-engine md5 hash family ([[Hashing.hash60]]) of the document
+  * id, so results are a pure function of the data — reproducible
+  * across runs, engines, partitionings and arrival orders, and stable
+  * under incremental corpus growth (a document's split never changes
+  * when other documents are added, the property that keeps eval
+  * contamination impossible across corpus versions; contrast
+  * `rand()`-based splitting, where adding one row reshuffles
+  * everything downstream of it).
+  *
+  * Scale shape: split assignment is MAP-ONLY (no shuffle at any
+  * corpus size). Stratified sampling never sorts a whole stratum on
+  * one task: a salted two-phase top-k bounds every window partition
+  * by ~|stratum|/salts before a tiny second phase over <= k*salts
+  * survivors per stratum.
+  */
+object Sampling {
+
+  /** Assign each document to a named split by hash bucket.
+    *
+    * `bucket = hash60(id, seed) mod granularity`; `weights` are
+    * apportioned to contiguous bucket ranges by rounded cumulative
+    * boundary (so a 0.9/0.05/0.05 split at granularity 1000 is
+    * buckets [0,900), [900,950), [950,1000) — the realized fractions
+    * are exact at the bucket level, and converge to the weights at
+    * rate 1/granularity). Map-only; columns (bucket, split) append.
+    */
+  def assignSplits(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], seed: Int = 0,
+      granularity: Int = 10000): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cuts = splits.map(_._2)
+      .scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * granularity))
+    // last boundary pinned to granularity so rounding never orphans
+    // the top bucket
+    val bounds = cuts.init :+ granularity.toLong
+    val bucket = Hashing.hash60(col(idCol).cast("string"), seed) %
+      granularity
+    val split = bounds.zip(splits.map(_._1)).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (acc, (hi, name)) =>
+        when(col("bucket") < hi, name).otherwise(acc)
+      }
+    docs.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Deterministic k-per-stratum sample: the k documents with the
+    * smallest (hash60(id, seed), id) per `strataCol` value — a fixed,
+    * reproducible "random" sample per stratum (language, source,
+    * quality band) for eval-set carving or per-stratum inspection.
+    *
+    * Logical result == `row_number() over (partition by strata order
+    * by hash, id) <= k`, but the plan never sorts a stratum on one
+    * task: phase 1 takes a per-(stratum, salt) top-k (window
+    * partitions bounded by ~|stratum|/salts — safe when one stratum
+    * is half the corpus), phase 2 re-ranks the <= k*salts survivors
+    * per stratum (tiny by construction). Phase-1 correctness: the
+    * stratum-global top-k rows each rank <= k within their own salt
+    * cell, so phase 1 never discards a global winner.
+    *
+    * Output: strata, id, rk (1..k by the hash order).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      k: Int, seed: Int = 0, salts: Int = 32): DataFrame = {
+    require(k > 0 && salts > 0)
+    val hashed = docs
+      .select(col(strataCol).as("strata"), col(idCol).as("id"))
+      .withColumn("hkey", Hashing.hash60(col("id").cast("string"), seed))
+      .withColumn("salt", pmod(col("hkey"), lit(salts)))
+    val wLocal = Window.partitionBy(col("strata"), col("salt"))
+      .orderBy(col("hkey"), col("id"))
+    val wGlobal = Window.partitionBy(col("strata"))
+      .orderBy(col("hkey"), col("id"))
+    hashed
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(wGlobal))
+      .filter(col("rk") <= k)
+      .select(col("strata"), col("id"), col("rk"))
+  }
+}

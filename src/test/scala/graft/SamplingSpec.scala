@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Sampling
+
+/** Deterministic split assignment and stratified sampling (the p2/t12
+  * operators): determinism and growth-stability properties, and the
+  * scale shape of the salted two-phase top-k.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val documents = Tables.t(spark, sf, "documents")
+
+  test("assignSplits: partition of the corpus, weights realized at bucket resolution") {
+    val out = Sampling.assignSplits(documents, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed = 7, granularity = 1000).cache()
+    try {
+      val n = documents.count()
+      assert(out.count() === n, "split assignment must not drop or dup rows")
+      val counts = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.keySet === Set("train", "val", "test"))
+      // hash uniformity at n=500: generous band, just pins the
+      // apportionment isn't wildly off (binomial sd ~ 0.013)
+      val trainFrac = counts("train").toDouble / n
+      assert(trainFrac > 0.8 && trainFrac < 0.97, s"train frac $trainFrac")
+    } finally out.unpersist()
+  }
+
+  test("assignSplits: a document's split is stable under corpus growth") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val full = Sampling.assignSplits(documents, "doc_id", splits, seed = 7)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // same assignment computed over HALF the corpus: every shared doc
+    // keeps its split (the anti-rand() property)
+    val half = Sampling.assignSplits(
+      documents.filter(col("doc_id") % 2 === 0), "doc_id", splits, seed = 7)
+      .select("doc_id", "split").collect()
+    assert(half.nonEmpty)
+    half.foreach { r =>
+      assert(full(r.getLong(0)) === r.getString(1),
+        s"doc ${r.getLong(0)} changed split when the corpus shrank")
+    }
+  }
+
+  test("stratifiedSample: equals the direct per-stratum top-k and is salt-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Hashing
+    val direct = documents
+      .select(col("lang").as("strata"), col("doc_id").as("id"))
+      .withColumn("hkey", Hashing.hash60(col("id").cast("string"), 3))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("strata").orderBy("hkey", "id")))
+      .filter(col("rk") <= 5)
+      .select("strata", "id", "rk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    for (salts <- Seq(1, 8, 32)) {
+      val got = Sampling.stratifiedSample(documents, "doc_id", "lang",
+        k = 5, seed = 3, salts = salts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === direct, s"salts=$salts diverged from the direct top-k")
+    }
+  }
+
+  test("stratifiedSample plan: no window partitioned by the bare stratum over the full input") {
+    // the scale claim: the only full-input window runs on
+    // (strata, salt); the bare-strata window sees only <= k*salts
+    // pre-filtered survivors. Pin it structurally: the physical plan's
+    // first (bottom-most) Window operator must carry both partition
+    // keys.
+    // the optimized LOGICAL plan (AQE wraps the physical plan until
+    // execution); collect is top-down, so the LAST window is the
+    // phase-1 (full-input) one and must include the salt key
+    val plan = Sampling.stratifiedSample(documents, "doc_id", "lang",
+      k = 5, seed = 3, salts = 8)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.toString)
+    }
+    assert(windows.size === 2, s"expected 2 windows, got ${windows.size}")
+    val phase1 = windows.last
+    assert(phase1.size === 2,
+      s"phase-1 window must partition by (strata, salt), got $phase1")
+  }
+}
