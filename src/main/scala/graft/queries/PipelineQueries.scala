@@ -267,6 +267,15 @@ object PipelineQueries extends QueryPack {
       .withColumn("rk", col("rk").cast("long"))
       .orderBy("strata", "rk")
 
+  // t13: corpus-trained unigram-LM mean surprisal per doc — the
+  // global-dictionary pattern again (tf + 1-row total joined back),
+  // with the per-doc float reduction as a sorted-order array fold so
+  // the double is a deterministic function of the data on both
+  // engines (NativeLn for libm parity).
+  private def t13UnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    graft.text.UnigramLm.surprisal(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -336,6 +345,7 @@ object PipelineQueries extends QueryPack {
     "p1_corpus_build" -> (p1CorpusBuild _),
     "p2_split_assign" -> (p2SplitAssign _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
+    "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -791,6 +801,26 @@ object PipelineQueries extends QueryPack {
         |  FROM h)
         |SELECT strata, id, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 5 ORDER BY strata, rk""".stripMargin,
+    // t13: same tf/total arithmetic, ln parity via NativeLn's libm
+    // contract, and the per-doc sum as list_reduce over the
+    // token-ordered list — DuckDB's first-element-seeded left fold
+    // equals Spark's 0.0-seeded aggregate() because 0.0 + x == x.
+    "t13_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts FROM documents),
+        |t AS (SELECT doc_id, CAST(len(ts) AS INT) AS nt, unnest(ts) AS tok FROM toks),
+        |c AS (SELECT doc_id, nt, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+        |tf AS (SELECT tok, sum(cnt) AS tf FROM c GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS tot FROM c),
+        |terms AS (
+        |  SELECT c.doc_id, c.nt, c.tok,
+        |         CAST(c.cnt AS DOUBLE) * ln(CAST(tot.tot AS DOUBLE) / CAST(tf.tf AS DOUBLE)) AS term
+        |  FROM c JOIN tf USING (tok) CROSS JOIN tot),
+        |s AS (SELECT doc_id, nt, list(term ORDER BY tok) AS arr
+        |      FROM terms GROUP BY 1, 2)
+        |SELECT doc_id, nt,
+        |       list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
+        |FROM s ORDER BY doc_id""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
     // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),
