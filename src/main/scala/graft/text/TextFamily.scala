@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object TextFamily {
 
   final case class TextFamilyResult(tokens: DataFrame, topTerm: DataFrame,
-      tokenStats: DataFrame, decontamination: DataFrame) {
+      tokenStats: DataFrame, decontamination: DataFrame,
+      surprisal: DataFrame) {
     def unpersist(): Unit = { tokens.unpersist(); () }
   }
 
@@ -80,11 +81,12 @@ object TextFamily {
         count(lit(1)).as("total_tokens"),
         countDistinct(col("tok")).as("n_distinct"))
 
-  /** All three consumers off one [[tokenTable]] materialization. The
+  /** All four consumers (t8 vocabulary, t3 stats, d7 decontamination,
+    * t13 LM surprisal) off one [[tokenTable]] materialization. The
     * standalone entry points ([[TfIdf.topTerm]],
-    * [[Decontaminate.flags]], the inline t3 query) keep their own
-    * leaner plans; this is the explicit opt-in for pipelines running
-    * the whole family.
+    * [[Decontaminate.flags]], [[UnigramLm.surprisal]], the inline t3
+    * query) keep their own leaner plans; this is the explicit opt-in
+    * for pipelines running the whole family.
     *
     * `isBench` is evaluated against the TOKEN table, so it may only
     * reference `doc_id`, `groupCol`, or a column listed in
@@ -104,6 +106,8 @@ object TextFamily {
     val t8 = TfIdf.topTermFromTokens(
       tokens.select(col("doc_id"), col("toks")), nDocs)
     val t3 = tokenStatsFromTokens(tokens, groupCol)
+    val t13 = UnigramLm.surprisalFromTokens(
+      tokens.select(col("doc_id"), col("toks")))
     val shingled = tokens.select(col("doc_id"), isBench.as("is_bench"),
       gramsFromTokens(col("toks"), gramN).as("gs"))
     // the broadcast-gate cardinalities: hinted by callers that know
@@ -119,6 +123,6 @@ object TextFamily {
       }
     val d7 = Decontaminate.flagsFromShingled(shingled, nd,
       maxBroadcastBenchDocs, ng)
-    TextFamilyResult(tokens, t8, t3, d7)
+    TextFamilyResult(tokens, t8, t3, d7, t13)
   }
 }

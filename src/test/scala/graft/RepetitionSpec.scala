@@ -118,7 +118,7 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
-  test("text family runs t8/t3/d7 off one token table with identical results") {
+  test("text family runs t8/t3/d7/t13 off one token table with identical results") {
     val docs = Tables.t(spark, sf, "documents")
     val isBench = col("doc_id") % 97 === 0
     val fam = graft.text.TextFamily.run(docs, "doc_id", "text",
@@ -131,6 +131,9 @@ class RepetitionSpec extends SparkSpec {
         SparkEntry.queries("t3_token_stats")(spark, sf).collect())
       assert(fam.decontamination.orderBy("doc_id").collect() ===
         Decontaminate.flags(docs, "doc_id", "text", isBench, 4)
+          .orderBy("doc_id").collect())
+      assert(fam.surprisal.orderBy("doc_id").collect() ===
+        graft.text.UnigramLm.surprisal(docs, "doc_id", "text")
           .orderBy("doc_id").collect())
     } finally fam.unpersist()
   }
