@@ -276,6 +276,44 @@ object PipelineQueries extends QueryPack {
     graft.text.UnigramLm.surprisal(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  // t14: normalization pass — each engine builds the SAME messy string
+  // (case noise, tab, decomposed e+U+0301, BEL control, ragged spaces)
+  // from the row, then normalizes: NFC compose -> controls to space ->
+  // whitespace collapse -> trim -> lower. Byte lengths in/out (t9's
+  // byte-denominated convention — Spark character length is UTF-16
+  // units vs DuckDB codepoints).
+  private def t14NormalizeText(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      upper(substring(coalesce(col("text"), lit("")), 1, 12)), lit("\t "),
+      lit("e\u0301 "), coalesce(col("text"), lit("")),
+      lit("  \u0007  tail   "))
+    docs(s, dir)
+      .select(col("doc_id"),
+        octet_length(messy).cast("long").as("n_bytes_in"),
+        graft.text.Normalize.normalizeText(messy).as("norm"))
+      .withColumn("n_bytes_out", octet_length(col("norm")).cast("long"))
+      .select(col("doc_id"), col("norm"), col("n_bytes_in"), col("n_bytes_out"))
+      .orderBy("doc_id")
+  }
+
+  // t15: PII redaction — deterministic synthetic PII (an email, a URL,
+  // a dotted-quad, all derived from doc_id) appended to the text on
+  // BOTH engines, then the URL -> email -> IPv4 redaction cascade with
+  // per-pattern counts staged the same way.
+  private def t15PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(
+      coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" via https://data.example.org/d/"), col("doc_id").cast("string"),
+      lit(" from 10.2."), (col("doc_id") % 200).cast("string"), lit(".7 end"))
+    val counts = graft.text.Redact.piiCounts(messy)
+      .map { case (n, c) => c.as(n) }
+    docs(s, dir)
+      .select(Seq(col("doc_id"),
+        graft.text.Redact.redactText(messy).as("redacted")) ++ counts: _*)
+      .orderBy("doc_id")
+  }
+
   // ---- multimodal ----
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -346,6 +384,8 @@ object PipelineQueries extends QueryPack {
     "p2_split_assign" -> (p2SplitAssign _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
+    "t14_normalize" -> (t14NormalizeText _),
+    "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
     "m3_frame_sample" -> (m3FrameSample _))
@@ -821,6 +861,56 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, nt,
         |       list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
         |FROM s ORDER BY doc_id""".stripMargin,
+    // t14: same messy construction (chr(9)=TAB, chr(769)=U+0301
+    // combining acute, chr(7)=BEL), then the same normalization order:
+    // nfc -> controls/format to space -> \s+ collapse -> trim -> lower.
+    // Byte lengths via strlen (DuckDB's byte-length form).
+    "t14_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         upper(substr(coalesce(text, ''), 1, 12)) || chr(9) || ' ' ||
+        |         'e' || chr(769) || ' ' || coalesce(text, '') ||
+        |         '  ' || chr(7) || '  tail   ' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, messy,
+        |         lower(trim(regexp_replace(regexp_replace(
+        |           nfc_normalize(messy), '[\p{Cc}\p{Cf}]', ' ', 'g'),
+        |           '\s+', ' ', 'g'))) AS norm
+        |  FROM m)
+        |SELECT doc_id, norm,
+        |       CAST(strlen(messy) AS BIGINT) AS n_bytes_in,
+        |       CAST(strlen(norm) AS BIGINT) AS n_bytes_out
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // t15: same synthetic-PII construction and the same URL -> email ->
+    // IPv4 staging for both the redaction and the counts.
+    "t15_pii_redact" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com' || ' via https://data.example.org/d/' ||
+        |         CAST(doc_id AS VARCHAR) || ' from 10.2.' ||
+        |         CAST(doc_id % 200 AS VARCHAR) || '.7 end' AS messy
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, messy,
+        |         regexp_replace(messy, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        |  FROM m),
+        |s2 AS (
+        |  SELECT doc_id, messy, no_url,
+        |         regexp_replace(no_url,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS no_email
+        |  FROM s1)
+        |SELECT doc_id,
+        |       regexp_replace(no_email,
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(messy, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |       CAST(len(regexp_extract_all(no_url,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(no_email,
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
     // survivors, the simhash kernel over survivors only, the 5 x 12-bit
     // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),

@@ -36,6 +36,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "native_ln takes exactly 1 argument")
         NativeLn(args.head)
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(args.head)
       }))
 
   /** Register into a live session (no extensions config needed). */
