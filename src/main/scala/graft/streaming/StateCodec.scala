@@ -78,6 +78,28 @@ object StateCodec {
     }
   }
 
+  // ---- TopK (streamingStratifiedSample):
+  //      v1 = count (u16), then count x (hkey, id) long pairs
+
+  private final val TopKV = 1
+
+  def encodeTopK(pairs: Seq[(Long, Long)]): Array[Byte] = {
+    require(pairs.length <= Short.MaxValue, "top-k state too large")
+    val b = ByteBuffer.allocate(3 + 16 * pairs.length)
+    b.put(TopKV.toByte).putShort(pairs.length.toShort)
+    pairs.foreach { case (h, id) => b.putLong(h).putLong(id) }
+    b.array()
+  }
+
+  def decodeTopK(bytes: Array[Byte]): Vector[(Long, Long)] = {
+    val b = ByteBuffer.wrap(bytes)
+    b.get().toInt match {
+      case TopKV =>
+        Vector.fill(b.getShort().toInt)((b.getLong(), b.getLong()))
+      case v => throw new StateVersionException("TopK", v, Seq(TopKV))
+    }
+  }
+
   // ---- EventDedupState (streamingDedupEventTime):
   //      v1 = phase (0 pending / 1 emitted), bestId, bestTsMs, bestSim,
   //           nCopies

@@ -491,6 +491,75 @@ object StreamingOps {
     streamingDedupEventTimeBatch(fingered, tsCol)
   }
 
+  final case class StratumRow(strata: String, id: Long, hkey: Long)
+  final case class StratumSample(strata: String, ids: Seq[Long])
+
+  /** Streaming twin of the deterministic stratified sampler
+    * ([[graft.text.Sampling.stratifiedSample]], t12): maintain, per
+    * stratum, the k documents with the smallest (hash60(id, seed), id)
+    * as the stream arrives, emitting the stratum's CURRENT sample
+    * whenever a batch touches it (mapGroupsWithState — Update-mode
+    * semantics; the sample is a retractable aggregate, so later batches
+    * supersede earlier emissions for the same stratum).
+    *
+    * Because the sample is a pure function of the SET of (hash, id)
+    * pairs seen — min-k is order-insensitive and duplicate-insensitive
+    * — the final per-stratum emission equals the batch operator on the
+    * union of all batches REGARDLESS of arrival order or batch
+    * splits (fuzz-pinned), with no watermark needed. That makes this
+    * the always-fresh eval-carve: as the corpus feed grows, each
+    * stratum's held-out sample is continuously correct, and any
+    * document it ever emitted that later drops out of the top-k was
+    * superseded by a smaller hash — exactly how the batch re-run would
+    * have sampled.
+    *
+    * The hash rides in on a COLUMN computed map-side before the
+    * shuffle ([[graft.functions.Hashing.hash60]] — the same expression
+    * the batch operator keys on, so the twins can never drift), and the
+    * stateful stage only merges pre-hashed pairs. State per stratum is
+    * exactly k (hkey, id) pairs (16k+3 bytes through [[StateCodec]]'s
+    * versioned envelope); state count scales with DISTINCT strata —
+    * languages, sources — not stream length.
+    */
+  def streamingStratifiedSample(spark: SparkSession, docs: DataFrame,
+      idCol: String, strataCol: String, k: Int,
+      seed: Int = 0): Dataset[StratumSample] = {
+    import spark.implicits._
+    require(k > 0, "streamingStratifiedSample needs k > 0")
+    docs
+      .select(col(strataCol).cast("string").as("strata"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("hkey",
+        graft.functions.Hashing.hash60(col("id").cast("string"), seed))
+      .as[StratumRow]
+      .groupByKey(_.strata)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (strata: String, rows: Iterator[StratumRow],
+            state: GroupState[Array[Byte]]) =>
+          val prev = state.getOption.map(StateCodec.decodeTopK)
+            .getOrElse(Vector.empty)
+          // merge-then-min-k; distinct makes replayed duplicates of the
+          // same document idempotent (same (hkey, id) value)
+          val top = (prev ++ rows.map(r => (r.hkey, r.id)))
+            .distinct.sorted.take(k).toVector
+          state.update(StateCodec.encodeTopK(top))
+          StratumSample(strata, top.map(_._2))
+      }
+  }
+
+  /** Batch twin: [[graft.text.Sampling.stratifiedSample]] reduced to
+    * the (strata, ids-in-rank-order) emission shape — over the SET of
+    * (strata, id) pairs, matching the stream's replay idempotence
+    * (batch t12 assumes unique ids; a feed replays them). */
+  def streamingStratifiedSampleBatch(docs: DataFrame, idCol: String,
+      strataCol: String, k: Int, seed: Int = 0): DataFrame =
+    graft.text.Sampling.stratifiedSample(
+        docs.select(col(strataCol), col(idCol)).dropDuplicates(),
+        idCol, strataCol, k, seed)
+      .groupBy(col("strata"))
+      .agg(sort_array(collect_list(struct(col("rk"), col("id"))))
+        .getField("id").as("ids"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

@@ -34,6 +34,25 @@ class StateCodecSpec extends AnyFunSuite {
       assert(StateCodec.decodeEvent(StateCodec.encodeEvent(s)) === s)
   }
 
+  test("TopK v1 round-trips empty, single, and full samples") {
+    for (s <- Seq(
+        Vector.empty[(Long, Long)],
+        Vector((0L, Long.MaxValue)),
+        Vector.tabulate(64)(i => (i * 0x9e3779b9L, i.toLong)),
+        Vector((Long.MinValue, -1L), (-2L, Long.MaxValue))))
+      assert(StateCodec.decodeTopK(StateCodec.encodeTopK(s)) === s)
+  }
+
+  test("TopK unknown version fails loudly") {
+    val blob = StateCodec.encodeTopK(Vector((1L, 2L)))
+    blob(0) = 7.toByte
+    val e = intercept[StateCodec.StateVersionException] {
+      StateCodec.decodeTopK(blob)
+    }
+    assert(e.state === "TopK")
+    assert(e.found === 7)
+  }
+
   test("unknown version fails loudly, naming the state and versions") {
     val blob = StateCodec.encodeSeen(SeenState(1L, 2L, 3L))
     blob(0) = 99.toByte // a future build's version tag

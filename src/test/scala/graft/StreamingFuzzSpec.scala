@@ -283,4 +283,43 @@ class StreamingFuzzSpec extends SparkSpec {
       assert(got === want, s"seed $seed diverged (maxHamming=$maxHamming)")
     } }
   }
+
+  test("fuzz: streaming stratified sample converges to batch t12 on random splits (8 corpora)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFewPartitions { for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(900 + seed)
+      val strata = Seq("en", "fr", "de", "ja")
+      val n = 40 + rnd.nextInt(60)
+      // duplicates included on purpose: replayed ids must be idempotent
+      val corpus = (0 until n).map { _ =>
+        (strata(rnd.nextInt(strata.length)), rnd.nextInt(n / 2).toLong)
+      }
+      val batches = {
+        val shuffled = rnd.shuffle(corpus)
+        val nb = 2 + rnd.nextInt(4)
+        val cuts = (Seq(0, shuffled.length) ++
+          Seq.fill(nb - 1)(rnd.nextInt(shuffled.length + 1))).sorted
+        cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+          .filter(_.nonEmpty)
+      }
+      val k = 1 + rnd.nextInt(5)
+      val got = scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+      val ms = MemoryStream[(String, Long)]
+      val q = StreamingOps.streamingStratifiedSample(
+          spark, ms.toDS().toDF("strata", "id"), "id", "strata", k, seed = 11)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.StratumSample],
+              _: Long) =>
+            df.collect().foreach(s => got(s.strata) = s.ids)
+        }.start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally { q.stop(); q.awaitTermination(60000) }
+      val want = StreamingOps.streamingStratifiedSampleBatch(
+          corpus.toDF("strata", "id"), "id", "strata", k, seed = 11)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got.toMap === want, s"seed $seed diverged (k=$k)")
+    } }
+  }
 }
