@@ -52,6 +52,30 @@ object Multimodal {
       it.map { m => MediaKernel.features(m) }
     }
   }
+
+  /** Per-item 60-bit perceptual hash (m4) — image near-dup detection's
+    * map-side kernel. Decodable images hash in the PIXEL domain
+    * ([[MediaKernel.imageAHash]]: decode -> bilinear 6x10 -> threshold
+    * vs mean — the classic average-hash, brightness-shift invariant);
+    * everything else hashes byte-blocks ([[MediaKernel.byteAHash]] —
+    * deterministic, codec-free, oracle-checkable). 60 bits on purpose:
+    * the output column is named `simhash` and feeds the EXISTING
+    * Hamming-LSH machinery — [[graft.dedup.Dedup.simhashPairs]] (d5),
+    * `simhashAssign` (d8), the streaming near-dup assigner — unchanged,
+    * so image near-dup at 100 TB rides the same banded, never-all-pairs
+    * path as text. Partition-local, no shuffle.
+    */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.map { m =>
+        val h =
+          if (MediaKernel.isDecodableImage(m.payload)) MediaKernel.imageAHash(m)
+          else MediaKernel.byteAHash(m.payload)
+        (m.id, h)
+      }
+    }.toDF("id", "simhash")
+  }
 }
 
 /** Partition-local media kernels. */
@@ -165,6 +189,76 @@ object MediaKernel {
       }
       row
     }
+  }
+
+  /** Byte-block average hash: bytes map to `bits` contiguous blocks
+    * (byte j -> block j*bits/n — floor division, so blocks differ by at
+    * most one byte in size and only trail empty when n < bits), bit i
+    * is set when block i's mean byte exceeds the mean of the 60 block
+    * means (empty blocks mean 0). Deterministic and codec-free, so the
+    * DuckDB oracle mirrors it exactly (threshold accumulated in block
+    * order — the m2/t13 ordered-fold float convention).
+    */
+  def byteAHash(payload: Array[Byte], bits: Int = 60): Long = {
+    val n = if (payload == null) 0 else payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](bits)
+    val cnts = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val b = (j.toLong * bits / n).toInt
+      sums(b) += payload(j) & 0xff
+      cnts(b) += 1
+      j += 1
+    }
+    val means = new Array[Double](bits)
+    var thrSum = 0.0
+    var i = 0
+    while (i < bits) {
+      if (cnts(i) > 0) means(i) = sums(i).toDouble / cnts(i)
+      thrSum += means(i)
+      i += 1
+    }
+    val thr = thrSum / bits
+    var h = 0L
+    i = 0
+    while (i < bits) {
+      if (means(i) > thr) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Pixel-domain average hash of a decoded image: luma frame ->
+    * bilinear 6x10 thumbnail -> bit per cell, set when the cell exceeds
+    * the thumbnail mean. 60 cells so the hash drops straight into the
+    * repo's 60-bit Hamming-LSH banding. Invariant to global brightness
+    * shifts (threshold moves with the cells) and to lossless
+    * re-encoding; near-duplicate frames land within a few bits.
+    */
+  def imageAHash(m: MediaItem): Long = {
+    val luma = decode(m) // rows of the decoded luma plane
+    if (luma.isEmpty) return 0L
+    val thumb = resizeBilinear(luma, 6, 10)
+    var thrSum = 0.0
+    var y = 0
+    while (y < 6) {
+      var x = 0
+      while (x < 10) { thrSum += thumb(y)(x); x += 1 }
+      y += 1
+    }
+    val thr = thrSum / 60
+    var h = 0L
+    y = 0
+    while (y < 6) {
+      var x = 0
+      while (x < 10) {
+        if (thumb(y)(x) > thr) h |= 1L << (y * 10 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
   }
 
   /** Uniform frame sampling over a payload treated as fixed-size

@@ -316,6 +316,14 @@ object PipelineQueries extends QueryPack {
 
   // ---- multimodal ----
 
+  // m4: 60-bit byte-block average hash per media item (packed docs are
+  // octet-stream, so the codec-free byteAHash path runs; real images
+  // take the pixel-domain imageAHash — fixture-spec'd). The `simhash`
+  // output drops straight into the d5/d8 Hamming-LSH machinery.
+  private def m4PerceptualHash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHash(s, Multimodal.packDocuments(docs(s, dir)))
+      .orderBy("id")
+
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.packDocuments(docs(s, dir))
       .select(col("id"),
@@ -388,7 +396,8 @@ object PipelineQueries extends QueryPack {
     "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
-    "m3_frame_sample" -> (m3FrameSample _))
+    "m3_frame_sample" -> (m3FrameSample _),
+    "m4_perceptual_hash" -> (m4PerceptualHash _))
 
   // DuckDB mirrors. Shared CTE fragments:
   private val SH_CTE =
@@ -526,6 +535,40 @@ object PipelineQueries extends QueryPack {
         |       coalesce(a.sampled_idx_csv, '') AS sampled_idx_csv,
         |       coalesce(a.frame_means_csv, '') AS frame_means_csv
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
+    // m4: byte j (0-based, m2's hex idiom) -> block j*60//nb; block
+    // mean as DOUBLE; threshold = ordered fold of the 60 block means
+    // (empty trailing blocks 0.0) / 60; bit set on strict >. Empty
+    // payload hashes to 0 on both sides.
+    "m4_perceptual_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST((j.j * 60) // nb AS INT) AS blk,
+        |         CAST(concat('0x', substr(h, CAST(2*j.j + 1 AS INT), 2)) AS INT) AS byte
+        |  FROM b,
+        |       LATERAL (SELECT unnest(range(0, nb)) AS j) j),
+        |g AS (
+        |  SELECT doc_id, blk, CAST(sum(byte) AS DOUBLE) / count(*) AS mean
+        |  FROM c GROUP BY 1, 2),
+        |blks AS (
+        |  SELECT doc_id, CAST(i.i AS INT) AS blk
+        |  FROM b, LATERAL (SELECT unnest(range(0, 60)) AS i) i),
+        |gm AS (
+        |  SELECT blks.doc_id, blks.blk, coalesce(g.mean, 0.0) AS mean
+        |  FROM blks LEFT JOIN g ON g.doc_id = blks.doc_id AND g.blk = blks.blk),
+        |t AS (SELECT doc_id, list(mean ORDER BY blk) AS ms FROM gm GROUP BY 1),
+        |thr AS (SELECT doc_id, list_reduce(ms, (a, b) -> a + b) / 60 AS thr FROM t),
+        |hsh AS (
+        |  SELECT gm.doc_id,
+        |         sum(CASE WHEN gm.mean > thr.thr
+        |             THEN CAST(1 AS BIGINT) << gm.blk ELSE CAST(0 AS BIGINT) END) AS simhash
+        |  FROM gm JOIN thr ON thr.doc_id = gm.doc_id GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |       coalesce(hsh.simhash, CAST(0 AS BIGINT)) AS simhash
+        |FROM documents d LEFT JOIN hsh ON hsh.doc_id = d.doc_id
         |ORDER BY id""".stripMargin,
     "s1_knn_bruteforce" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
