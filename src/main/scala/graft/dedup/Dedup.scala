@@ -501,6 +501,104 @@ object Dedup {
       .select(col(idCol), col("m.rep").as("canonical"), col("m.ham").as("ham"))
   }
 
+  /** Per-snapshot EXACT-dedup index: one row per distinct content
+    * fingerprint with the smallest holder id — the artifact an
+    * incremental pipeline maintains so admitting tomorrow's increment
+    * never rescans today's corpus (see [[incrementalDedup]]). Updating
+    * it after an admission is `union + groupBy min` — the same shape.
+    */
+  def exactIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(coalesce(col(textCol), lit(""))).as("fp"))
+      .agg(min(col(idCol)).as("base_id"))
+
+  /** Per-snapshot NEAR-dup index: the per-(band, bits) minimum-id
+    * representative (with its signature) over the corpus — the d8
+    * representative table, persisted. One row per occupied bucket
+    * (collapses under cliques), incrementally maintainable by the same
+    * `union + per-bucket min_by`. Store it bucketed by (band, bits)
+    * ([[graft.functions.ScaleJoins.writeBucketed]]) and the increment
+    * join below needs no index-side shuffle.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    bandedSimhash(simhash(docs, idCol, textCol), idCol, maxHamming)
+      .groupBy("band", "bits")
+      .agg(min_by(struct(col(idCol), col("simhash")), col(idCol)).as("r"))
+      .select(col("band"), col("bits"),
+        col(s"r.$idCol").as("rep"), col("r.simhash").as("rep_sim"))
+
+  /** d11: INCREMENTAL dedup — classify a new increment against an
+    * existing corpus touching ONLY the increment and the two maintained
+    * index tables ([[exactIndex]], [[bandIndex]]), never the corpus
+    * text itself. This is the production shape at 100 TB: the daily
+    * increment is orders of magnitude smaller than the corpus, and
+    * re-running the full d10 chain over corpus+increment would pay the
+    * whole corpus's shuffle again for a sliver of new data.
+    *
+    * Classification, in priority order (every id appears exactly once):
+    *  - `exact_base`: fingerprint already in the corpus -> canonical =
+    *    the corpus holder (fp-equality join against the exact index).
+    *  - `exact_inc`: fingerprint duplicated WITHIN the increment ->
+    *    the smallest id survives, later copies point at it.
+    *  - `near_base`: a surviving doc whose signature verifies within
+    *    `maxHamming` of a base bucket representative -> canonical =
+    *    the smallest verifying base rep (base wins over inc: the
+    *    corpus copy is the established one, whatever its id).
+    *  - `near_inc`: otherwise, the d8 one-hop assignment WITHIN the
+    *    increment's survivors (smaller-id verified rep).
+    *  - `new`: none of the above — admit (canonical/ham null).
+    *
+    * One-hop near-dup semantics are d8's, inherited index-side: sound
+    * (every canonical is a verified neighbor), not transitive closure.
+    * Output: (id, status, canonical, ham), ham 0 for exact statuses.
+    */
+  def incrementalDedup(inc: DataFrame, idCol: String, textCol: String,
+      baseExact: DataFrame, baseBands: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val incFp = inc
+      .select(col(idCol), col(textCol),
+        md5(coalesce(col(textCol), lit(""))).as("fp"))
+    val incMin = incFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("inc_min"))
+    // exact stage: one fp-keyed join against each side
+    val tagged = incFp
+      .join(baseExact, Seq("fp"), "left")
+      .join(incMin, Seq("fp"))
+    // survivors carry their text forward for the one signature pass
+    val survivors = tagged
+      .filter(col("base_id").isNull && col(idCol) === col("inc_min"))
+      .select(col(idCol), col(textCol))
+    val survSim = simhash(survivors, idCol, textCol)
+    val banded = bandedSimhash(survSim, idCol, maxHamming)
+    // near vs base: bucket-equality against the index; base reps match
+    // regardless of id order
+    val nearBase = banded.join(baseBands, Seq("band", "bits"))
+      .withColumn("ham", expr("bit_count(simhash ^ rep_sim)").cast("long"))
+      .filter(col("ham") <= maxHamming)
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("rep"), col("ham")), col("rep")).as("mb"))
+      .select(col(idCol), col("mb.rep").as("b_canon"), col("mb.ham").as("b_ham"))
+    // near within the increment: the standard d8 one-hop assignment
+    val nearInc = simhashAssign(survSim, idCol, maxHamming)
+      .select(col(idCol), col("canonical").as("i_canon"), col("ham").as("i_ham"))
+    tagged
+      .join(nearBase, Seq(idCol), "left")
+      .join(nearInc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("base_id").isNotNull, lit("exact_base"))
+          .when(col(idCol) =!= col("inc_min"), lit("exact_inc"))
+          .when(col("b_canon").isNotNull, lit("near_base"))
+          .when(col("i_canon").isNotNull, lit("near_inc"))
+          .otherwise(lit("new")).as("status"),
+        when(col("base_id").isNotNull, col("base_id"))
+          .when(col(idCol) =!= col("inc_min"), col("inc_min"))
+          .when(col("b_canon").isNotNull, col("b_canon"))
+          .otherwise(col("i_canon")).as("canonical"),
+        when(col("base_id").isNotNull || col(idCol) =!= col("inc_min"), lit(0L))
+          .when(col("b_canon").isNotNull, col("b_ham"))
+          .otherwise(col("i_ham")).as("ham"))
+  }
+
   /** Connected components of an undirected pair list `(d1, d2)` by
     * iterative min-label propagation (the Pregel/large-star shape as a
     * driver-coordinated DataFrame loop — each sweep is one shuffle join

@@ -284,7 +284,30 @@ object AlertQueries extends QueryPack {
       .orderBy("user_id")
   }
 
+  // q19: backward as-of join — each event picks up the user's most
+  // recent purchase at or before it ([[graft.functions.ScaleJoins
+  // .asofJoin]]: tagged union + per-key carry window — one shuffle and
+  // a per-key sort, never a range join). Purchases are unique per
+  // (user_id, ts) in the testdata, satisfying the operator's
+  // right-side contract. Epochs use q16's truncate-to-second idiom.
+  private def q19AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("value").as("purchase_value"))
+    graft.functions.ScaleJoins
+      .asofJoin(left, right, "user_id", "ts", "pts",
+        Seq("pts", "purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        unix_timestamp(col("pts")).as("purchase_ts_s"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_asof_join" -> (q19AsofJoin _),
     "f1_nalerthist" -> (f1Nalerthist _),
     "f2_roid_cascade" -> (f2RoidCascade _),
     "g1_lc_stats" -> (g1LcStats _),
@@ -357,6 +380,19 @@ object AlertQueries extends QueryPack {
         |SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q19: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union-and-carry implementation (inclusive >= tie semantics on
+    // both sides).
+    "q19_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id,
+        |       CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS ts_s,
+        |       CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_ts_s,
+        |       p.value AS purchase_value
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "f3_transient_flags" ->
       s"""WITH $PACKET_CTE
          |SELECT user_id,

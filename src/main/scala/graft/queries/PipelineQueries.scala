@@ -276,6 +276,21 @@ object PipelineQueries extends QueryPack {
     graft.text.UnigramLm.surprisal(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  // d11: incremental admission — the corpus is the even-id half of
+  // documents, the increment the odd half; the operator touches only
+  // the increment and the two maintained index tables (exact fp index
+  // + band-rep index), never the corpus text.
+  private def d11IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.filter(col("doc_id") % 2 === 0)
+    val inc = d.filter(col("doc_id") % 2 === 1)
+    Dedup.incrementalDedup(inc, "doc_id", "text",
+        Dedup.exactIndex(base, "doc_id", "text"),
+        Dedup.bandIndex(base, "doc_id", "text", maxHamming = 4),
+        maxHamming = 4)
+      .orderBy("doc_id")
+  }
+
   // t14: normalization pass — each engine builds the SAME messy string
   // (case noise, tab, decomposed e+U+0301, BEL control, ragged spaces)
   // from the row, then normalizes: NFC compose -> controls to space ->
@@ -370,6 +385,7 @@ object PipelineQueries extends QueryPack {
     "d8_simhash_assign" -> (d8SimhashAssign _),
     "d9_simhash_clusters" -> (d9SimhashClusters _),
     "d10_dedup_pipeline" -> (d10DedupPipeline _),
+    "d11_incremental_dedup" -> (d11IncrementalDedup _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -777,6 +793,65 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, MIN(rep) AS canonical,
          |       arg_min(ham, rep) AS ham
          |FROM cand GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d11: even ids = corpus, odd = increment. Mirrors the operator
+    // stage by stage: fp indexes, base band-rep index (per-bucket min
+    // over even docs), exact classification, then the two near-dup
+    // joins — base reps match regardless of id order, inc reps use
+    // d8's rep < doc guard. arg_min(ham, rep) = ham of the chosen
+    // smallest rep, as in d8.
+    "d11_incremental_dedup" ->
+      s"""WITH sim AS (SELECT doc_id, simhash FROM (${simhashSql()})),
+         |fpt AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+         |basefp AS (SELECT fp, MIN(doc_id) AS base_id FROM fpt
+         |           WHERE doc_id % 2 = 0 GROUP BY 1),
+         |bb AS (SELECT doc_id, simhash, b.b AS band,
+         |         (simhash >> (12*b.b)) & 4095 AS bits
+         |       FROM sim, (SELECT unnest(range(5)) AS b) b
+         |       WHERE doc_id % 2 = 0),
+         |breps AS (SELECT band, bits, MIN(doc_id) AS rep FROM bb GROUP BY 1, 2),
+         |brepsim AS (SELECT r.band, r.bits, r.rep, s.simhash AS rep_sim
+         |            FROM breps r JOIN sim s ON s.doc_id = r.rep),
+         |incfp AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 2 = 1),
+         |incmin AS (SELECT fp, MIN(doc_id) AS inc_min FROM incfp GROUP BY 1),
+         |tag AS (SELECT i.doc_id, b.base_id, m.inc_min
+         |        FROM incfp i LEFT JOIN basefp b USING (fp)
+         |        JOIN incmin m USING (fp)),
+         |sb AS (SELECT t.doc_id, sim.simhash, b.b AS band,
+         |         (sim.simhash >> (12*b.b)) & 4095 AS bits
+         |       FROM tag t JOIN sim ON sim.doc_id = t.doc_id,
+         |            (SELECT unnest(range(5)) AS b) b
+         |       WHERE t.base_id IS NULL AND t.doc_id = t.inc_min),
+         |nb AS (SELECT sb.doc_id, MIN(r.rep) AS canon,
+         |         arg_min(CAST(bit_count(xor(sb.simhash, r.rep_sim)) AS BIGINT), r.rep) AS ham
+         |       FROM sb JOIN brepsim r USING (band, bits)
+         |       WHERE bit_count(xor(sb.simhash, r.rep_sim)) <= 4
+         |       GROUP BY 1),
+         |ireps AS (SELECT band, bits, MIN(doc_id) AS rep FROM sb GROUP BY 1, 2),
+         |irepsim AS (SELECT r.band, r.bits, r.rep, s.simhash AS rep_sim
+         |            FROM ireps r JOIN sim s ON s.doc_id = r.rep),
+         |ni AS (SELECT sb.doc_id, MIN(r.rep) AS canon,
+         |         arg_min(CAST(bit_count(xor(sb.simhash, r.rep_sim)) AS BIGINT), r.rep) AS ham
+         |       FROM sb JOIN irepsim r USING (band, bits)
+         |       WHERE r.rep < sb.doc_id
+         |         AND bit_count(xor(sb.simhash, r.rep_sim)) <= 4
+         |       GROUP BY 1)
+         |SELECT t.doc_id,
+         |       CASE WHEN t.base_id IS NOT NULL THEN 'exact_base'
+         |            WHEN t.doc_id <> t.inc_min THEN 'exact_inc'
+         |            WHEN nb.canon IS NOT NULL THEN 'near_base'
+         |            WHEN ni.canon IS NOT NULL THEN 'near_inc'
+         |            ELSE 'new' END AS status,
+         |       CASE WHEN t.base_id IS NOT NULL THEN t.base_id
+         |            WHEN t.doc_id <> t.inc_min THEN t.inc_min
+         |            WHEN nb.canon IS NOT NULL THEN nb.canon
+         |            ELSE ni.canon END AS canonical,
+         |       CASE WHEN t.base_id IS NOT NULL OR t.doc_id <> t.inc_min
+         |              THEN CAST(0 AS BIGINT)
+         |            WHEN nb.canon IS NOT NULL THEN nb.ham
+         |            ELSE ni.ham END AS ham
+         |FROM tag t LEFT JOIN nb ON nb.doc_id = t.doc_id
+         |LEFT JOIN ni ON ni.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // d9: reachability via recursive CTE, then component min per node —
     // the same fixpoint the Spark loop converges to.
     "d9_simhash_clusters" ->

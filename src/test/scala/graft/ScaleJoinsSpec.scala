@@ -44,4 +44,47 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(salted.groupBy("k", "payload").count()
       .filter(col("count") > 1).count() === 0)
   }
+
+  test("asofJoin: backward inclusive match, unmatched nulls, whole-row carry") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 15L, "e2"), (1L, 20L, "e3"),
+      (2L, 5L, "e4"), (3L, 7L, "e5"))
+      .toDF("k", "lts", "tag")
+    val right = Seq((1L, 10L, Some(1.0)), (1L, 15L, None), (1L, 18L, Some(3.0)),
+      (2L, 99L, Some(9.9)))
+      .toDF("k", "rts", "v")
+    val out = ScaleJoins.asofJoin(left, right, "k", "lts", "rts",
+        Seq("rts", "v"))
+      .orderBy("k", "lts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // e1: right AT 10 matches (inclusive); e2: the ts=15 row matches
+    // even though its v is null — whole-row carry must NOT resurrect
+    // the older v=1.0; e3: latest at 18; e4: future-only right -> null;
+    // e5: keyless -> null
+    assert(out(0) === ((1L, 10L, "e1", 10L, 1.0)))
+    assert(out(1)._4 === 15L)
+    assert(out(1)._5.isNaN)
+    assert(out(2) === ((1L, 20L, "e3", 18L, 3.0)))
+    assert(out(3)._4 === -1L && out(3)._5.isNaN)
+    assert(out(4)._4 === -1L && out(4)._5.isNaN)
+  }
+
+  test("asofJoin plan: one shuffle on the key, no join node, output == |left|") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (i.toLong % 7, i.toLong, i)).toDF("k", "lts", "p")
+    val right = (1 to 200).map(i => (i.toLong % 7, i.toLong * 2, i * 1.0))
+      .toDF("k", "rts", "v")
+    val joined = ScaleJoins.asofJoin(left, right, "k", "lts", "rts", Seq("v"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // union-and-carry: a window over the key, never a join operator
+    // (a range join here would explode per-key cross products)
+    assert(!plan.contains("Join"), plan.take(600))
+    assert(plan.contains("Window"), plan.take(600))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected exactly one key shuffle:\n${plan.take(800)}")
+    assert(joined.count() === left.count())
+  }
 }
