@@ -560,15 +560,21 @@ object Dedup {
         md5(coalesce(col(textCol), lit(""))).as("fp"))
     val incMin = incFp.groupBy(col("fp"))
       .agg(min(col(idCol)).as("inc_min"))
-    // exact stage: one fp-keyed join against each side
+    // exact stage: one fp-keyed join against each side. Cached (the d2
+    // precedent — Verify/Bench clear per query, pipelines own
+    // clearCache): `tagged` feeds the survivor filter AND the final
+    // classification, `survSim` feeds BOTH near-dup branches — without
+    // the caches each consumer re-runs the exact-stage joins and the
+    // signature kernel.
     val tagged = incFp
       .join(baseExact, Seq("fp"), "left")
       .join(incMin, Seq("fp"))
+      .cache()
     // survivors carry their text forward for the one signature pass
     val survivors = tagged
       .filter(col("base_id").isNull && col(idCol) === col("inc_min"))
       .select(col(idCol), col(textCol))
-    val survSim = simhash(survivors, idCol, textCol)
+    val survSim = simhash(survivors, idCol, textCol).cache()
     val banded = bandedSimhash(survSim, idCol, maxHamming)
     // near vs base: bucket-equality against the index; base reps match
     // regardless of id order

@@ -258,6 +258,18 @@ object PipelineQueries extends QueryPack {
       seed = 7, granularity = 1000)
       .orderBy("doc_id")
 
+  // p3: deterministic mixture sampling — per-source keep rates
+  // (upweight src0, downsample src1/src2, crawl-default for the rest)
+  // at granularity 1000, seed 17. Map-only; a doc's keep/drop never
+  // changes as the corpus grows.
+  private def p3MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.mixtureSample(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source",
+      Seq("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.25),
+      defaultRate = 0.05, seed = 17, granularity = 1000)
+      .orderBy("doc_id")
+
   // t12: deterministic k-per-stratum sample — the 5 smallest
   // (hash, id) per language; salted two-phase top-k so no stratum is
   // ever sorted on one task (plan pinned in SamplingSpec).
@@ -406,6 +418,7 @@ object PipelineQueries extends QueryPack {
     "t11_shard_pack_bucketed" -> (t11ShardPackBucketed _),
     "p1_corpus_build" -> (p1CorpusBuild _),
     "p2_split_assign" -> (p2SplitAssign _),
+    "p3_mixture_sample" -> (p3MixtureSample _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
@@ -945,6 +958,20 @@ object PipelineQueries extends QueryPack {
         |            WHEN bucket < 950 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // p3: same hash family (seed 17), per-source cutoffs at
+    // granularity 1000; unlisted sources take the 0.05 default.
+    "p3_mixture_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(concat('17', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket
+        |FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 1000
+        |                           WHEN 'src1' THEN 600
+        |                           WHEN 'src2' THEN 250
+        |                           ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
     // t12: the salted two-phase plan reduces to the direct
     // per-stratum ROW_NUMBER over (hash, id) — the oracle states the
     // logical result, the Spark side owns the scale shape.

@@ -55,6 +55,40 @@ object Sampling {
     docs.withColumn("bucket", bucket).withColumn("split", split)
   }
 
+  /** Deterministic mixture sampling: keep each document with a
+    * per-SOURCE rate — the data-mixing step that turns raw source
+    * proportions into a training distribution (upweight curated
+    * sources, downsample the crawl; the temperature-sampling recipe
+    * reduced to per-source rates). `keep = hash60(id, seed) mod
+    * granularity < round(rate * granularity)`: map-only at any corpus
+    * size, no shuffle, and — like [[assignSplits]] — a document's
+    * keep/drop never changes as the corpus grows, so a mixture re-run
+    * over a grown corpus is a superset of the previous sample (the
+    * anti-rand() property again). Sources missing from `rates` get
+    * `defaultRate`. Nested sampling stays independent across seeds
+    * (hash-family members), and because [[assignSplits]] uses the same
+    * family a different seed keeps mixture and split decisions
+    * independent.
+    *
+    * Returns kept rows with their `bucket` appended (the realized rate
+    * is exact at bucket resolution, converging at 1/granularity).
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, mixCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      seed: Int = 0, granularity: Int = 10000): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "mixture rates must be in [0, 1]")
+    val bucket = Hashing.hash60(col(idCol).cast("string"), seed) %
+      granularity
+    val cut = rates.reverse
+      .foldLeft(lit(math.round(defaultRate * granularity)): Column) {
+        case (acc, (k, r)) =>
+          when(col(mixCol) === k, lit(math.round(r * granularity)))
+            .otherwise(acc)
+      }
+    docs.withColumn("bucket", bucket).filter(col("bucket") < cut)
+  }
+
   /** Deterministic k-per-stratum sample: the k documents with the
     * smallest (hash60(id, seed), id) per `strataCol` value — a fixed,
     * reproducible "random" sample per stratum (language, source,

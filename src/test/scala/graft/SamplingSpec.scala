@@ -86,4 +86,39 @@ class SamplingSpec extends SparkSpec {
     assert(phase1.size === 2,
       s"phase-1 window must partition by (strata, salt), got $phase1")
   }
+
+  test("mixtureSample: rate-1 keeps all, rate-0 drops all, default applies, bands realized") {
+    val rates = Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val out = Sampling.mixtureSample(documents, "doc_id", "source",
+      rates, defaultRate = 0.1, seed = 17).cache()
+    try {
+      val bySrc = out.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totals = documents.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySrc("src0") === totals("src0"), "rate 1.0 must keep every doc")
+      assert(!bySrc.contains("src2"), "rate 0.0 must drop the source entirely")
+      // 25-doc strata: generous binomial bands, just pin the apportionment
+      val f1 = bySrc.getOrElse("src1", 0L).toDouble / totals("src1")
+      assert(f1 > 0.2 && f1 < 0.8, s"src1 realized rate $f1")
+      val defKept = bySrc.filterNot(kv => rates.exists(_._1 == kv._1)).values.sum
+      val defTotal = totals.filterNot(kv => rates.exists(_._1 == kv._1)).values.sum
+      val fd = defKept.toDouble / defTotal
+      assert(fd > 0.02 && fd < 0.25, s"default realized rate $fd")
+    } finally out.unpersist()
+  }
+
+  test("mixtureSample: a document's keep decision is stable under corpus growth") {
+    val rates = Seq("src0" -> 0.7, "src1" -> 0.3)
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.mixtureSample(df, "doc_id", "source", rates,
+        defaultRate = 0.2, seed = 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = kept(documents)
+    val halfIds = documents.filter(col("doc_id") % 2 === 0)
+    val half = kept(halfIds)
+    val halfSet = halfIds.select("doc_id").collect().map(_.getLong(0)).toSet
+    // growing the corpus never flips an existing doc's decision
+    assert(half === full.intersect(halfSet))
+  }
 }
