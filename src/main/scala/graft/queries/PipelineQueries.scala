@@ -303,6 +303,17 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // t16: bigram stupid-backoff surprisal — counts trained on the
+  // even-id half (the "curated split"), every document scored, so the
+  // backoff and OOV paths are LIVE for odd documents (a
+  // same-corpus-trained bigram LM never backs off).
+  private def t16BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.text.BigramLm.surprisal(
+        d, d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // t14: normalization pass — each engine builds the SAME messy string
   // (case noise, tab, decomposed e+U+0301, BEL control, ragged spaces)
   // from the row, then normalizes: NFC compose -> controls to space ->
@@ -422,6 +433,7 @@ object PipelineQueries extends QueryPack {
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
+    "t16_bigram_surprisal" -> (t16BigramSurprisal _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
@@ -1005,6 +1017,39 @@ object PipelineQueries extends QueryPack {
         |      FROM terms GROUP BY 1, 2)
         |SELECT doc_id, nt,
         |       list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // t16: counts from the even half only; same CASE staging, add-one
+    // OOV floors, libm ln, and the position-ordered list_reduce fold.
+    "t16_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(len(ts) AS INT) AS nt, CAST(i.i AS INT) AS i,
+        |         ts[i.i] AS tok,
+        |         CASE WHEN i.i > 1 THEN ts[i.i - 1] END AS prev
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) i),
+        |tr AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+        |uni AS (SELECT tok, count(*) AS cu FROM tr GROUP BY 1),
+        |tot AS (SELECT count(*) AS tot FROM tr),
+        |big AS (SELECT prev, tok, count(*) AS cb FROM tr
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cb) AS cp FROM big GROUP BY 1),
+        |terms AS (
+        |  SELECT p.doc_id, p.nt, p.i,
+        |    CASE WHEN p.prev IS NULL
+        |           THEN ln(CAST(tot.tot + 1 AS DOUBLE) / CAST(coalesce(u.cu, 0) + 1 AS DOUBLE))
+        |         WHEN b.cb IS NOT NULL
+        |           THEN ln(CAST(c.cp AS DOUBLE) / CAST(b.cb AS DOUBLE))
+        |         ELSE ln(CAST(tot.tot + 1 AS DOUBLE) / (0.4 * CAST(coalesce(u.cu, 0) + 1 AS DOUBLE)))
+        |    END AS term
+        |  FROM pos p LEFT JOIN uni u ON u.tok = p.tok
+        |  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+        |  LEFT JOIN ctx c ON c.prev = p.prev
+        |  CROSS JOIN tot),
+        |s AS (SELECT doc_id, nt, list(term ORDER BY i) AS arr
+        |      FROM terms GROUP BY 1, 2)
+        |SELECT doc_id, nt, list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
         |FROM s ORDER BY doc_id""".stripMargin,
     // t14: same messy construction (chr(9)=TAB, chr(769)=U+0301
     // combining acute, chr(7)=BEL), then the same normalization order:
