@@ -316,13 +316,17 @@ object PipelineQueries extends QueryPack {
 
   // t14: normalization pass — each engine builds the SAME messy string
   // (case noise, tab, decomposed e+U+0301, BEL control, ragged spaces)
-  // from the row, then normalizes: NFC compose -> controls to space ->
-  // whitespace collapse -> trim -> lower. Byte lengths in/out (t9's
+  // around the row's text, then normalizes: NFC compose -> controls to
+  // space -> whitespace collapse -> trim -> lower. The case noise is a
+  // FIXED ASCII literal, not upper(text): Java's full case mapping
+  // (ligature fi -> FI, etc.) diverges from utf8proc's simple mapping
+  // on a handful of codepoints, and the operator under test is
+  // normalizeText, not locale uppercasing. Byte lengths in/out (t9's
   // byte-denominated convention — Spark character length is UTF-16
   // units vs DuckDB codepoints).
   private def t14NormalizeText(s: SparkSession, dir: String): DataFrame = {
     val messy = concat(
-      upper(substring(coalesce(col("text"), lit("")), 1, 12)), lit("\t "),
+      lit("MiXeD CaSe HeAdEr\t "),
       lit("e\u0301 "), coalesce(col("text"), lit("")),
       lit("  \u0007  tail   "))
     docs(s, dir)
@@ -1058,7 +1062,7 @@ object PipelineQueries extends QueryPack {
     "t14_normalize" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |         upper(substr(coalesce(text, ''), 1, 12)) || chr(9) || ' ' ||
+        |         'MiXeD CaSe HeAdEr' || chr(9) || ' ' ||
         |         'e' || chr(769) || ' ' || coalesce(text, '') ||
         |         '  ' || chr(7) || '  tail   ' AS messy
         |  FROM documents),

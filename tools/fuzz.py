@@ -30,7 +30,11 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "m3_frame_sample", "d6_dedup_embedding", "s1_knn_bruteforce",
            "s2_knn_ivf", "s3_knn_srp", "s4_quantize", "s5_knn_batch",
            "s6_knn_srp_batch", "s7_kmeans_cells",
-           "t11_shard_pack_bucketed", "p1_corpus_build"]
+           "t11_shard_pack_bucketed", "p1_corpus_build",
+           "d11_incremental_dedup", "m4_perceptual_hash",
+           "p2_split_assign", "p3_mixture_sample",
+           "t12_stratified_sample", "t13_unigram_surprisal",
+           "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
