@@ -303,6 +303,24 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // t17: KMV distinct-token sketch per language — the native
+  // TypedImperativeAggregate over the cross-engine hash family, so
+  // the ESTIMATE itself is hash-compare verifiable (HLL variants
+  // disagree across engines by construction). The exact distinct
+  // count rides along so the sketch error is visible in the output.
+  private def t17KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("lang"),
+      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+    toks
+      .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
+      .groupBy("lang")
+      .agg(
+        org.apache.spark.sql.graft.KmvDistinct(col("hv"), 16)
+          .as("est_distinct"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("lang")
+  }
+
   // t16: bigram stupid-backoff surprisal — counts trained on the
   // even-id half (the "curated split"), every document scored, so the
   // backoff and OOV paths are LIVE for odd documents (a
@@ -438,6 +456,7 @@ object PipelineQueries extends QueryPack {
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
     "t16_bigram_surprisal" -> (t16BigramSurprisal _),
+    "t17_kmv_distinct" -> (t17KmvDistinct _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
@@ -1022,6 +1041,34 @@ object PipelineQueries extends QueryPack {
         |SELECT doc_id, nt,
         |       list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
         |FROM s ORDER BY doc_id""".stripMargin,
+    // t17: the KMV estimate mirrored exactly — distinct hashes per
+    // lang, the 16th smallest via row_number, the same
+    // 15.0 * 2^60 / h_k double arithmetic; below 16 distinct hashes
+    // the exact (hash-)count is returned, as the sketch does.
+    "t17_kmv_distinct" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |         CAST(concat('0x', substr(md5(concat('21', ':', tok)), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, hv,
+        |         row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h),
+        |est AS (
+        |  SELECT lang,
+        |         CASE WHEN MAX(nd) < 16 THEN CAST(MAX(nd) AS DOUBLE)
+        |              ELSE 15.0 * 1152921504606846976.0 /
+        |                   CAST(MAX(CASE WHEN rn = 16 THEN hv END) AS DOUBLE)
+        |         END AS est_distinct
+        |  FROM r GROUP BY lang),
+        |ex AS (SELECT lang, COUNT(DISTINCT tok) AS n_distinct FROM t GROUP BY lang)
+        |SELECT est.lang, est.est_distinct, CAST(ex.n_distinct AS BIGINT) AS n_distinct
+        |FROM est JOIN ex ON ex.lang = est.lang
+        |ORDER BY est.lang""".stripMargin,
     // t16: counts from the even half only; same CASE staging, add-one
     // OOV floors, libm ln, and the position-ordered list_reduce fold.
     "t16_bigram_surprisal" ->

@@ -42,6 +42,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_distinct takes exactly 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "kmv_distinct's k must be an integer literal")
+        }
+        KmvDistinct(args(0), k)
       }))
 
   /** Register into a live session (no extensions config needed). */
