@@ -321,6 +321,46 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang")
   }
 
+  // t18: KMV set algebra — estimated vocabulary Jaccard between every
+  // language pair from the per-language k-minima sketches alone
+  // (union = merge+truncate, intersection counted under the union's
+  // theta: m / |u|), with the exact pairwise Jaccard alongside. The
+  // sketch path touches each corpus ONCE however many pairs are
+  // compared — the point of sketch composition at 100 TB.
+  private def t18VocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("lang"),
+      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+    val sk = toks
+      .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.graft.KmvMinima(col("hv"), 16).as("mins"))
+    val est = sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        slice(array_sort(array_union(col("a.mins"), col("b.mins"))), 1, 16)
+          .as("u"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"))
+      .select(col("lang_a"), col("lang_b"),
+        (size(array_intersect(array_intersect(col("u"), col("ma")),
+          col("mb"))).cast("double") / size(col("u"))).as("jaccard_est"))
+    val vocab = toks.select("lang", "tok").distinct()
+    val sizes = vocab.groupBy("lang").agg(count(lit(1)).as("nv"))
+    val inter = vocab.as("x").join(vocab.as("y"),
+        col("x.tok") === col("y.tok") && col("x.lang") < col("y.lang"))
+      .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+      .agg(count(lit(1)).as("ninter"))
+    est
+      .join(inter, Seq("lang_a", "lang_b"), "left")
+      .join(sizes.withColumnRenamed("lang", "lang_a")
+        .withColumnRenamed("nv", "na"), "lang_a")
+      .join(sizes.withColumnRenamed("lang", "lang_b")
+        .withColumnRenamed("nv", "nb"), "lang_b")
+      .select(col("lang_a"), col("lang_b"), col("jaccard_est"),
+        (coalesce(col("ninter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ninter"), lit(0L))))
+          .as("jaccard_exact"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   // t16: bigram stupid-backoff surprisal — counts trained on the
   // even-id half (the "curated split"), every document scored, so the
   // backoff and OOV paths are LIVE for odd documents (a
@@ -457,6 +497,7 @@ object PipelineQueries extends QueryPack {
     "t14_normalize" -> (t14NormalizeText _),
     "t16_bigram_surprisal" -> (t16BigramSurprisal _),
     "t17_kmv_distinct" -> (t17KmvDistinct _),
+    "t18_vocab_overlap" -> (t18VocabOverlap _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
@@ -1069,6 +1110,45 @@ object PipelineQueries extends QueryPack {
         |SELECT est.lang, est.est_distinct, CAST(ex.n_distinct AS BIGINT) AS n_distinct
         |FROM est JOIN ex ON ex.lang = est.lang
         |ORDER BY est.lang""".stripMargin,
+    // t18: the per-lang k-minima rebuilt via row_number, then the same
+    // union-truncate / shared-membership arithmetic with list
+    // functions; exact Jaccard from the distinct-vocab self-join.
+    "t18_vocab_overlap" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT lang,
+        |         CAST(concat('0x', substr(md5(concat('21', ':', tok)), 1, 15)) AS BIGINT) AS hv
+        |  FROM t),
+        |r AS (SELECT lang, hv,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |      FROM h),
+        |mins AS (SELECT lang, list(hv ORDER BY hv) AS mins
+        |         FROM r WHERE rn <= 16 GROUP BY lang),
+        |p AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.mins AS ma, b.mins AS mb,
+        |         list_sort(list_distinct(a.mins || b.mins))[:16] AS u
+        |  FROM mins a JOIN mins b ON a.lang < b.lang),
+        |est AS (
+        |  SELECT lang_a, lang_b,
+        |         CAST(len(list_filter(u, x -> list_contains(ma, x)
+        |                                  AND list_contains(mb, x))) AS DOUBLE)
+        |           / len(u) AS jaccard_est
+        |  FROM p),
+        |v AS (SELECT DISTINCT lang, tok FROM t),
+        |sz AS (SELECT lang, count(*) AS nv FROM v GROUP BY 1),
+        |iv AS (SELECT x.lang AS lang_a, y.lang AS lang_b, count(*) AS ninter
+        |       FROM v x JOIN v y ON x.tok = y.tok AND x.lang < y.lang
+        |       GROUP BY 1, 2)
+        |SELECT e.lang_a, e.lang_b, e.jaccard_est,
+        |       CAST(coalesce(iv.ninter, 0) AS DOUBLE) /
+        |         (sa.nv + sb.nv - coalesce(iv.ninter, 0)) AS jaccard_exact
+        |FROM est e
+        |LEFT JOIN iv ON iv.lang_a = e.lang_a AND iv.lang_b = e.lang_b
+        |JOIN sz sa ON sa.lang = e.lang_a
+        |JOIN sz sb ON sb.lang = e.lang_b
+        |ORDER BY e.lang_a, e.lang_b""".stripMargin,
     // t16: counts from the even half only; same CASE staging, add-one
     // OOV floors, libm ln, and the position-ordered list_reduce fold.
     "t16_bigram_surprisal" ->

@@ -109,3 +109,82 @@ object KmvDistinct {
     ExpressionUtils.column(
       KmvDistinct(ExpressionUtils.expression(c), k).toAggregateExpression())
 }
+
+/** The same bounded k-minima buffer, evaluated to the SKETCH itself —
+  * the sorted array of the k smallest distinct hashes — instead of the
+  * count estimate. This is the composable form: two sketches support
+  * set algebra downstream with plain array functions (union = merge +
+  * truncate, intersection membership on the shared theta), which is
+  * how corpus-PAIR statistics (vocabulary overlap, containment) are
+  * estimated without pairwise corpus scans. Same state, codec, and
+  * partial-merge shape as [[KmvDistinct]].
+  */
+case class KmvMinima(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  require(k >= 1, s"kmv_minima needs k >= 1, got $k")
+
+  private val inner = KmvDistinct(child, math.max(k, 2))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) {
+      b1.add(it.next())
+      if (b1.size > k) b1.pollLast()
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinima =
+    copy(child = newChild)
+
+  override def prettyName: String = "kmv_minima"
+}
+
+object KmvMinima {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** Column-level entry point. */
+  def apply(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    ExpressionUtils.column(
+      KmvMinima(ExpressionUtils.expression(c), k).toAggregateExpression())
+}

@@ -53,6 +53,36 @@ class KmvDistinctSpec extends SparkSpec {
       agg.createAggregationBuffer())).isEmpty)
   }
 
+  test("KmvMinima: sorted k smallest distinct values, partitioning-invariant") {
+    import org.apache.spark.sql.graft.KmvMinima
+    val hs = ((1L to 50L) ++ (1L to 20L)).toDF("h")
+    val got = hs.agg(KmvMinima(col("h"), 8)).head().getSeq[Long](0)
+    assert(got === (1L to 8L))
+    val shuffled = hs.repartition(7).agg(KmvMinima(col("h"), 8))
+      .head().getSeq[Long](0)
+    assert(shuffled === (1L to 8L))
+    // below k: the whole distinct set, sorted
+    val small = Seq(9L, 3L, 9L).toDF("h").agg(KmvMinima(col("h"), 8))
+      .head().getSeq[Long](0)
+    assert(small === Seq(3L, 9L))
+  }
+
+  test("KMV set algebra: union-truncate + shared membership estimates Jaccard") {
+    import org.apache.spark.sql.graft.KmvMinima
+    // A = {1..40}, B = {21..60}: jaccard = 20/60 = 1/3; with k=8 the
+    // union minima are 1..8 (all A-only) -> est 0/8; with k large
+    // enough to see the overlap the estimate approaches the truth —
+    // hand-check the arithmetic, not the statistics, at k=30:
+    // u = 1..30, shared = 21..30 -> est 10/30 = 1/3 exactly
+    val a = (1L to 40L).toDF("h").agg(KmvMinima(col("h"), 30))
+      .head().getSeq[Long](0)
+    val b = (21L to 60L).toDF("h").agg(KmvMinima(col("h"), 30))
+      .head().getSeq[Long](0)
+    val u = (a ++ b).distinct.sorted.take(30)
+    val m = u.count(x => a.contains(x) && b.contains(x))
+    assert(m.toDouble / u.length === 1.0 / 3.0)
+  }
+
   test("kmv_distinct registers on the SQL surface") {
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     (1L to 100L).toDF("h").createOrReplaceTempView("kmv_in")
