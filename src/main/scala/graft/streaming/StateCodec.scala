@@ -100,6 +100,27 @@ object StateCodec {
     }
   }
 
+  // ---- KMV minima (streamingKmvDistinct):
+  //      v1 = count (u16), then count ascending longs
+
+  private final val KmvV = 1
+
+  def encodeKmv(minima: Seq[Long]): Array[Byte] = {
+    require(minima.length <= Short.MaxValue, "kmv state too large")
+    val b = ByteBuffer.allocate(3 + 8 * minima.length)
+    b.put(KmvV.toByte).putShort(minima.length.toShort)
+    minima.foreach(b.putLong)
+    b.array()
+  }
+
+  def decodeKmv(bytes: Array[Byte]): Vector[Long] = {
+    val b = ByteBuffer.wrap(bytes)
+    b.get().toInt match {
+      case KmvV => Vector.fill(b.getShort().toInt)(b.getLong())
+      case v => throw new StateVersionException("Kmv", v, Seq(KmvV))
+    }
+  }
+
   // ---- EventDedupState (streamingDedupEventTime):
   //      v1 = phase (0 pending / 1 emitted), bestId, bestTsMs, bestSim,
   //           nCopies

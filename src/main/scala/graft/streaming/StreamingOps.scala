@@ -560,6 +560,65 @@ object StreamingOps {
       .agg(sort_array(collect_list(struct(col("rk"), col("id"))))
         .getField("id").as("ids"))
 
+  final case class KeyedHash(key: String, hv: Long)
+  final case class KeyEstimate(key: String, est: Double)
+
+  /** Streaming per-key distinct-count via the KMV sketch — the
+    * streaming twin of the [[org.apache.spark.sql.graft.KmvDistinct]]
+    * aggregate (t17), for the monitoring questions a feed raises
+    * continuously ("distinct documents per source so far", "vocabulary
+    * size per language as the crawl grows") that exact distinct-count
+    * state can't answer at stream scale (it grows with the answer; the
+    * sketch holds k longs per key forever).
+    *
+    * The same min-k-over-a-set argument as [[streamingStratifiedSample]]
+    * applies: the k smallest distinct hashes are order- and
+    * duplicate-insensitive, so the final per-key emission equals the
+    * batch aggregate over the union of all batches under ANY arrival
+    * order, split, or replay (fuzz-pinned against the batch twin). The
+    * ESTIMATE arithmetic is shared by construction: the stateful stage
+    * evaluates exactly the aggregate's formula. Input carries a
+    * pre-hashed `hv` long (the batch convention: hash map-side via
+    * [[graft.functions.Hashing.hash60]] before the shuffle).
+    *
+    * State is <= k longs per key through [[StateCodec]]'s versioned
+    * envelope; state count scales with distinct KEYS, not stream
+    * length or distinct values.
+    */
+  def streamingKmvDistinct(spark: SparkSession, rows: DataFrame,
+      k: Int): Dataset[KeyEstimate] = {
+    import spark.implicits._
+    require(k >= 2, "streamingKmvDistinct needs k >= 2")
+    rows.select(col("key").cast("string").as("key"), col("hv").cast("long"))
+      .as[KeyedHash]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[KeyedHash],
+            state: GroupState[Array[Byte]]) =>
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.map(StateCodec.decodeKmv)
+            .foreach(_.foreach(buf.add(_)))
+          it.foreach { r =>
+            buf.add(r.hv)
+            if (buf.size > k) buf.pollLast()
+          }
+          val minima = Vector.newBuilder[Long]
+          val itr = buf.iterator()
+          while (itr.hasNext) minima += itr.next().longValue()
+          state.update(StateCodec.encodeKmv(minima.result()))
+          val est =
+            if (buf.size < k) buf.size.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0d / buf.last().toDouble
+          KeyEstimate(key, est)
+      }
+  }
+
+  /** Batch twin: the [[org.apache.spark.sql.graft.KmvDistinct]]
+    * aggregate itself. */
+  def streamingKmvDistinctBatch(rows: DataFrame, k: Int): DataFrame =
+    rows.groupBy(col("key"))
+      .agg(org.apache.spark.sql.graft.KmvDistinct(col("hv"), k).as("est"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

@@ -43,6 +43,21 @@ class StateCodecSpec extends AnyFunSuite {
       assert(StateCodec.decodeTopK(StateCodec.encodeTopK(s)) === s)
   }
 
+  test("Kmv v1 round-trips empty, partial, and full minima vectors") {
+    for (s <- Seq(Vector.empty[Long], Vector(42L),
+        Vector.tabulate(32)(i => i * 7919L), Vector(0L, Long.MaxValue)))
+      assert(StateCodec.decodeKmv(StateCodec.encodeKmv(s)) === s)
+  }
+
+  test("Kmv unknown version fails loudly") {
+    val blob = StateCodec.encodeKmv(Vector(5L))
+    blob(0) = 9.toByte
+    val e = intercept[StateCodec.StateVersionException] {
+      StateCodec.decodeKmv(blob)
+    }
+    assert(e.state === "Kmv")
+  }
+
   test("TopK unknown version fails loudly") {
     val blob = StateCodec.encodeTopK(Vector((1L, 2L)))
     blob(0) = 7.toByte

@@ -322,4 +322,44 @@ class StreamingFuzzSpec extends SparkSpec {
       assert(got.toMap === want, s"seed $seed diverged (k=$k)")
     } }
   }
+
+  test("fuzz: streaming KMV distinct converges to the batch aggregate on random splits (6 corpora)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFewPartitions { for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(7700 + seed)
+      val keys = Seq("src0", "src1", "src2")
+      val n = 60 + rnd.nextInt(120)
+      // heavy duplication on purpose: the sketch must be replay-proof
+      val rows = (0 until n).map { _ =>
+        (keys(rnd.nextInt(keys.length)),
+          (rnd.nextLong() & ((1L << 60) - 1)) % 40 + 1)
+      }
+      val batches = {
+        val shuffled = rnd.shuffle(rows)
+        val nb = 2 + rnd.nextInt(4)
+        val cuts = (Seq(0, shuffled.length) ++
+          Seq.fill(nb - 1)(rnd.nextInt(shuffled.length + 1))).sorted
+        cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+          .filter(_.nonEmpty)
+      }
+      val k = 2 + rnd.nextInt(15)
+      val got = scala.collection.concurrent.TrieMap[String, Double]()
+      val ms = MemoryStream[(String, Long)]
+      val q = StreamingOps.streamingKmvDistinct(
+          spark, ms.toDS().toDF("key", "hv"), k)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.KeyEstimate],
+              _: Long) =>
+            df.collect().foreach(e => got(e.key) = e.est)
+        }.start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally { q.stop(); q.awaitTermination(60000) }
+      val want = StreamingOps.streamingKmvDistinctBatch(
+          rows.toDF("key", "hv"), k)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.toMap === want, s"seed $seed diverged (k=$k)")
+    } }
+  }
 }
