@@ -24,7 +24,8 @@ object FuzzVerify {
     "d11_incremental_dedup", "m4_perceptual_hash",
     "p2_split_assign", "p3_mixture_sample",
     "t12_stratified_sample", "t13_unigram_surprisal",
-    "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal")
+    "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal",
+    "t17_kmv_distinct", "t18_vocab_overlap")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")
