@@ -40,6 +40,42 @@ object ScaleJoins {
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Point-in-interval join at scale: every left row whose `pointCol`
+    * falls in a right row's half-open [`startCol`, `endCol`) interval.
+    * A raw range predicate gives Catalyst no equi-key, so the plan
+    * collapses to a broadcast-nested-loop / cartesian product —
+    * O(|L| x |R|) comparisons however selective the predicate. Coarse
+    * bucketing restores an equi-join: each right interval explodes to
+    * the `bucketWidth`-wide buckets it touches, each left point maps
+    * to its single bucket, the join runs on the bucket key, and the
+    * exact predicate filters within the bucket. Each matching pair
+    * meets in exactly one bucket (the point's), so no dedup is needed.
+    *
+    * Cost: |R| x (interval/bucketWidth + 2) shuffled rows and only
+    * same-bucket comparisons — pick `bucketWidth` on the order of the
+    * typical interval length. Columns must be numeric (day numbers,
+    * epoch seconds); callers convert timestamps first, which also pins
+    * the timezone semantics on one side. All-integer comparisons keep
+    * the join cross-engine exact.
+    */
+  def intervalJoin(left: DataFrame, pointCol: String,
+      right: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "intervalJoin needs a positive bucketWidth")
+    require(!left.columns.toSet.exists(right.columns.toSet),
+      "intervalJoin left/right column names must be disjoint")
+    val bw = lit(bucketWidth)
+    val l = left.withColumn("__bk", floor(col(pointCol) / bw).cast("long"))
+    // end is exclusive: an interval ending exactly on a bucket boundary
+    // does not reach into that bucket
+    val r = right.withColumn("__bk",
+      explode(sequence(floor(col(startCol) / bw).cast("long"),
+        floor((col(endCol) - lit(1)) / bw).cast("long"))))
+    l.join(r, Seq("__bk"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bk")
+  }
+
   /** Backward as-of join: each left row picks up the right row with the
     * LARGEST right timestamp <= its own, per key (the time-series
     * enrichment join — "state as of this event" — that neither Spark

@@ -361,6 +361,18 @@ object PipelineQueries extends QueryPack {
       .orderBy("lang_a", "lang_b")
   }
 
+  // t19: count-min heavy hitters — the mergeable frequency-sketch
+  // counterpart to t17's cardinality sketch. Grid counters are pure
+  // SUMS (order-independent under Spark's partial aggregation, unlike
+  // Misra-Gries summaries), so DuckDB rebuilds the identical grid from
+  // per-cell sums and the estimate itself hash-verifies. Exact counts
+  // ride along per the t17 convention; the mass threshold is the
+  // integer comparison est*64 >= total (no float divide).
+  private def t19CmsHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.text.HeavyHitters.heavyHitters(
+        docs(s, dir), "text", depth = 4, width = 256, ratio = 64)
+      .orderBy("tok")
+
   // t16: bigram stupid-backoff surprisal — counts trained on the
   // even-id half (the "curated split"), every document scored, so the
   // backoff and OOV paths are LIVE for odd documents (a
@@ -498,6 +510,7 @@ object PipelineQueries extends QueryPack {
     "t16_bigram_surprisal" -> (t16BigramSurprisal _),
     "t17_kmv_distinct" -> (t17KmvDistinct _),
     "t18_vocab_overlap" -> (t18VocabOverlap _),
+    "t19_cms_heavy_hitters" -> (t19CmsHeavyHitters _),
     "t15_pii_redact" -> (t15PiiRedact _),
     "m1_media_meta" -> (m1MediaMeta _),
     "m2_media_features" -> (m2MediaFeatures _),
@@ -1149,6 +1162,30 @@ object PipelineQueries extends QueryPack {
         |JOIN sz sa ON sa.lang = e.lang_a
         |JOIN sz sb ON sb.lang = e.lang_b
         |ORDER BY e.lang_a, e.lang_b""".stripMargin,
+    // t19: rebuild the CMS grid from per-(row, bucket) sums of exact
+    // token counts — bit-identical to the aggregate's counters because
+    // every CMS operation is an integer sum — then the same min-of-
+    // cells estimate and integer mass threshold.
+    "t19_cms_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY tok),
+        |tot AS (SELECT SUM(n_exact) AS total FROM c),
+        |b AS (
+        |  SELECT c.tok, c.n_exact, r,
+        |         CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), ':', c.tok)), 1, 15)) AS BIGINT) % 256 AS bk
+        |  FROM c, (SELECT unnest(range(0, 4)) AS r)),
+        |cell AS (SELECT r, bk, CAST(SUM(n_exact) AS BIGINT) AS cnt
+        |         FROM b GROUP BY 1, 2),
+        |est AS (
+        |  SELECT b.tok, MIN(cell.cnt) AS est
+        |  FROM b JOIN cell ON b.r = cell.r AND b.bk = cell.bk
+        |  GROUP BY 1)
+        |SELECT est.tok, est.est, c.n_exact
+        |FROM est JOIN c USING (tok), tot
+        |WHERE est.est * 64 >= tot.total
+        |ORDER BY est.tok""".stripMargin,
     // t16: counts from the even half only; same CASE staging, add-one
     // OOV floors, libm ln, and the position-ordered list_reduce fold.
     "t16_bigram_surprisal" ->

@@ -199,6 +199,29 @@ object Relational extends QueryPack {
         col("n"), col("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  // q20: point-in-interval join — each URGENT order's date against the
+  // 2-day ship window [l_shipdate, l_shipdate + 2d) of every lineitem.
+  // A raw range theta-join gives Catalyst no equi-key and compiles to
+  // a nested-loop O(|orders| x |lineitem|) plan; ScaleJoins.intervalJoin
+  // explodes each window into coarse day buckets and equi-joins on the
+  // bucket key instead (plan-pinned BNLJ-free in PlanSpec). Day numbers
+  // keep every comparison integer-exact across engines.
+  private def q20IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("o_day"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_quantity"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+      .withColumn("ship_end", col("ship_day") + lit(2L))
+    graft.functions.ScaleJoins
+      .intervalJoin(ord, "o_day", li, "ship_day", "ship_end", bucketWidth = 2L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"), sumd(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_join_broadcast" -> (q2NationRevenue _),
@@ -215,7 +238,8 @@ object Relational extends QueryPack {
     "q13_time_bucket" -> (q13TimeBucket _),
     "q14_regexp_extract" -> (q14RegexpExtract _),
     "q15_boolean_dnf" -> (q15BooleanDnf _),
-    "q18_rollup" -> (q18Rollup _))
+    "q18_rollup" -> (q18Rollup _),
+    "q20_interval_join" -> (q20IntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -306,5 +330,14 @@ object Relational extends QueryPack {
         |OR (l_quantity >= 30.0 AND l_tax < 0.03)
         |OR (l_extendedprice > 50000.0 AND NOT (l_linestatus = 'F'))) AS INT)) AS BIGINT) AS n_flagged,
         |COUNT(*) AS n_total
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q20: DuckDB evaluates the range predicate directly (its IEJoin
+    // handles interval joins natively); dates are day-granular so the
+    // timestamp comparison equals the Spark side's day-number one.
+    "q20_interval_join" ->
+      s"""SELECT o_orderkey, COUNT(*) AS n_shipped, ${sqlSumd("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem
+         |ON o_orderdate >= l_shipdate AND o_orderdate < l_shipdate + INTERVAL 2 DAY
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -53,6 +53,17 @@ object GraftFunctions {
             "kmv_distinct's k must be an integer literal")
         }
         KmvDistinct(args(0), k)
+      }),
+    (FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_sketch takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"cms_sketch's $what must be an integer literal")
+        }
+        CmsSketch(args(0), intLit(args(1), "depth"), intLit(args(2), "width"))
       }))
 
   /** Register into a live session (no extensions config needed). */

@@ -184,4 +184,24 @@ class PlanSpec extends SparkSpec {
       "centroids must broadcast")
     assert(!p.contains("Window "), "argmin must be min_by, not a window sort")
   }
+
+  test("q20 interval join: bucketed equi-join, never a nested-loop range join") {
+    val p = plan("q20_interval_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride a bucket equi-join, not a nested loop")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("__bk#")),
+      "join must key on the coarse bucket")
+  }
+
+  test("t19 cms: grid aggregate partial-applies; single-row sketch broadcasts") {
+    val p = plan("t19_cms_heavy_hitters")
+    assert(p.contains("partial_cms_sketch"),
+      "sketch must build map-side partial grids")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the one-row sketch must broadcast onto the candidate tokens")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -45,6 +45,33 @@ class ScaleJoinsSpec extends SparkSpec {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("intervalJoin: matches the theta-join, half-open bounds, multi-bucket spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map(i => (i.toLong, rnd.nextInt(200).toLong))
+      .toDF("pid", "p")
+    // intervals of length 0..12: some empty, some spanning several
+    // width-5 buckets
+    val ivs = (1 to 80).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (1000L + i, s, s + rnd.nextInt(13))
+    }.toDF("iid", "lo", "hi")
+    val got = ScaleJoins.intervalJoin(pts, "p", ivs, "lo", "hi", bucketWidth = 5L)
+      .select("pid", "iid")
+    val want = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid")
+    assert(got.count() === want.count())
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+    // each matching pair appears exactly once (no per-bucket duplicates)
+    assert(got.groupBy("pid", "iid").count().filter(col("count") > 1).count() === 0)
+    // half-open: point at start matches, point at end does not
+    val one = Seq((1L, 10L)).toDF("pid", "p")
+    val iv = Seq((9L, 10L, 12L)).toDF("iid", "lo", "hi")
+    assert(ScaleJoins.intervalJoin(one, "p", iv, "lo", "hi", 5L).count() === 1)
+    val atEnd = Seq((1L, 12L)).toDF("pid", "p")
+    assert(ScaleJoins.intervalJoin(atEnd, "p", iv, "lo", "hi", 5L).count() === 0)
+  }
+
   test("asofJoin: backward inclusive match, unmatched nulls, whole-row carry") {
     import spark.implicits._
     val left = Seq((1L, 10L, "e1"), (1L, 15L, "e2"), (1L, 20L, "e3"),
