@@ -76,6 +76,17 @@ object PipelineQueries extends QueryPack {
       .select(col("id").as("vec_id"), col("cell"))
       .orderBy("vec_id")
 
+  // s8: product-quantization ADC search — per-subspace codebooks
+  // trained in one keyed Lloyd loop (one corpus pass per iteration
+  // for ALL subspaces), corpus stored as nsub codes, query answered
+  // from a broadcast (nsub x kcent) distance table. Top-k by the
+  // sub-ordered left-fold distance sum (cross-engine bit-exact).
+  private def s8PqAdc(s: SparkSession, dir: String): DataFrame =
+    graft.sim.ProductQuantize.pqTopK(emb(s, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10, nsub = 4, kcent = 8, iters = 2)
+      .select(col("id").as("vec_id"), col("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+
   // s5/s6: BATCHED ANN — the production entry point serves a query
   // TABLE (every 50th vector here), not a single id: the corpus joins
   // the query set's probe cells/buckets with an equi-join, per-query
@@ -490,6 +501,7 @@ object PipelineQueries extends QueryPack {
     "s5_knn_batch" -> (s5KnnBatch _),
     "s6_knn_srp_batch" -> (s6SrpBatch _),
     "s7_kmeans_cells" -> (s7Kmeans _),
+    "s8_pq_adc" -> (s8PqAdc _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -804,6 +816,7 @@ object PipelineQueries extends QueryPack {
         |  END AS cos
         |FROM d ORDER BY vec_id""".stripMargin,
     "s7_kmeans_cells" -> s7KmeansSql(8, 3),
+    "s8_pq_adc" -> s8PqSql(4, 8, 2, 10),
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -1513,6 +1526,65 @@ object PipelineQueries extends QueryPack {
     * long sums), one double division per mean, empty cells inherited
     * via LEFT JOIN — and a final assignment against the last table.
     */
+  /** s8 oracle: the s7 int8-quantize prefix, subvector slicing by the
+    * same floor-division boundaries, per-subspace Lloyd iterations
+    * keyed on (sb, cell), then the ADC distance table and the
+    * sub-ordered left-fold distance sum — operation order and
+    * association mirrored expression-for-expression.
+    */
+  private def s8PqSql(nsub: Int, kcent: Int, iters: Int, k: Int): String = {
+    def assign(name: String, cent: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sb, sv, cell FROM (
+         |    SELECT su.vec_id, su.sb, su.sv, ct.cell,
+         |           row_number() OVER (PARTITION BY su.vec_id, su.sb ORDER BY
+         |             (list_dot_product(su.sv, su.sv) + list_dot_product(ct.cv, ct.cv)
+         |              - 2.0 * list_dot_product(su.sv, ct.cv)) ASC, ct.cell ASC) AS rn
+         |    FROM sub su JOIN $cent ct ON su.sb = ct.sb)
+         |  WHERE rn = 1)""".stripMargin
+    def update(i: Int): String =
+      s"""m$i AS (
+         |  SELECT sb, cell, i, CAST(sum(CAST(sv[i] AS BIGINT)) AS DOUBLE) / count(*) AS m
+         |  FROM a$i, LATERAL (SELECT unnest(range(1, len(sv)+1)) AS i)
+         |  GROUP BY 1, 2, 3),
+         |cent$i AS (
+         |  SELECT c.sb, c.cell, coalesce(n.nc, c.cv) AS cv
+         |  FROM cent${i - 1} c LEFT JOIN
+         |       (SELECT sb, cell, list(m ORDER BY i) AS nc FROM m$i GROUP BY 1, 2) n
+         |       ON n.sb = c.sb AND n.cell = c.cell)""".stripMargin
+    val steps = (1 to iters).map(i => s"${assign(s"a$i", s"cent${i - 1}")},\n${update(i)}")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |        list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS scale
+       |      FROM e),
+       |c0 AS (SELECT vec_id,
+       |        CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+       |          ELSE list_transform(v, x ->
+       |            greatest(-127.0, least(127.0, floor(x / scale + 0.5))))
+       |        END AS q
+       |      FROM s),
+       |sub AS (
+       |  SELECT vec_id, sb,
+       |         q[CAST(floor(sb * len(q) / $nsub) AS INT) + 1 :
+       |           CAST(floor((sb + 1) * len(q) / $nsub) AS INT)] AS sv
+       |  FROM c0, (SELECT unnest(range(0, $nsub)) AS sb)),
+       |cent0 AS (SELECT sb, vec_id AS cell, sv AS cv FROM sub WHERE vec_id < $kcent),
+       |$steps,
+       |${assign("af", s"cent$iters")},
+       |qs AS (SELECT sb, sv AS qv FROM sub WHERE vec_id = 0),
+       |dt AS (SELECT c.sb, c.cell,
+       |         (list_dot_product(q.qv, q.qv) + list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(q.qv, c.cv)) AS d
+       |       FROM cent$iters c JOIN qs q ON q.sb = c.sb),
+       |sc AS (SELECT af.vec_id, list(dt.d ORDER BY af.sb) AS ds
+       |       FROM af JOIN dt ON af.sb = dt.sb AND af.cell = dt.cell
+       |       GROUP BY 1)
+       |SELECT vec_id, ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} AS adist
+       |FROM sc WHERE vec_id <> 0
+       |ORDER BY adist, vec_id LIMIT $k""".stripMargin
+  }
+
   private def s7KmeansSql(ncells: Int, iters: Int): String = {
     def assign(k: Int): String =
       s"""a$k AS (

@@ -1,0 +1,145 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, SweepCheckpoint, Vec}
+
+/** Product quantization (Jégou et al., TPAMI 2011) — the
+  * memory-compression half of a corpus-scale ANN index, complementing
+  * [[Similarity.ivfTopKAll]]'s routing half. Each vector splits into
+  * `nsub` subvectors; each subspace trains its own `kcent`-centroid
+  * codebook; a vector is stored as `nsub` small codes (one byte each at
+  * kcent <= 256) instead of dim floats — a 100 TB float32 corpus at
+  * dim=128 becomes ~3 TB of codes. A query is answered via asymmetric
+  * distance computation (ADC): one (nsub x kcent) table of exact
+  * query-to-centroid distances, then every corpus vector's approximate
+  * distance is `nsub` table lookups and adds — no float vector is ever
+  * touched at search time.
+  *
+  * Spark-first shape:
+  *  - training runs ALL subspaces in one keyed Lloyd loop — centroids
+  *    are keyed by (sub, cell), the per-iteration argmin is one
+  *    partial-aggregatable min_by keyed on (id, sub), and the mean
+  *    update is one (sub, cell, pos) hash aggregate — so each
+  *    iteration is ONE pass over the corpus however many subspaces
+  *    train (nsub sequential loops would scan nsub x iters times);
+  *  - per-iteration centroid tables (nsub x kcent rows — tiny by
+  *    construction) are eagerly materialized through the shared
+  *    [[graft.dedup.SweepCheckpoint]] media, the
+  *    [[Similarity.kmeansCells]] schedule;
+  *  - the ADC distance table is literal-sized and BROADCAST onto the
+  *    code table: search is a map-side join + one hash aggregate per
+  *    query — no shuffle of anything corpus-sized, and the scan reads
+  *    only the (id, sub, code) columns.
+  *
+  * Cross-engine exactness (the s7 conventions): training runs on the
+  * [[Quantize.int8Codes]] representation so every cross-row mean sum
+  * is an integer; the only floats are the per-(cell,dim) mean division
+  * and [[Vec.sqDist]] folds; the final per-vector distance folds the
+  * per-subspace lookups in a FIXED left-to-right association (sub
+  * order), so DuckDB reproduces it bit-for-bit.
+  *
+  * Subspace boundaries are `[floor(s*dim/nsub), floor((s+1)*dim/nsub))`
+  * of the per-row dimensionality — ragged dims split consistently on
+  * both engines. Degenerate rows (dim < nsub) would produce empty
+  * subvectors whose dot products diverge across engines; callers keep
+  * corpus dim >= nsub (any real embedding table does).
+  */
+object ProductQuantize {
+
+  /** (id, sub, sv): the int8-code subvector table. */
+  private def subCodes(codes: DataFrame, nsub: Int): DataFrame =
+    codes
+      .withColumn("dim", size(col("q")))
+      .select(col("id"), explode(sequence(lit(0), lit(nsub - 1))).as("sub"),
+        col("q"), col("dim"))
+      .withColumn("lo", floor(col("sub") * col("dim") / lit(nsub)).cast("int"))
+      .withColumn("hi",
+        floor((col("sub") + lit(1)) * col("dim") / lit(nsub)).cast("int"))
+      .select(col("id"), col("sub"),
+        slice(col("q"), col("lo") + lit(1), col("hi") - col("lo")).as("sv"))
+
+  /** Keyed argmin: nearest (sub, cell) centroid per (id, sub), ties to
+    * the lowest cell — partial-aggregatable min_by, no window sort.
+    */
+  private def assign(subcodes: DataFrame, cent: DataFrame): DataFrame =
+    subcodes.join(broadcast(cent), "sub")
+      .withColumn("d", Vec.sqDist(col("sv"), col("cv")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(struct(col("cell"), col("sv")),
+        struct(col("d"), col("cell"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cell").as("cell"),
+        col("m.sv").as("sv"))
+
+  /** Trained codebooks (sub, cell, cv) and the encoded corpus
+    * (id, sub, code) — `iters` Lloyd steps across all subspaces at
+    * once from the deterministic seed (vectors with id < kcent, the
+    * [[Similarity.assignCells]] convention; empty cells keep their
+    * previous centroid).
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+      nsub: Int, kcent: Int, iters: Int,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): (DataFrame, DataFrame) = {
+    val codes = Quantize.int8Codes(emb, idCol, vecCol)
+    val subcodes = subCodes(codes, nsub)
+    val seed = subcodes.filter(col("id") < kcent)
+      .select(col("sub"), col("id").as("cell"), col("sv").as("cv"))
+    require(!seed.isEmpty, s"ProductQuantize.train: seed codebook is " +
+      s"empty — no $idCol < kcent=$kcent exists (ids must start at 0); " +
+      "normalize ids or raise kcent")
+    var cent = seed
+    var prev: Option[DataFrame] = None
+    for (i <- 0 until iters) {
+      val assigned = assign(subcodes, cent)
+      val sums = assigned
+        .select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+      val means = sums
+        .withColumn("m", col("s").cast("double") / col("n").cast("double"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          p => p.getField("m")).as("nc"))
+      cent = Dedup.sweepMaterialize(
+        cent.join(means, Seq("sub", "cell"), "left")
+          .select(col("sub"), col("cell"),
+            coalesce(col("nc"), col("cv")).as("cv")),
+        sweep, i)
+      prev.foreach(p => Dedup.sweepFree(p, sweep, i - 1))
+      prev = Some(cent)
+    }
+    (cent, assign(subcodes, cent).select(col("id"), col("sub"), col("cell")))
+  }
+
+  /** ADC top-k for the vector of `queryId`: exact distances to the
+    * query fill a (nsub x kcent) table; every corpus vector's
+    * approximate squared-L2 distance is the sub-ordered left-fold sum
+    * of its `nsub` lookups. Returns (id, adist) ascending.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nsub: Int = 4, kcent: Int = 8, iters: Int = 2,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    val (cent, codeTab) = train(emb, idCol, vecCol, nsub, kcent, iters, sweep)
+    val qsub = subCodes(
+      Quantize.int8Codes(
+        emb.filter(col(idCol) === queryId), idCol, vecCol), nsub)
+      .select(col("sub"), col("sv").as("qv"))
+    val dt = qsub.join(cent, "sub")
+      .withColumn("d", Vec.sqDist(col("qv"), col("cv")))
+      .select(col("sub"), col("cell"), col("d"))
+    codeTab.join(broadcast(dt), Seq("sub", "cell"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("d")))),
+        p => p.getField("d")).as("ds"))
+      .withColumn("adist",
+        (1 to nsub).map(i => element_at(col("ds"), i)).reduce(_ + _))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), col("adist"))
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(k)
+  }
+}

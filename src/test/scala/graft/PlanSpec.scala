@@ -185,6 +185,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window "), "argmin must be min_by, not a window sort")
   }
 
+  test("s8 pq: materialized codebooks, broadcast ADC table, no sort-merge join") {
+    // training materializes the (tiny) codebook per iteration, so the
+    // returned search plan must be a bounded number of corpus passes
+    // (encode + query slice) against checkpointed centroids — not the
+    // chained iters-deep monster — with the distance table BROADCAST
+    // onto the code table and the top-k a TakeOrdered, not a full sort
+    val p = plan("s8_pq_adc")
+    assert("FileScan".r.findAllIn(p).length <= 3,
+      s"ADC search re-scans the corpus:\n${p.take(400)}")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the ADC distance table must broadcast")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
+  }
+
   test("q20 interval join: bucketed equi-join, never a nested-loop range join") {
     val p = plan("q20_interval_join")
     assert(!p.contains("CartesianProduct"))
