@@ -145,4 +145,37 @@ object StateCodec {
         throw new StateVersionException("EventDedupState", v, Seq(EventV))
     }
   }
+
+  // ---- CMS grid (streamingCmsSketch):
+  //      v1 = depth (u8), width (i32), then depth*width row-major longs
+
+  private final val CmsV = 1
+
+  def encodeCms(depth: Int, width: Int, grid: Array[Long]): Array[Byte] = {
+    require(grid.length == depth * width,
+      s"cms grid length ${grid.length} != $depth x $width")
+    require(depth <= 255, "cms depth exceeds the u8 envelope field")
+    val b = ByteBuffer.allocate(6 + 8 * grid.length)
+    b.put(CmsV.toByte).put(depth.toByte).putInt(width)
+    grid.foreach(b.putLong)
+    b.array()
+  }
+
+  /** (depth, width, grid) — the op validates depth/width against its
+    * own configuration so a restart with a different grid shape fails
+    * loudly instead of misindexing counters.
+    */
+  def decodeCms(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val b = ByteBuffer.wrap(bytes)
+    b.get().toInt match {
+      case CmsV =>
+        val depth = java.lang.Byte.toUnsignedInt(b.get())
+        val width = b.getInt()
+        val grid = new Array[Long](depth * width)
+        var i = 0
+        while (i < grid.length) { grid(i) = b.getLong(); i += 1 }
+        (depth, width, grid)
+      case v => throw new StateVersionException("Cms", v, Seq(CmsV))
+    }
+  }
 }

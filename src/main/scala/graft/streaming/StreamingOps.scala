@@ -619,6 +619,75 @@ object StreamingOps {
     rows.groupBy(col("key"))
       .agg(org.apache.spark.sql.graft.KmvDistinct(col("hv"), k).as("est"))
 
+  final case class KeyedBuckets(key: String, bk: Seq[Long])
+  final case class KeyGrid(key: String, grid: Seq[Long])
+
+  /** Streaming per-key count-min grid — the streaming twin of the
+    * [[org.apache.spark.sql.graft.CmsSketch]] aggregate (t19), for the
+    * continuous frequency questions ("which tokens are trending per
+    * source", "is any user id hammering the feed") whose exact answer
+    * needs unbounded per-value state. Every grid operation is a
+    * counter SUM, so the emitted grid after any batch split, arrival
+    * order, or replay equals the batch aggregate over the union of the
+    * batches (fuzz-pinned against the batch twin) — the same
+    * order-independence argument that makes the KMV minima replay-proof.
+    *
+    * Input carries the precomputed `bk` bucket-index array (the batch
+    * convention — [[graft.text.HeavyHitters.bucketIndices]] map-side,
+    * hashing stays in codegen). Emission is the key's full grid after
+    * the batch; estimation downstream is the same `element_at` math as
+    * batch ([[graft.text.HeavyHitters.estimate]]). State is a FIXED
+    * 8 x depth x width bytes per key through [[StateCodec]]'s
+    * versioned envelope — scales with distinct keys, never with
+    * stream length; the envelope's recorded (depth, width) is
+    * validated on every decode so a restart with a different grid
+    * shape fails loudly instead of misindexing counters.
+    */
+  def streamingCmsSketch(spark: SparkSession, rows: DataFrame,
+      depth: Int, width: Int): Dataset[KeyGrid] = {
+    import spark.implicits._
+    require(depth >= 1 && width >= 1, "streamingCmsSketch needs depth/width >= 1")
+    require(depth.toLong * width <= (1L << 24),
+      "streamingCmsSketch grid exceeds 2^24 cells per key")
+    rows.select(col("key").cast("string").as("key"),
+        col("bk").cast("array<long>").as("bk"))
+      .as[KeyedBuckets]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[KeyedBuckets],
+            state: GroupState[Array[Byte]]) =>
+          val grid = state.getOption.map { bytes =>
+            val (d, w, g) = StateCodec.decodeCms(bytes)
+            require(d == depth && w == width,
+              s"streamingCmsSketch configured ${depth}x$width over a " +
+                s"checkpoint holding a ${d}x$w grid — grid shape cannot " +
+                "change across restarts; drain the checkpoint")
+            g
+          }.getOrElse(new Array[Long](depth * width))
+          it.foreach { r =>
+            require(r.bk.length == depth,
+              s"bucket array has ${r.bk.length} entries, expected $depth")
+            var i = 0
+            while (i < depth) {
+              val b = r.bk(i)
+              require(b >= 0 && b < width, s"bucket $b out of [0, $width)")
+              grid(i * width + b.toInt) += 1L
+              i += 1
+            }
+          }
+          state.update(StateCodec.encodeCms(depth, width, grid))
+          KeyGrid(key, grid.toVector)
+      }
+  }
+
+  /** Batch twin: the [[org.apache.spark.sql.graft.CmsSketch]]
+    * aggregate itself. */
+  def streamingCmsSketchBatch(rows: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    rows.groupBy(col("key"))
+      .agg(org.apache.spark.sql.graft.CmsSketch(col("bk"), depth, width)
+        .as("grid"))
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

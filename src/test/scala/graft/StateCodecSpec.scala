@@ -49,6 +49,27 @@ class StateCodecSpec extends AnyFunSuite {
       assert(StateCodec.decodeKmv(StateCodec.encodeKmv(s)) === s)
   }
 
+  test("Cms v1 round-trips shape and counters; unknown version fails loudly") {
+    val grid = Array.tabulate(2 * 8)(i => i * 31L)
+    val (d, w, g) = StateCodec.decodeCms(StateCodec.encodeCms(2, 8, grid))
+    assert((d, w) === ((2, 8)))
+    assert(g === grid)
+    // empty grid round-trips too
+    val (d0, w0, g0) = StateCodec.decodeCms(
+      StateCodec.encodeCms(1, 4, new Array[Long](4)))
+    assert((d0, w0) === ((1, 4)) && g0 === Array(0L, 0L, 0L, 0L))
+    val blob = StateCodec.encodeCms(1, 4, new Array[Long](4))
+    blob(0) = 9.toByte
+    val e = intercept[StateCodec.StateVersionException] {
+      StateCodec.decodeCms(blob)
+    }
+    assert(e.state === "Cms")
+    // a grid/shape mismatch at encode time is a config error
+    intercept[IllegalArgumentException] {
+      StateCodec.encodeCms(2, 8, new Array[Long](15))
+    }
+  }
+
   test("Kmv unknown version fails loudly") {
     val blob = StateCodec.encodeKmv(Vector(5L))
     blob(0) = 9.toByte

@@ -362,4 +362,46 @@ class StreamingFuzzSpec extends SparkSpec {
       assert(got.toMap === want, s"seed $seed diverged (k=$k)")
     } }
   }
+
+  test("fuzz: streaming CMS grid converges to the batch aggregate on random splits (6 corpora)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFewPartitions { for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(8800 + seed)
+      val keys = Seq("src0", "src1", "src2")
+      val depth = 1 + rnd.nextInt(4)
+      val width = 4 + rnd.nextInt(29)
+      val n = 60 + rnd.nextInt(120)
+      // skewed bucket draws: counter sums must be replay-proof
+      val rows = (0 until n).map { _ =>
+        (keys(rnd.nextInt(keys.length)),
+          Seq.fill(depth)(rnd.nextInt(rnd.nextInt(width) + 1).toLong))
+      }
+      val batches = {
+        val shuffled = rnd.shuffle(rows)
+        val nb = 2 + rnd.nextInt(4)
+        val cuts = (Seq(0, shuffled.length) ++
+          Seq.fill(nb - 1)(rnd.nextInt(shuffled.length + 1))).sorted
+        cuts.zip(cuts.tail).map { case (a, b) => shuffled.slice(a, b) }
+          .filter(_.nonEmpty)
+      }
+      val got = scala.collection.concurrent.TrieMap[String, Seq[Long]]()
+      val ms = MemoryStream[(String, Seq[Long])]
+      val q = StreamingOps.streamingCmsSketch(
+          spark, ms.toDS().toDF("key", "bk"), depth, width)
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.KeyGrid],
+              _: Long) =>
+            df.collect().foreach(e => got(e.key) = e.grid)
+        }.start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally { q.stop(); q.awaitTermination(60000) }
+      val want = StreamingOps.streamingCmsSketchBatch(
+          rows.toDF("key", "bk"), depth, width)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got.toMap === want,
+        s"seed $seed diverged (depth=$depth width=$width)")
+    } }
+  }
 }
