@@ -211,6 +211,15 @@ object PipelineQueries extends QueryPack {
     Decontaminate.flags(docs(s, dir), "doc_id", "text",
       col("doc_id") % 97 === 0, 4).orderBy("doc_id")
 
+  // d12: the same contamination report through the bloom-pruned path —
+  // the 100 TB shape for a benchmark too big to broadcast: corpus grams
+  // are dropped map-side by a BloomAgg-built filter before the exact
+  // verify join, so the shuffle carries candidates, not the corpus.
+  // The output is exact (same oracle as d7); the filter only prunes.
+  private def d12BloomDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Decontaminate.flagsBloomPruned(docs(s, dir), "doc_id", "text",
+      col("doc_id") % 97 === 0, 4).orderBy("doc_id")
+
   // t9: C4-style keep/drop cascade — first failing rule as the reason,
   // all rules integer/length-based so both engines agree exactly.
   private def t9FilterCascade(s: SparkSession, dir: String): DataFrame = {
@@ -494,6 +503,7 @@ object PipelineQueries extends QueryPack {
     "d9_simhash_clusters" -> (d9SimhashClusters _),
     "d10_dedup_pipeline" -> (d10DedupPipeline _),
     "d11_incremental_dedup" -> (d11IncrementalDedup _),
+    "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -536,6 +546,30 @@ object PipelineQueries extends QueryPack {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
       |  WHERE len(ts) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)""".stripMargin
+
+  // Shared by d7 (gate/broadcast path) and d12 (bloom-pruned path):
+  // both compute the same exact contamination report, so one oracle
+  // pins that the pruning strategy never changes the answer.
+  private val decontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+      |         string_split(lower(text),' ') AS ts
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id, is_bench,
+      |        ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
+      |      FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-2)) AS i)
+      |      WHERE len(ts) >= 4),
+      |bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE is_bench),
+      |m AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
+      |             count(DISTINCT b.bench_id) AS n_bench_docs
+      |      FROM g c JOIN bench b ON c.g = b.g
+      |      WHERE NOT c.is_bench GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(m.n_matched_grams,0) AS BIGINT) AS n_matched_grams,
+      |       CAST(coalesce(m.n_bench_docs,0) AS BIGINT) AS n_bench_docs,
+      |       coalesce(m.n_matched_grams,0) > 0 AS contaminated
+      |FROM toks t LEFT JOIN m ON m.doc_id = t.doc_id
+      |WHERE NOT t.is_bench ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" ->
@@ -1450,26 +1484,12 @@ object PipelineQueries extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY tfidf DESC, tok ASC) = 1
         |ORDER BY doc_id""".stripMargin,
-    "d7_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
-        |         string_split(lower(text),' ') AS ts
-        |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id, is_bench,
-        |        ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3] AS g
-        |      FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-2)) AS i)
-        |      WHERE len(ts) >= 4),
-        |bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE is_bench),
-        |m AS (SELECT c.doc_id, count(DISTINCT c.g) AS n_matched_grams,
-        |             count(DISTINCT b.bench_id) AS n_bench_docs
-        |      FROM g c JOIN bench b ON c.g = b.g
-        |      WHERE NOT c.is_bench GROUP BY 1)
-        |SELECT t.doc_id,
-        |       CAST(coalesce(m.n_matched_grams,0) AS BIGINT) AS n_matched_grams,
-        |       CAST(coalesce(m.n_bench_docs,0) AS BIGINT) AS n_bench_docs,
-        |       coalesce(m.n_matched_grams,0) > 0 AS contaminated
-        |FROM toks t LEFT JOIN m ON m.doc_id = t.doc_id
-        |WHERE NOT t.is_bench ORDER BY t.doc_id""".stripMargin,
+    "d7_decontaminate" -> decontaminateOracle,
+    // d12 is d7's report through the bloom-pruned join — the filter is
+    // a pruning superset and the exact verify join removes its false
+    // positives, so the oracle is IDENTICAL by design: matching hashes
+    // here is the test that the bloom path changes nothing.
+    "d12_bloom_decontaminate" -> decontaminateOracle,
     // s3: the +/-1 hyperplane signs come from the same md5-substr 60-bit
     // hash family as d3's minhash (bit 0 of md5(plane||':'||dim)), and
     // the per-plane weight list is assembled ORDER BY i so

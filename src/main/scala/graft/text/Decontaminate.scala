@@ -103,11 +103,84 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_matched_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
+    report(base, matched)
+  }
+
+  /** The shared output tail: restore zero-match docs via a left join so
+    * the report is total (1:1 with the non-benchmark corpus). */
+  private def report(base: DataFrame, matched: DataFrame): DataFrame =
     base.filter(!col("is_bench")).select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
         coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
         (coalesce(col("n_matched_grams"), lit(0L)) > 0).as("contaminated"))
+
+  /** Bloom-pruned decontamination: identical output to [[flags]], but
+    * the corpus side of the overlap join is pre-filtered MAP-SIDE by a
+    * Bloom filter built over the benchmark gram hashes.
+    *
+    * Scale rationale — this is the path for the case [[flags]]'s
+    * broadcast gate rejects (a benchmark too big for an exact broadcast
+    * of its gram table). The gate's fallback is a sort-merge join that
+    * shuffles the ENTIRE exploded corpus gram table on the gram key —
+    * at 100 TB of corpus that shuffle dwarfs everything else in the
+    * pipeline. Here the bench grams are instead summarized into a
+    * Bloom filter (megabytes at 1% fpp even for tens of millions of
+    * grams — [[org.apache.spark.sql.graft.BloomAgg]] builds it
+    * distributed with map-side partial ORs), the filter ships to every
+    * task as a plan-time literal, and
+    * [[org.apache.spark.sql.graft.BloomMightContain]] drops
+    * non-candidate corpus grams INSIDE the scan's whole-stage codegen,
+    * before any exchange. Only ~(true matches + fpp x corpus grams)
+    * rows reach the exact join, which then verifies candidates against
+    * the real bench gram table — false positives are eliminated there,
+    * so the OUTPUT is exact (the filter only prunes; it never decides).
+    * This mirrors what Spark's AQE runtime row-level filtering injects
+    * for selective joins, surfaced as a first-class operator with the
+    * build size under caller control.
+    *
+    * Eagerness: building the filter is one distributed aggregate
+    * action (plus one sizing count when `knownBenchGrams` is not
+    * given) — same not-fully-lazy trade as [[flags]]'s gate, and
+    * likewise skippable down to the single build action with the
+    * trusted hint.
+    *
+    * `fpp` is the target false-positive rate; `maxBloomBytes` caps the
+    * bit array (when it binds, the fpp degrades rather than the build
+    * failing — correctness never depends on the fpp).
+    */
+  def flagsBloomPruned(docs: DataFrame, idCol: String, textCol: String,
+      isBench: Column, n: Int,
+      fpp: Double = 0.01,
+      maxBloomBytes: Long = 32L << 20,
+      knownBenchGrams: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.graft.{BloomAgg, BloomMightContain, GraftBloom}
+    val base = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
+      graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
+    // upper bound on distinct bench grams (sum of per-doc distinct
+    // counts) — oversizing the filter only lowers its fpp
+    val ng =
+      if (knownBenchGrams >= 0L) knownBenchGrams
+      else base.filter(col("is_bench"))
+        .agg(coalesce(sum(size(col("gs"))), lit(0L))).head().getLong(0)
+    val (numBits, numHashes) = GraftBloom.size(math.max(ng, 1L), fpp, maxBloomBytes)
+    val grams = base.select(col("doc_id"), col("is_bench"),
+      explode(col("gs")).as("g"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("g"), col("doc_id").as("bench_id"))
+    val bloomBytes = bench
+      .select(BloomAgg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // map-side prune inside the corpus scan, then the exact verify join
+    // on the (now tiny) candidate set; merge hint for the same
+    // generator-estimate reason flagsFromShingled pins its fallback
+    val pruned = grams.filter(!col("is_bench"))
+      .filter(BloomMightContain(lit(bloomBytes), xxhash64(col("g"))))
+    val matched = pruned.join(bench.hint("merge"), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_matched_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+    report(base, matched)
   }
 }

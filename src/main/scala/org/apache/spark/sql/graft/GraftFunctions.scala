@@ -64,7 +64,22 @@ object GraftFunctions {
             s"cms_sketch's $what must be an integer literal")
         }
         CmsSketch(args(0), intLit(args(1), "depth"), intLit(args(2), "width"))
-      }))
+      }),
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_agg takes exactly 3 arguments")
+        def longLit(e: Expression, what: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"bloom_agg's $what must be an integer literal")
+        }
+        BloomAgg(args(0), longLit(args(1), "numBits"),
+          longLit(args(2), "numHashes").toInt)
+      }),
+    binary("bloom_might_contain", classOf[BloomMightContain],
+      BloomMightContain.apply))
 
   /** Register into a live session (no extensions config needed). */
   def register(spark: SparkSession): Unit = descriptions.foreach {
