@@ -87,6 +87,18 @@ object PipelineQueries extends QueryPack {
       .select(col("id").as("vec_id"), col("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
 
+  // s9: ADC-then-exact re-rank (IVFADC+R refinement) — the ADC pass
+  // nominates a 3x short list from codes alone; only those 30 vectors
+  // are re-scored exactly (candidate ids broadcast onto the corpus as
+  // a map-side semi-join — no corpus shuffle) and the short list
+  // re-sorts to the final top-10.
+  private def s9PqRerank(s: SparkSession, dir: String): DataFrame =
+    graft.sim.ProductQuantize.pqTopKRerank(emb(s, dir), "vec_id",
+        "embedding", queryId = 0L, k = 10, rerank = 30, nsub = 4,
+        kcent = 8, iters = 2)
+      .select(col("id").as("vec_id"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+
   // s5/s6: BATCHED ANN — the production entry point serves a query
   // TABLE (every 50th vector here), not a single id: the corpus joins
   // the query set's probe cells/buckets with an equi-join, per-query
@@ -512,6 +524,7 @@ object PipelineQueries extends QueryPack {
     "s6_knn_srp_batch" -> (s6SrpBatch _),
     "s7_kmeans_cells" -> (s7Kmeans _),
     "s8_pq_adc" -> (s8PqAdc _),
+    "s9_pq_rerank" -> (s9PqRerank _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -851,6 +864,7 @@ object PipelineQueries extends QueryPack {
         |FROM d ORDER BY vec_id""".stripMargin,
     "s7_kmeans_cells" -> s7KmeansSql(8, 3),
     "s8_pq_adc" -> s8PqSql(4, 8, 2, 10),
+    "s9_pq_rerank" -> s9PqRerankSql(4, 8, 2, 10, 30),
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -1552,7 +1566,36 @@ object PipelineQueries extends QueryPack {
     * sub-ordered left-fold distance sum — operation order and
     * association mirrored expression-for-expression.
     */
-  private def s8PqSql(nsub: Int, kcent: Int, iters: Int, k: Int): String = {
+  private def s8PqSql(nsub: Int, kcent: Int, iters: Int, k: Int): String =
+    s"""${pqAdcCtes(nsub, kcent, iters)}
+       |SELECT vec_id, ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} AS adist
+       |FROM sc WHERE vec_id <> 0
+       |ORDER BY adist, vec_id LIMIT $k""".stripMargin
+
+  /** s9 oracle: the s8 ADC chain nominates the `rerank` short list,
+    * then ONLY those ids are re-scored exactly on the int8-quantize
+    * representation (the same dot-product identity as Vec.sqDist) and
+    * the short list re-sorts to the final top-k.
+    */
+  private def s9PqRerankSql(nsub: Int, kcent: Int, iters: Int, k: Int,
+      rerank: Int): String =
+    s"""${pqAdcCtes(nsub, kcent, iters)},
+       |cand AS (
+       |  SELECT vec_id,
+       |         ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} AS adist
+       |  FROM sc WHERE vec_id <> 0
+       |  ORDER BY adist, vec_id LIMIT $rerank),
+       |qv AS (SELECT q AS qv FROM c0 WHERE vec_id = 0)
+       |SELECT c.vec_id,
+       |       (list_dot_product(x.q, x.q) + list_dot_product(qv.qv, qv.qv)
+       |        - 2.0 * list_dot_product(x.q, qv.qv)) AS dist
+       |FROM cand c JOIN c0 x ON x.vec_id = c.vec_id, qv
+       |ORDER BY dist, c.vec_id LIMIT $k""".stripMargin
+
+  /** The shared ADC WITH-chain: int8 quantize, subvector slice,
+    * per-subspace Lloyd training, the query's distance table, and the
+    * per-vector sub-ordered lookup lists (`sc(vec_id, ds)`). */
+  private def pqAdcCtes(nsub: Int, kcent: Int, iters: Int): String = {
     def assign(name: String, cent: String): String =
       s"""$name AS (
          |  SELECT vec_id, sb, sv, cell FROM (
@@ -1599,10 +1642,7 @@ object PipelineQueries extends QueryPack {
        |       FROM cent$iters c JOIN qs q ON q.sb = c.sb),
        |sc AS (SELECT af.vec_id, list(dt.d ORDER BY af.sb) AS ds
        |       FROM af JOIN dt ON af.sb = dt.sb AND af.cell = dt.cell
-       |       GROUP BY 1)
-       |SELECT vec_id, ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} AS adist
-       |FROM sc WHERE vec_id <> 0
-       |ORDER BY adist, vec_id LIMIT $k""".stripMargin
+       |       GROUP BY 1)""".stripMargin
   }
 
   private def s7KmeansSql(ncells: Int, iters: Int): String = {

@@ -142,4 +142,34 @@ object ProductQuantize {
       .orderBy(col("adist").asc, col("id").asc)
       .limit(k)
   }
+
+  /** ADC-then-exact re-rank (the refinement stage of Jégou et al.'s
+    * IVFADC+R): [[pqTopK]] nominates a `rerank`-sized short list from
+    * codes alone, then ONLY those candidates' stored vectors are
+    * fetched — the R-row candidate id list broadcasts onto the corpus
+    * as a map-side semi-join, so the full-vector column is read for R
+    * rows and nothing corpus-sized shuffles — and exact distances
+    * re-sort the short list into the final top-k. This closes most of
+    * the ADC quantization error at the cost of touching R real vectors
+    * instead of zero; `rerank/k` is the recall/IO dial (typical 2-10x).
+    *
+    * Exactness contract: the re-score runs on the same
+    * [[Quantize.int8Codes]] representation and [[Vec.sqDist]]
+    * dot-identity as training, so the oracle mirrors it term-for-term.
+    */
+  def pqTopKRerank(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, rerank: Int, nsub: Int = 4, kcent: Int = 8,
+      iters: Int = 2,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    require(rerank >= k, s"pqTopKRerank: rerank window $rerank must be >= k=$k")
+    val cand = pqTopK(emb, idCol, vecCol, queryId, rerank, nsub, kcent,
+      iters, sweep).select(col("id"))
+    val codes = Quantize.int8Codes(emb, idCol, vecCol)
+    val qv = codes.filter(col("id") === queryId).select(col("q").as("qv"))
+    codes.join(broadcast(cand), "id")
+      .join(broadcast(qv))
+      .select(col("id"), Vec.sqDist(col("q"), col("qv")).as("dist"))
+      .orderBy(col("dist").asc, col("id").asc)
+      .limit(k)
+  }
 }

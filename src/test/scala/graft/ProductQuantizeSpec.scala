@@ -53,6 +53,47 @@ class ProductQuantizeSpec extends SparkSpec {
     })
   }
 
+  test("re-rank re-scores the ADC short list with exact distances") {
+    // rerank window = whole corpus -> the result must equal brute-force
+    // exact top-k on the int8-quantized representation
+    val got = ProductQuantize.pqTopKRerank(clustered, "vec_id", "embedding",
+      queryId = 0L, k = 4, rerank = 39, nsub = 4, kcent = 8, iters = 2)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet === Set(8L, 16L, 24L, 32L))
+    got.foreach(r => assert(r.getDouble(1) === 0.0,
+      s"identical copy ${r.getLong(0)} must re-score to exact distance 0"))
+    // a tight window must stay inside the ADC nomination: results of
+    // rerank=k are a subset of the ADC top-k candidates
+    val adc = ProductQuantize.pqTopK(clustered, "vec_id", "embedding",
+      queryId = 0L, k = 6, nsub = 4, kcent = 8, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    val tight = ProductQuantize.pqTopKRerank(clustered, "vec_id", "embedding",
+      queryId = 0L, k = 6, rerank = 6, nsub = 4, kcent = 8, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(adc), "re-rank may only reorder the short list")
+  }
+
+  test("re-rank plan broadcasts the candidate list, never the corpus") {
+    val df = ProductQuantize.pqTopKRerank(clustered, "vec_id", "embedding",
+      queryId = 0L, k = 4, rerank = 8, nsub = 4, kcent = 8, iters = 1)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"),
+      "candidate semi-join must be broadcast")
+    // the corpus-sized relation must not sit under a broadcast exchange
+    // feeding the candidate join: SortMergeJoin on id would mean a
+    // corpus shuffle crept in
+    assert(!phys.contains("SortMergeJoin"),
+      s"corpus shuffle in the re-rank plan:\n$phys")
+  }
+
+  test("rerank window below k is rejected") {
+    val ex = intercept[IllegalArgumentException] {
+      ProductQuantize.pqTopKRerank(clustered, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 5)
+    }
+    assert(ex.getMessage.contains("must be >= k"))
+  }
+
   test("empty seed (ids not starting at 0) fails loudly") {
     val shifted = clustered.withColumn("vec_id", col("vec_id") + 1000L)
     val ex = intercept[IllegalArgumentException] {
