@@ -302,6 +302,16 @@ object PipelineQueries extends QueryPack {
       defaultRate = 0.05, seed = 17, granularity = 1000)
       .orderBy("doc_id")
 
+  // p4: Efraimidis-Spirakis weighted sampling without replacement —
+  // 100 docs drawn with probability proportional to character length
+  // (the quality-weighted subcorpus carve). Key is map-only over the
+  // md5 hash family; selection is TakeOrdered, never a global sort.
+  private def p4WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.weightedSample(docs(s, dir), "doc_id",
+        length(col("text")), k = 100, seed = 29)
+      .select(col("id").as("doc_id"), col("w"), col("skey"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+
   // t12: deterministic k-per-stratum sample — the 5 smallest
   // (hash, id) per language; salted two-phase top-k so no stratum is
   // ever sorted on one task (plan pinned in SamplingSpec).
@@ -539,6 +549,7 @@ object PipelineQueries extends QueryPack {
     "p1_corpus_build" -> (p1CorpusBuild _),
     "p2_split_assign" -> (p2SplitAssign _),
     "p3_mixture_sample" -> (p3MixtureSample _),
+    "p4_weighted_sample" -> (p4WeightedSample _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
@@ -1122,6 +1133,20 @@ object PipelineQueries extends QueryPack {
         |                           WHEN 'src2' THEN 250
         |                           ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    // p4: the A-ES key mirrors operation-for-operation — (hash+1)
+    // divided by 2^60 as a double, ln (NativeLn parity), then the
+    // division by the weight — so the selected set AND the key bits
+    // hash-compare exactly.
+    "p4_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS w FROM documents),
+        |k AS (
+        |  SELECT doc_id, w,
+        |         ln((CAST(concat('0x', substr(md5(concat('29', ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1)
+        |            / 1152921504606846976.0) / w AS skey
+        |  FROM w WHERE w > 0)
+        |SELECT doc_id, w, skey FROM k
+        |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
     // t12: the salted two-phase plan reduces to the direct
     // per-stratum ROW_NUMBER over (hash, id) — the oracle states the
     // logical result, the Spark side owns the scale shape.

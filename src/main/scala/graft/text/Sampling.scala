@@ -89,6 +89,47 @@ object Sampling {
     docs.withColumn("bucket", bucket).filter(col("bucket") < cut)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 2006, algorithm A-ES): take the k documents with the largest
+    * `ln(u_i) / w_i`, where `u_i = (hash60(id, seed) + 1) / 2^60` is
+    * the document's deterministic uniform draw — provably equivalent
+    * to drawing k documents one at a time with probability
+    * proportional to weight, but embarrassingly parallel. This is the
+    * quality-weighted subcorpus carve (weight = quality score, token
+    * count, dedup cluster mass, ...) that turns "sample 1M documents
+    * preferring high quality" into one top-k.
+    *
+    * The log-domain key replaces the paper's `u^(1/w)` — the same
+    * ordering (ln is monotone) without underflow for large weights.
+    * Like every operator here, the draw is keyed on the cross-engine
+    * md5 family, so the sample is a pure function of the data: stable
+    * across runs, partitionings, and engines (rand() would be none of
+    * these), though NOT under corpus growth — weighted selection is
+    * inherently competitive, unlike [[assignSplits]]/[[mixtureSample]]
+    * whose per-doc decisions are growth-stable by design.
+    *
+    * Scale shape: the key is map-only; selection is a global top-k —
+    * Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * k-heap + driver merge of ~partitions x k rows), so no global sort
+    * at any corpus size. Caller keeps k driver-sized (same contract as
+    * every top-k here). Rows with non-positive weight can never be
+    * drawn (P proportional to w) and are excluded up front.
+    *
+    * Output: (id, w, skey) — the k winners, skey descending.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: Int = 0): DataFrame = {
+    require(k > 0, "weightedSample needs k > 0")
+    val twoPow60 = 1152921504606846976.0 // exact in double
+    val u = (Hashing.hash60(col("id").cast("string"), seed) + lit(1L))
+      .cast("double") / lit(twoPow60)
+    docs.select(col(idCol).as("id"), weight.cast("double").as("w"))
+      .filter(col("w") > 0.0)
+      .withColumn("skey", org.apache.spark.sql.graft.NativeLn(u) / col("w"))
+      .orderBy(col("skey").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Deterministic k-per-stratum sample: the k documents with the
     * smallest (hash60(id, seed), id) per `strataCol` value — a fixed,
     * reproducible "random" sample per stratum (language, source,

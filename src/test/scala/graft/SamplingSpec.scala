@@ -121,4 +121,44 @@ class SamplingSpec extends SparkSpec {
     // growing the corpus never flips an existing doc's decision
     assert(half === full.intersect(halfSet))
   }
+
+  test("weightedSample: deterministic, partitioning-invariant, weight-biased") {
+    import graft.text.Sampling
+    import spark.implicits._
+    // 500 heavy (w=200) + 500 light (w=2) docs
+    val docs = (0L until 1000L).map(id =>
+      (id, if (id < 500) 200.0 else 2.0)).toDF("doc_id", "wt")
+    val a = Sampling.weightedSample(docs, "doc_id", col("wt"), 100, seed = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(docs.repartition(13), "doc_id",
+      col("wt"), 100, seed = 5).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "sample must not depend on partitioning")
+    // E-S guarantee: P(select) proportional to weight — with a 100:1
+    // weight ratio the 100-doc sample is overwhelmingly heavy docs
+    val heavy = a.count(_ < 500L)
+    assert(heavy >= 90, s"only $heavy/100 heavy docs at a 100:1 weight ratio")
+  }
+
+  test("weightedSample: non-positive weights are never drawn; k caps output") {
+    import graft.text.Sampling
+    import spark.implicits._
+    val docs = (0L until 50L).map(id =>
+      (id, if (id % 2 == 0) 1.0 else 0.0)).toDF("doc_id", "wt")
+    val got = Sampling.weightedSample(docs, "doc_id", col("wt"), 100)
+      .collect()
+    assert(got.length === 25, "only the 25 positive-weight docs are drawable")
+    assert(got.forall(_.getLong(0) % 2 == 0))
+    assert(Sampling.weightedSample(docs, "doc_id", col("wt"), 10)
+      .count() === 10L)
+  }
+
+  test("weightedSample plan: top-k heap, never a global sort") {
+    import graft.text.Sampling
+    import spark.implicits._
+    val docs = (0L until 100L).map(id => (id, 1.0)).toDF("doc_id", "wt")
+    val phys = Sampling.weightedSample(docs, "doc_id", col("wt"), 5)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrdered:\n$phys")
+  }
 }
