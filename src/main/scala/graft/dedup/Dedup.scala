@@ -945,6 +945,45 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cos"))
   }
+
+  /** SEMANTIC dedup — the embedding-space complement of the lexical
+    * [[dedupPipeline]] (the SemDeDup recipe: cluster the embedding
+    * space, drop all but one of each within-cluster near-identical
+    * group): [[embeddingDupPairs]] generates candidate pairs inside
+    * IVF cells only (never all-pairs — the cell count scales with the
+    * corpus so the per-cell pair space stays bounded),
+    * [[connectedComponents]] resolves transitive near-dup groups with
+    * the same sweep-materialized min-label loop every other dedup
+    * chain uses, and each group keeps its min-id representative as the
+    * cluster label.
+    *
+    * Output `(id, cluster)` is TOTAL over the input: vectors that pair
+    * with nothing — including zero-norm vectors, which have no defined
+    * cosine and are excluded from pairing — are their own cluster.
+    * Downstream keep-set selection is `filter(col(idCol) ===
+    * col("cluster"))`, the d10 convention.
+    *
+    * Scale: candidate generation is cell-bucketed, components are
+    * diameter-bounded sweeps over pairs (tiny for near-dup cliques),
+    * and the final restore join is on the component table — sized by
+    * DUPLICATED docs only, far below corpus size at realistic dup
+    * rates. `sweep` picks the per-sweep materialization medium for
+    * cluster runs ([[SweepCheckpoint]]).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, ncells: Int = 8, maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    val pairs = embeddingDupPairs(df, idCol, vecCol, threshold, ncells)
+      .select(col("d1"), col("d2"))
+    // private names: a caller's idCol may collide with the component
+    // table's output columns (the dedupPipeline convention)
+    val comps = connectedComponents(pairs, maxIter, sweep)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    df.select(col(idCol))
+      .join(comps, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__cc_label"), col(idCol)).as("cluster"))
+  }
 }
 
 /** Dense-vector column math. */

@@ -42,6 +42,15 @@ object PipelineQueries extends QueryPack {
       "doc_id", maxHamming = 4)
       .orderBy("d1", "d2")
 
+  // d13: semantic dedup — d6's IVF-cell cosine pairs resolved into
+  // transitive components (the SemDeDup shape); every vector gets a
+  // cluster, singletons their own. Same cell seeds/threshold as d6 so
+  // the two oracles share their candidate structure.
+  private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, ncells = 8)
+      .orderBy("vec_id")
+
   private def d6EmbeddingDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4)
       .orderBy("d1", "d2")
@@ -526,6 +535,7 @@ object PipelineQueries extends QueryPack {
     "d10_dedup_pipeline" -> (d10DedupPipeline _),
     "d11_incremental_dedup" -> (d11IncrementalDedup _),
     "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
+    "d13_semantic_dedup" -> (d13SemanticDedup _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -658,6 +668,33 @@ object PipelineQueries extends QueryPack {
         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
         |ORDER BY d1, d2""".stripMargin,
+    // d13: d6's pair CTEs + the d9-style reachability closure (min
+    // reachable id per node); the left join restores unpaired and
+    // zero-norm vectors as their own cluster.
+    "d13_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e0 WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cell, v FROM (
+        |    SELECT e0.vec_id, c.cell, e0.v,
+        |           row_number() OVER (PARTITION BY e0.vec_id ORDER BY
+        |             (list_dot_product(e0.v, e0.v) + list_dot_product(c.cv, c.cv)
+        |              - 2.0 * list_dot_product(e0.v, c.cv)) ASC, c.cell ASC) AS rn
+        |    FROM e0 CROSS JOIN cent c) WHERE rn = 1),
+        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0),
+        |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4),
+        |e AS (SELECT d1 AS s, d2 AS t FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r(a, b) AS (SELECT s, t FROM e
+        |            UNION SELECT r.a, e.t FROM r JOIN e ON r.b = e.s),
+        |m AS (SELECT a AS id, MIN(b) AS mb FROM r GROUP BY 1)
+        |SELECT e0.vec_id,
+        |       CAST(coalesce(least(m.id, m.mb), e0.vec_id) AS BIGINT) AS cluster
+        |FROM e0 LEFT JOIN m ON m.id = e0.vec_id
+        |ORDER BY e0.vec_id""".stripMargin,
     // Byte-based (hex over encode(text)) so the mirror matches the
     // kernel's UTF-8 payload bytes on non-ASCII text; LEFT JOIN keeps
     // empty payloads as (0, 0.0, 0.0, frames) rows like the kernel.

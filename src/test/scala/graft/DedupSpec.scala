@@ -343,4 +343,24 @@ class DedupSpec extends SparkSpec {
     // every increment id classified exactly once
     assert(out.keySet === Set(11L, 13L, 15L, 17L, 19L, 21L, 23L))
   }
+
+  test("semanticDedup: transitive components, total output, zero-norm singleton") {
+    import spark.implicits._
+    // 2-D vectors in one cell (ncells=1): ids 0/1/2 chain at 25-degree
+    // steps under a cos >= 0.9 threshold (0-1 and 1-2 pair, 0-2 does
+    // NOT — only transitivity links them), 3 points away, 4 is the
+    // zero vector (no defined cosine; must survive as its own cluster)
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val emb = Seq(
+      0L -> at(0), 1L -> at(25), 2L -> at(50),
+      3L -> Seq(-1.0, 0.0), 4L -> Seq(0.0, 0.0)
+    ).toDF("vec_id", "embedding")
+    val got = graft.dedup.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.9, ncells = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
+  }
 }
