@@ -236,6 +236,65 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
 
+  /** All ordered pairs with n-gram CONTAINMENT
+    * `|S(d1) ∩ S(d2)| / |S(d1)| >= threshold` — the ASYMMETRIC near-dup
+    * relation (a quote inside a book, boilerplate inside a page, a doc
+    * republished with extra framing) that symmetric Jaccard
+    * structurally misses when the container is much larger than the
+    * contained text: J = inter/union shrinks with the container's size
+    * while C(d1 -> d2) does not.
+    *
+    * Candidate generation is the one-sided prefix filter: only the
+    * CONTAINED side can be prefix-filtered (pigeonhole over d1's
+    * rarity-ranked prefix of |S1| - ceil(t|S1|) + 1 shingles — if none
+    * of them is in S2, more than (1-t)|S1| shingles are missing and C
+    * < t), while the container side contributes its full gram index —
+    * the [[graft.text.Decontaminate]] shape turned corpus-vs-self.
+    * Inside the join: the size bound |S2| >= t|S1| (the intersection
+    * cannot exceed |S2|) and the d2-style positional bound on the
+    * contained side's first shared prefix element (1 + |S1| - rank >=
+    * t|S1|). Verification is the same codegen'd sorted-merge
+    * intersection as d2; the division and threshold compare are
+    * cross-engine exact.
+    *
+    * Globally-unique grams are pruned from the prefix (they cannot
+    * match — recall unaffected); both directions of a pair are emitted
+    * independently when both qualify.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      .cache() // feeds ranking, the index side, and verification
+    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val pref = ex.join(freq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
+      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * threshold) + 1) &&
+        col("cnt") >= 2)
+      .select(col("id"), col("nsh"), col("g"), col("rn"))
+    val cand = pref.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
+          col("b.nsh") >= col("a.nsh") * threshold &&
+          (lit(1) + col("a.nsh") - col("a.rn")) >= col("a.nsh") * threshold)
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(first(col("a.nsh")).as("n1"))
+    cand
+      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
+      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .withColumn("inter",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
+      .withColumn("containment", col("inter").cast("double") / col("n1"))
+      .filter(col("containment") >= threshold)
+      .select(col("d1"), col("d2"), col("containment"))
+  }
+
   /** MinHash signature kernel: one seeded md5 digest per shingle yields
     * TWO independent members (hex chars 1-15 and 17-31 are independent
     * digest bits), halving the hashing. A compiled UDF rather than

@@ -32,6 +32,13 @@ object PipelineQueries extends QueryPack {
     Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.7)
       .orderBy("d1", "d2")
 
+  // d14: asymmetric containment pairs — |S1 ∩ S2|/|S1| >= 0.7 ordered
+  // pairs (quote/boilerplate detection); one-sided prefix filter on
+  // the contained side, full gram index on the container side.
+  private def d14Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text", 0.7)
+      .orderBy("d1", "d2")
+
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
@@ -536,6 +543,7 @@ object PipelineQueries extends QueryPack {
     "d11_incremental_dedup" -> (d11IncrementalDedup _),
     "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
     "d13_semantic_dedup" -> (d13SemanticDedup _),
+    "d14_containment" -> (d14Containment _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -618,6 +626,19 @@ object PipelineQueries extends QueryPack {
          |SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) AS jac
          |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+    // d14: exact logical statement — all shared-gram ordered pairs,
+    // containment = inter / |contained|; the Spark side owns the
+    // one-sided prefix-filter scale shape.
+    "d14_containment" ->
+      s"""WITH $SH_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS DOUBLE)/s1.nsh AS containment
+         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+         |WHERE CAST(inter AS DOUBLE)/s1.nsh >= 0.7
          |ORDER BY d1, d2""".stripMargin,
     "d3_dedup_minhash_lsh" ->
       s"""WITH $SH_CTE,

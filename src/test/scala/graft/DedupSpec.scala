@@ -344,6 +344,27 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet === Set(11L, 13L, 15L, 17L, 19L, 21L, 23L))
   }
 
+  test("containmentPairs: asymmetric, planted containment found, threshold exact") {
+    import spark.implicits._
+    val words = (0 until 30).map(i => s"w$i")
+    val big = words.mkString(" ")                   // 28 3-grams
+    val quote = words.slice(10, 18).mkString(" ")   // 6 3-grams, all in big
+    val other = (0 until 10).map(i => s"z$i").mkString(" ")
+    val docs = Seq(1L -> big, 2L -> quote, 3L -> other).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quote ⊂ big: C(2 -> 1) = 1.0; the reverse is 6/28 and must NOT
+    // appear — the relation is asymmetric; `other` shares nothing
+    assert(got === Map((2L, 1L) -> 1.0))
+    // exact agreement with the brute-force definition at a low
+    // threshold (prefix filter is candidate-complete)
+    val lo = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lo((2L, 1L)) === 1.0)
+    assert(lo((1L, 2L)) === 6.0 / 28.0)
+    assert(!lo.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("semanticDedup: transitive components, total output, zero-norm singleton") {
     import spark.implicits._
     // 2-D vectors in one cell (ncells=1): ids 0/1/2 chain at 25-degree
