@@ -104,7 +104,7 @@ object ProductQuantize {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           p => p.getField("m")).as("nc"))
       cent = Dedup.sweepMaterialize(
-        cent.join(means, Seq("sub", "cell"), "left")
+        cent.join(broadcast(means), Seq("sub", "cell"), "left")
           .select(col("sub"), col("cell"),
             coalesce(col("nc"), col("cv")).as("cv")),
         sweep, i)
@@ -127,7 +127,12 @@ object ProductQuantize {
       Quantize.int8Codes(
         emb.filter(col(idCol) === queryId), idCol, vecCol), nsub)
       .select(col("sub"), col("sv").as("qv"))
-    val dt = qsub.join(cent, "sub")
+    // explicit hint: cent is literal-sized (nsub x kcent rows) but its
+    // checkpointed-plan size ESTIMATE is timing-dependent, and an
+    // auto-broadcast decision that falls to sort-merge would sort both
+    // sides for a 32-row join (found as a plan-spec flake under
+    // full-suite memory pressure)
+    val dt = qsub.join(broadcast(cent), "sub")
       .withColumn("d", Vec.sqDist(col("qv"), col("cv")))
       .select(col("sub"), col("cell"), col("d"))
     codeTab.join(broadcast(dt), Seq("sub", "cell"))

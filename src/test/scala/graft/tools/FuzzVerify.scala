@@ -25,7 +25,9 @@ object FuzzVerify {
     "p2_split_assign", "p3_mixture_sample",
     "t12_stratified_sample", "t13_unigram_surprisal",
     "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal",
-    "t17_kmv_distinct", "t18_vocab_overlap")
+    "t17_kmv_distinct", "t18_vocab_overlap", "t19_cms_heavy_hitters",
+    "d12_bloom_decontaminate", "d13_semantic_dedup", "d14_containment",
+    "p4_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")

@@ -35,7 +35,9 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "p2_split_assign", "p3_mixture_sample",
            "t12_stratified_sample", "t13_unigram_surprisal",
            "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal",
-           "t17_kmv_distinct", "t18_vocab_overlap"]
+           "t17_kmv_distinct", "t18_vocab_overlap", "t19_cms_heavy_hitters",
+           "d12_bloom_decontaminate", "d13_semantic_dedup",
+           "d14_containment", "p4_weighted_sample"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
