@@ -211,14 +211,27 @@ object Relational extends QueryPack {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"),
         datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("o_day"))
-    val li = t(s, dir, "lineitem")
-      .select(col("l_quantity"),
-        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+    // EAGER AGGREGATION below the interval join: the per-order rollup
+    // needs only per-ship-day partials (a count and an exact decimal
+    // sum — both reassociate exactly), so lineitem collapses to one
+    // row per distinct ship day BEFORE bucket expansion. The matched
+    // intermediate becomes |orders| x <= (window/bucket + 1) day rows,
+    // independent of per-day item density — joining raw items instead
+    // grows with density^2 when more data lands on the same date range
+    // (measured 18x runtime at the 10x same-range sf1 stress before
+    // this collapse; ~1.44B matched item pairs vs ~600k day pairs).
+    val liDay = t(s, dir, "lineitem")
+      .select(
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"),
+        dec(col("l_quantity")).as("qd"))
+      .groupBy("ship_day")
+      .agg(count(lit(1)).as("day_cnt"), sum(col("qd")).as("day_qty"))
       .withColumn("ship_end", col("ship_day") + lit(2L))
     graft.functions.ScaleJoins
-      .intervalJoin(ord, "o_day", li, "ship_day", "ship_end", bucketWidth = 2L)
+      .intervalJoin(ord, "o_day", liDay, "ship_day", "ship_end", bucketWidth = 2L)
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_shipped"), sumd(col("l_quantity")).as("sum_qty"))
+      .agg(sum(col("day_cnt")).as("n_shipped"),
+        sum(col("day_qty")).cast("double").as("sum_qty"))
       .orderBy("o_orderkey")
   }
 
