@@ -688,6 +688,58 @@ object StreamingOps {
       .agg(org.apache.spark.sql.graft.CmsSketch(col("bk"), depth, width)
         .as("grid"))
 
+  /** Streaming decontamination: score each arriving micro-batch of
+    * corpus documents against a FIXED benchmark set — the
+    * decontamination-service shape (the eval suite is static; the
+    * corpus is a feed). STATELESS by construction: a document's report
+    * depends only on its own grams and the static benchmark, so
+    * batch == stream under ANY batch split, with no cross-batch state,
+    * watermark, or ordering requirement — which is why this is a
+    * foreachBatch module (the broker shape) rather than a stateful
+    * operator.
+    *
+    * The benchmark is summarized ONCE at module build: its exploded
+    * gram table is cached (the exact verify side) and its Bloom filter
+    * is collected (the d12 prune — per batch, non-candidate corpus
+    * grams die inside the scan's whole-stage codegen and the per-batch
+    * join carries candidates only, so a high-rate feed pays the bloom
+    * probe, not a gram shuffle). Emits the d7/d12 report columns
+    * (doc_id, n_matched_grams, n_bench_docs, contaminated) per batch.
+    */
+  def streamingDecontaminateModule(bench: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double = 0.01,
+      maxBloomBytes: Long = 32L << 20): DataFrame => DataFrame = {
+    import org.apache.spark.sql.graft.{BloomAgg, BloomMightContain, GraftBloom}
+    val benchGrams = bench.select(
+        graft.dedup.Dedup.shingles(col(textCol), n).as("gs"),
+        col(idCol).as("bench_id"))
+      .select(explode(col("gs")).as("g"), col("bench_id"))
+      .cache()
+    // row count upper-bounds the distinct gram count — oversizing the
+    // filter only lowers its fpp (and materializes the cache)
+    val ng = math.max(1L, benchGrams.count())
+    val (numBits, numHashes) = GraftBloom.size(ng, fpp, maxBloomBytes)
+    val bloomBytes = benchGrams
+      .select(BloomAgg(xxhash64(col("g")), numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (batch: DataFrame) => {
+      val base = batch.select(col(idCol).as("doc_id"),
+        graft.dedup.Dedup.shingles(col(textCol), n).as("gs"))
+      val pruned = base.select(col("doc_id"), explode(col("gs")).as("g"))
+        .filter(BloomMightContain(lit(bloomBytes), xxhash64(col("g"))))
+      val matched = pruned.join(benchGrams, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_matched_grams"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+      base.select(col("doc_id"))
+        .join(matched, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
+          coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+          (coalesce(col("n_matched_grams"), lit(0L)) > 0).as("contaminated"))
+    }
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserState(n: Long, maxValue: Double)
 

@@ -451,6 +451,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got2 === batch, "slicing-B (reversed) replay diverged from the batch twin")
   }
 
+  test("streaming decontamination: per-batch reports union to the batch d7/d12 report") {
+    import graft.streaming.AlertPipeline
+    val docs = Tables.t(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("decon-stream").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+
+    val module = StreamingOps.streamingDecontaminateModule(
+      bench, "doc_id", "text", n = 4)
+    val outputs = new ConcurrentLinkedQueue[Array[org.apache.spark.sql.Row]]()
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = AlertPipeline.runOnce(stream, module,
+      (batch, _) => outputs.add(batch.collect()))
+    q.awaitTermination(300000)
+
+    val got = outputs.toArray(Array.empty[Array[org.apache.spark.sql.Row]])
+      .flatten.map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val exact = graft.text.Decontaminate.flags(docs, "doc_id", "text",
+      col("doc_id") % 97 === 0, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(outputs.size() >= 2, "expected several micro-batches")
+    assert(got === exact,
+      "stateless per-batch reports must union to the batch report")
+    assert(exact.values.exists(_._3), "fixture should contain contamination")
+  }
+
   test("mapGroupsWithState running stats: final state equals batch aggregate") {
     val schema = spark.read.parquet(streamDir).schema
     val stream = spark.readStream.schema(schema)
