@@ -103,6 +103,20 @@ object PipelineQueries extends QueryPack {
       .select(col("id").as("vec_id"), col("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
 
+  // s10: batched IVF-PQ — the full IVFADC system over a query TABLE
+  // (every 50th vector): cell routing prunes WHICH vectors each query
+  // scores, PQ codes prune WHAT is read to score them; probe list and
+  // per-query distance tables broadcast, candidates equi-join the
+  // routing cell, ranking partitions by query over cell-bounded sets.
+  private def s10IvfPqBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.sim.ProductQuantize.ivfPqTopKAll(e, "vec_id", "embedding",
+        e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 5, ncells = 8, nprobe = 2, nsub = 4, kcent = 8, iters = 2)
+      .select(col("qid"), col("id").as("vec_id"), col("adist"))
+      .orderBy("qid", "vec_id")
+  }
+
   // s9: ADC-then-exact re-rank (IVFADC+R refinement) — the ADC pass
   // nominates a 3x short list from codes alone; only those 30 vectors
   // are re-scored exactly (candidate ids broadcast onto the corpus as
@@ -553,6 +567,7 @@ object PipelineQueries extends QueryPack {
     "s7_kmeans_cells" -> (s7Kmeans _),
     "s8_pq_adc" -> (s8PqAdc _),
     "s9_pq_rerank" -> (s9PqRerank _),
+    "s10_ivfpq_batch" -> (s10IvfPqBatch _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -934,6 +949,7 @@ object PipelineQueries extends QueryPack {
     "s7_kmeans_cells" -> s7KmeansSql(8, 3),
     "s8_pq_adc" -> s8PqSql(4, 8, 2, 10),
     "s9_pq_rerank" -> s9PqRerankSql(4, 8, 2, 10, 30),
+    "s10_ivfpq_batch" -> s10IvfPqSql(4, 8, 2, 5, 8, 2),
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -1675,10 +1691,70 @@ object PipelineQueries extends QueryPack {
        |FROM cand c JOIN c0 x ON x.vec_id = c.vec_id, qv
        |ORDER BY dist, c.vec_id LIMIT $k""".stripMargin
 
-  /** The shared ADC WITH-chain: int8 quantize, subvector slice,
-    * per-subspace Lloyd training, the query's distance table, and the
+  /** The shared ADC WITH-chain for the SINGLE-query (vec_id 0) ops:
+    * [[pqTrainCtes]] plus the query's distance table and the
     * per-vector sub-ordered lookup lists (`sc(vec_id, ds)`). */
-  private def pqAdcCtes(nsub: Int, kcent: Int, iters: Int): String = {
+  private def pqAdcCtes(nsub: Int, kcent: Int, iters: Int): String =
+    s"""${pqTrainCtes(nsub, kcent, iters)},
+       |qs AS (SELECT sb, sv AS qv FROM sub WHERE vec_id = 0),
+       |dt AS (SELECT c.sb, c.cell,
+       |         (list_dot_product(q.qv, q.qv) + list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(q.qv, c.cv)) AS d
+       |       FROM cent$iters c JOIN qs q ON q.sb = c.sb),
+       |sc AS (SELECT af.vec_id, list(dt.d ORDER BY af.sb) AS ds
+       |       FROM af JOIN dt ON af.sb = dt.sb AND af.cell = dt.cell
+       |       GROUP BY 1)""".stripMargin
+
+  /** s10 oracle: [[pqTrainCtes]]'s codebooks/encodings + the raw-vector
+    * IVF routing (the d6 cell CTEs, nprobe-ranked per query) + a
+    * per-query ADC distance table; candidates are the probed cells'
+    * members, scored by the sub-ordered fold and ranked per query.
+    */
+  private def s10IvfPqSql(nsub: Int, kcent: Int, iters: Int, k: Int,
+      ncells: Int, nprobe: Int): String =
+    s"""${pqTrainCtes(nsub, kcent, iters)},
+       |icent AS (SELECT vec_id AS icell, v AS icv FROM e WHERE vec_id < $ncells),
+       |iasg AS (
+       |  SELECT vec_id, icell FROM (
+       |    SELECT e.vec_id, c.icell,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             (list_dot_product(e.v, e.v) + list_dot_product(c.icv, c.icv)
+       |              - 2.0 * list_dot_product(e.v, c.icv)) ASC, c.icell ASC) AS rn
+       |    FROM e CROSS JOIN icent c) WHERE rn = 1),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |qprobe AS (
+       |  SELECT qid, icell FROM (
+       |    SELECT q.qid, c.icell,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             (list_dot_product(q.qv, q.qv) + list_dot_product(c.icv, c.icv)
+       |              - 2.0 * list_dot_product(q.qv, c.icv)) ASC, c.icell ASC) AS rn
+       |    FROM qv q CROSS JOIN icent c) WHERE rn <= $nprobe),
+       |qsub AS (SELECT vec_id AS qid, sb, sv AS qsv FROM sub WHERE vec_id % 50 = 0),
+       |qdt AS (SELECT qs.qid, c.sb, c.cell,
+       |          (list_dot_product(qs.qsv, qs.qsv) + list_dot_product(c.cv, c.cv)
+       |           - 2.0 * list_dot_product(qs.qsv, c.cv)) AS d
+       |        FROM cent$iters c JOIN qsub qs ON qs.sb = c.sb),
+       |cand AS (SELECT p.qid, a.vec_id FROM iasg a
+       |         JOIN qprobe p ON a.icell = p.icell
+       |         WHERE a.vec_id <> p.qid),
+       |sc2 AS (SELECT c.qid, af.vec_id, list(q.d ORDER BY af.sb) AS ds
+       |        FROM cand c
+       |        JOIN af ON af.vec_id = c.vec_id
+       |        JOIN qdt q ON q.qid = c.qid AND q.sb = af.sb AND q.cell = af.cell
+       |        GROUP BY 1, 2)
+       |SELECT qid, vec_id, adist FROM (
+       |  SELECT qid, vec_id,
+       |         ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} AS adist,
+       |         row_number() OVER (PARTITION BY qid ORDER BY
+       |           ${(1 to nsub).map(i => s"ds[$i]").mkString(" + ")} ASC,
+       |           vec_id ASC) AS rk
+       |  FROM sc2)
+       |WHERE rk <= $k ORDER BY qid, vec_id""".stripMargin
+
+  /** The PQ TRAINING WITH-chain: int8 quantize, subvector slice,
+    * per-subspace Lloyd codebooks (`cent<iters>`), and the final
+    * corpus encoding (`af(vec_id, sb, cell)`). */
+  private def pqTrainCtes(nsub: Int, kcent: Int, iters: Int): String = {
     def assign(name: String, cent: String): String =
       s"""$name AS (
          |  SELECT vec_id, sb, sv, cell FROM (
@@ -1717,15 +1793,7 @@ object PipelineQueries extends QueryPack {
        |  FROM c0, (SELECT unnest(range(0, $nsub)) AS sb)),
        |cent0 AS (SELECT sb, vec_id AS cell, sv AS cv FROM sub WHERE vec_id < $kcent),
        |$steps,
-       |${assign("af", s"cent$iters")},
-       |qs AS (SELECT sb, sv AS qv FROM sub WHERE vec_id = 0),
-       |dt AS (SELECT c.sb, c.cell,
-       |         (list_dot_product(q.qv, q.qv) + list_dot_product(c.cv, c.cv)
-       |          - 2.0 * list_dot_product(q.qv, c.cv)) AS d
-       |       FROM cent$iters c JOIN qs q ON q.sb = c.sb),
-       |sc AS (SELECT af.vec_id, list(dt.d ORDER BY af.sb) AS ds
-       |       FROM af JOIN dt ON af.sb = dt.sb AND af.cell = dt.cell
-       |       GROUP BY 1)""".stripMargin
+       |${assign("af", s"cent$iters")}""".stripMargin
   }
 
   private def s7KmeansSql(ncells: Int, iters: Int): String = {

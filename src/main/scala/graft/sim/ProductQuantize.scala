@@ -148,6 +148,83 @@ object ProductQuantize {
       .limit(k)
   }
 
+  /** Batched IVF-PQ search — the two halves of the corpus-scale ANN
+    * index composed (Jégou et al.'s full IVFADC system, batched over a
+    * query TABLE like [[Similarity.ivfTopKAll]]): IVF cell routing
+    * prunes WHICH vectors each query scores (corpus/ncells per probe
+    * on average), product quantization prunes WHAT is read to score
+    * them (nsub one-byte codes, never the float vector).
+    *
+    * Plan shape per batch: the per-query probe list (qid, cell — two
+    * longs per row) and the per-query ADC distance tables (|Q| x nsub
+    * x kcent fixed-width rows — exactly sizeable from the query count
+    * alone, no dim term) broadcast onto the corpus, so candidate
+    * generation is a map-side equi-join on the routing cell, scoring
+    * is map-side lookups, and the only wide exchange is the (qid, id)
+    * hash aggregate folding the nsub lookups — nothing corpus-sized
+    * shuffles, and the window ranking partitions by query over
+    * cell-bounded candidate sets, never the corpus. Above the
+    * query-count gate both broadcasts fall back to a pinned sort-merge
+    * (the s5/s6 convention; one eager count, skipped via
+    * `knownQueryCount`).
+    *
+    * Exactness: routing mirrors [[Similarity.assignCells]]'s
+    * argmin-sqDist-ties-to-lowest-cell; scoring is the s8 sub-ordered
+    * left-fold; ranking ties break on (adist, id) — all
+    * engine-mirrorable term-for-term.
+    */
+  def ivfPqTopKAll(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, ncells: Int = 8, nprobe: Int = 2,
+      nsub: Int = 4, kcent: Int = 8, iters: Int = 2,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local,
+      maxBroadcastQueries: Long = 1L << 16,
+      knownQueryCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val icent = e.filter(col("id") < ncells)
+      .select(col("id").as("icell"), col("v").as("icv"))
+    val corpusCells = graft.sim.Similarity
+      .assignCells(emb, idCol, vecCol, ncells)
+      .select(col("id"), col("cell").as("icell"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qv"))
+    val qprobe = q.join(broadcast(icent))
+      .withColumn("d", Vec.sqDist(col("qv"), col("icv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d").asc, col("icell").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("icell"))
+    val (cent, codeTab) = train(emb, idCol, vecCol, nsub, kcent, iters, sweep)
+    val qsub = subCodes(Quantize.int8Codes(queries, qidCol, qvecCol), nsub)
+      .select(col("id").as("qid"), col("sub"), col("sv").as("qsv"))
+    val dt = qsub.join(broadcast(cent), "sub")
+      .withColumn("d", Vec.sqDist(col("qsv"), col("cv")))
+      .select(col("qid"), col("sub"), col("cell"), col("d"))
+    val nq =
+      if (knownQueryCount >= 0L) knownQueryCount
+      else q.agg(count(lit(1))).head().getLong(0)
+    val fits = nq <= maxBroadcastQueries
+    val probeSide = if (fits) broadcast(qprobe) else qprobe.hint("merge")
+    val dtSide = if (fits) broadcast(dt) else dt.hint("merge")
+    corpusCells.join(probeSide, "icell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"))
+      .join(codeTab, "id")
+      .join(dtSide, Seq("qid", "sub", "cell"))
+      .groupBy(col("qid"), col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("d")))),
+        p => p.getField("d")).as("ds"))
+      .withColumn("adist",
+        (1 to nsub).map(i => element_at(col("ds"), i)).reduce(_ + _))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("id"), col("adist"))
+  }
+
   /** ADC-then-exact re-rank (the refinement stage of Jégou et al.'s
     * IVFADC+R): [[pqTopK]] nominates a `rerank`-sized short list from
     * codes alone, then ONLY those candidates' stored vectors are

@@ -86,6 +86,32 @@ class ProductQuantizeSpec extends SparkSpec {
       s"corpus shuffle in the re-rank plan:\n$phys")
   }
 
+  test("batched IVF-PQ routes each query to its pattern cell; copies score 0") {
+    val queries = clustered.filter(col("vec_id") < 8)
+    val got = ProductQuantize.ivfPqTopKAll(clustered, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 4, ncells = 8, nprobe = 1,
+      nsub = 4, kcent = 8, iters = 2).collect()
+    // each pattern query's own cell holds its 4 other copies, all at
+    // ADC distance 0 (Lloyd converges each (sub, cell) onto its pattern)
+    assert(got.length === 8 * 4)
+    got.foreach { r =>
+      assert(r.getLong(1) % 8 === r.getLong(0) % 8,
+        s"query ${r.getLong(0)} matched another pattern's vector ${r.getLong(1)}")
+      assert(r.getDouble(2) === 0.0)
+    }
+  }
+
+  test("batched IVF-PQ: sort-merge fallback above the query gate is identical") {
+    val queries = clustered.filter(col("vec_id") < 8)
+    def run(maxQ: Long) = ProductQuantize.ivfPqTopKAll(clustered, "vec_id",
+      "embedding", queries, "vec_id", "embedding", k = 3, ncells = 8,
+      nprobe = 2, nsub = 4, kcent = 8, iters = 1,
+      maxBroadcastQueries = maxQ)
+      .orderBy("qid", "id").collect().map(_.toSeq)
+    assert(run(1L << 16) === run(0L),
+      "broadcast and merge-fallback paths must agree")
+  }
+
   test("rerank window below k is rejected") {
     val ex = intercept[IllegalArgumentException] {
       ProductQuantize.pqTopKRerank(clustered, "vec_id", "embedding",
