@@ -199,6 +199,18 @@ object Relational extends QueryPack {
         col("n"), col("sum_qty"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  // q21: pivot — long-to-wide reshaping with an EXPLICIT value list
+  // (pivot without one pays a distinct-scan to discover columns, and
+  // an unbounded value set is a schema-explosion hazard at scale);
+  // compiles to ONE pass with conditional aggregates, not one scan
+  // per pivot value. Exact decimal sums keep the cells hash-stable.
+  private def q21Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sumd(col("l_quantity")))
+      .orderBy("l_linestatus")
+
   // q20: point-in-interval join — each URGENT order's date against the
   // 2-day ship window [l_shipdate, l_shipdate + 2d) of every lineitem.
   // A raw range theta-join gives Catalyst no equi-key and compiles to
@@ -252,7 +264,8 @@ object Relational extends QueryPack {
     "q14_regexp_extract" -> (q14RegexpExtract _),
     "q15_boolean_dnf" -> (q15BooleanDnf _),
     "q18_rollup" -> (q18Rollup _),
-    "q20_interval_join" -> (q20IntervalJoin _))
+    "q20_interval_join" -> (q20IntervalJoin _),
+    "q21_pivot" -> (q21Pivot _))
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -352,5 +365,13 @@ object Relational extends QueryPack {
          |FROM orders JOIN lineitem
          |ON o_orderdate >= l_shipdate AND o_orderdate < l_shipdate + INTERVAL 2 DAY
          |WHERE o_orderpriority = '1-URGENT'
-         |GROUP BY 1 ORDER BY 1""".stripMargin)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q21: pivot = conditional aggregation; Spark names single-agg
+    // pivot columns by the bare pivot value.
+    "q21_pivot" ->
+      s"""SELECT l_linestatus,
+         |CAST(SUM(${sqlDec("l_quantity")}) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
+         |CAST(SUM(${sqlDec("l_quantity")}) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
+         |CAST(SUM(${sqlDec("l_quantity")}) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 }
