@@ -36,6 +36,39 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Event-time SESSION windows via the native `session_window` — the
+    * variable-length window family (windowedCounts covers the
+    * fixed-length one): a key's session extends while events keep
+    * arriving within `gap` of the session's current end, and the
+    * watermark closes and emits sessions whose end has passed — so
+    * state is O(open sessions), the dynamic analog of the tumbling
+    * case. This is the STREAMING twin of q16's batch sessionization;
+    * semantics note: session ends are EXCLUSIVE (an event at exactly
+    * `last + gap` starts a new session), one tick stricter than q16's
+    * lag formulation which merges at gap == 1800 s — the spec pins
+    * the equivalence under the session_window convention.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Batch twin of [[sessionCounts]] (same plan minus the watermark). */
+  def sessionCountsBatch(events: DataFrame, tsCol: String,
+      keyCol: String, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol),
+        col("n"), col("sum_value"))
+
   /** `simhash` rides along so a near-dup stage can chain downstream of
     * the exact dedup without recovering it from the fingerprint
     * (0 when the input carries no simhash column). Emission schema

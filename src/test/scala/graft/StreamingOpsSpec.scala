@@ -451,6 +451,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got2 === batch, "slicing-B (reversed) replay diverged from the batch twin")
   }
 
+  test("session windows: stream emits a subset of batch; batch equals lag sessionization") {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = StreamingOps.sessionCounts(stream, "ts", "user_id")
+      .writeStream.format("memory").queryName("sess_counts")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("sess_counts").collect().map(keyOf).toSet
+    val batchDf = StreamingOps.sessionCountsBatch(
+      spark.read.parquet(streamDir), "ts", "user_id")
+    val batch = batchDf.collect().map(keyOf).toSet
+    assert(got.nonEmpty, "no sessions closed — watermark never advanced")
+    assert(got.subsetOf(batch),
+      "stream emitted a session batch mode disagrees with")
+
+    // cross-implementation: native session_window session COUNTS per
+    // user equal the q16-style lag sessionization under the
+    // session_window convention (gap >= 1800 s breaks — exclusive end)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val lagged = spark.read.parquet(streamDir)
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("ts_s"))
+      .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") >= 1800L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = batchDf.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === lagged,
+      "native session_window must sessionize like the lag formulation")
+  }
+
   test("streaming decontamination: per-batch reports union to the batch d7/d12 report") {
     import graft.streaming.AlertPipeline
     val docs = Tables.t(spark, sf, "documents")
