@@ -182,11 +182,41 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds frequency ranking, candidate join, and verification
     ngramJaccardCore(sets, threshold)
+  }
+
+  /** The (id, sh: sorted array<long>, nsh) base relation of the
+    * prefix-filtered pair operators (d2/d14); empty shingle sets are
+    * dropped (no grams — cannot pair). Callers own caching. */
+  private def hashedSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+
+  /** The shared prefix-filter scaffolding of d2/d14: the exploded gram
+    * table and each doc's rarity-ranked PREFIX — the first
+    * |S| - ceil(t|S|) + 1 shingles in global (frequency, value) order,
+    * with globally-unique shingles pruned (they cannot match in any
+    * candidate join; recall unaffected). The pigeonhole argument is
+    * the same for both consumers: a qualifying pair must share a
+    * prefix element of the (smaller/contained) side. Returns
+    * (ex, pref); callers own caching.
+    */
+  private def rarityPrefix(sets: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val pref = ex.join(freq, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
+      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * threshold) + 1) &&
+        col("cnt") >= 2)
+      .select(col("id"), col("nsh"), col("g"), col("rn"))
+    (ex, pref)
   }
 
   /** d2's engine over a pre-built (id, sh: sorted array<long>, nsh)
@@ -194,18 +224,7 @@ object Dedup {
     * one [[shingleSets]] materialization instead of a private cache.
     */
   private def ngramJaccardCore(sets: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
-    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    // rank shingles per document by global rarity (position among ALL of
-    // the doc's shingles), keep the prefix, then drop globally-unique
-    // shingles — they cannot match in the self-join (recall unaffected)
-    val pref = ex.join(freq, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
-      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * threshold) + 1) &&
-        col("cnt") >= 2)
-      .select(col("id"), col("nsh"), col("g"), col("rn"))
+    val pref = rarityPrefix(sets, threshold)._2
       .cache() // both sides of the candidate self-join
     // inside the join: size-compatibility (jac >= t forces
     // min size >= t * max size) and the positional overlap upper bound
@@ -265,20 +284,9 @@ object Dedup {
       threshold: Double, n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    val sets = df.select(col(idCol).as("id"),
-        hashedShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds ranking, the index side, and verification
-    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
-    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-    val pref = ex.join(freq, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
-      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * threshold) + 1) &&
-        col("cnt") >= 2)
-      .select(col("id"), col("nsh"), col("g"), col("rn"))
+    val (ex, pref) = rarityPrefix(sets, threshold)
     val cand = pref.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
           col("b.nsh") >= col("a.nsh") * threshold &&

@@ -764,12 +764,7 @@ object StreamingOps {
         .groupBy("doc_id")
         .agg(countDistinct(col("g")).as("n_matched_grams"),
           countDistinct(col("bench_id")).as("n_bench_docs"))
-      base.select(col("doc_id"))
-        .join(matched, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
-          coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
-          (coalesce(col("n_matched_grams"), lit(0L)) > 0).as("contaminated"))
+      graft.text.Decontaminate.report(base.select(col("doc_id")), matched)
     }
   }
 

@@ -103,13 +103,14 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_matched_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-    report(base, matched)
+    report(base.filter(!col("is_bench")).select(col("doc_id")), matched)
   }
 
-  /** The shared output tail: restore zero-match docs via a left join so
-    * the report is total (1:1 with the non-benchmark corpus). */
-  private def report(base: DataFrame, matched: DataFrame): DataFrame =
-    base.filter(!col("is_bench")).select(col("doc_id"))
+  /** The shared output tail (also the streaming module's): restore
+    * zero-match docs via a left join so the report is total — 1:1 with
+    * `corpusIds` (a single-column doc_id relation). */
+  private[graft] def report(corpusIds: DataFrame, matched: DataFrame): DataFrame =
+    corpusIds
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matched_grams"), lit(0L)).as("n_matched_grams"),
@@ -181,6 +182,6 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(countDistinct(col("g")).as("n_matched_grams"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
-    report(base, matched)
+    report(base.filter(!col("is_bench")).select(col("doc_id")), matched)
   }
 }

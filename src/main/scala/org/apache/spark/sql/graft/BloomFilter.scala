@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{AbstractDataType, BinaryType, BooleanType, Da
   * `xxhash64(col)`), so the mixer only needs to decorrelate the k
   * probes, not build entropy.
   *
-  * Wire format (little-endian ByteBuffer default = big-endian Java):
+  * Wire format (ByteBuffer's big-endian default):
   * Int numHashes, Long numBits, then ceil(numBits/64) longs of bits.
   * A ZERO-bit filter (numBits=0, no words) is the canonical "empty
   * set" value: contains() is always false.
@@ -70,10 +70,20 @@ object GraftBloom {
   }
 
   def deserialize(bytes: Array[Byte]): BloomProbe = {
+    // validated: bloom_might_contain is SQL-reachable, so a malformed
+    // binary must fail as "not a bloom filter", not as a raw
+    // BufferUnderflow/ArrayIndexOutOfBounds from inside a task
+    require(bytes.length >= 12 && (bytes.length - 12) % 8 == 0,
+      s"not a serialized bloom filter: ${bytes.length} bytes " +
+        "(expected 4 + 8 + 8k)")
     val bb = ByteBuffer.wrap(bytes)
     val numHashes = bb.getInt
     val numBits = bb.getLong
     val words = new Array[Long]((bytes.length - 12) / 8)
+    require(numHashes >= 0 && numHashes <= 64 && numBits >= 0 &&
+        numBits <= 64L * words.length,
+      s"corrupt bloom filter header: numHashes=$numHashes, " +
+        s"numBits=$numBits over ${words.length} words")
     var i = 0
     while (i < words.length) { words(i) = bb.getLong; i += 1 }
     new BloomProbe(numHashes, numBits, words)

@@ -75,8 +75,10 @@ object GraftFunctions {
           case _ => throw new IllegalArgumentException(
             s"bloom_agg's $what must be an integer literal")
         }
-        BloomAgg(args(0), longLit(args(1), "numBits"),
-          longLit(args(2), "numHashes").toInt)
+        val nh = longLit(args(2), "numHashes")
+        require(nh >= 1L && nh <= 64L,
+          s"bloom_agg's numHashes must be in [1,64], got $nh")
+        BloomAgg(args(0), longLit(args(1), "numBits"), nh.toInt)
       }),
     binary("bloom_might_contain", classOf[BloomMightContain],
       BloomMightContain.apply))
