@@ -69,6 +69,48 @@ object StreamingOps {
         col("session_window.end").as("session_end"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** STREAM-STREAM interval join — the two-moving-sides member of the
+    * §2.6 family (windowedCounts/sessionCounts aggregate one stream;
+    * streamingDecontaminate joins stream-to-static; this joins
+    * stream-to-STREAM): each left event matches right events of the
+    * same key whose event time falls in `[ts - within, ts]`. Both
+    * sides carry watermarks and the join condition carries the
+    * time-range bound — together they let Spark GC buffered rows
+    * (state is O(events inside the watermark+interval horizon), not
+    * O(stream length)); without the time bound a stream-stream join's
+    * state grows forever, which is why the operator REQUIRES the
+    * interval rather than exposing a general theta-join.
+    *
+    * Inner-join semantics: every match is emitted once both sides
+    * have arrived; with replay inside the watermark the final emission
+    * set equals the batch twin (spec-pinned). Column names must be
+    * disjoint across sides (the [[graft.functions.ScaleJoins
+    * .intervalJoin]] convention).
+    */
+  def streamStreamIntervalJoin(left: DataFrame, lTsCol: String,
+      right: DataFrame, rTsCol: String, keyCols: (String, String),
+      within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val (lk, rk) = keyCols
+    left.withWatermark(lTsCol, watermark)
+      .join(right.withWatermark(rTsCol, watermark),
+        col(lk) === col(rk) &&
+          col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $within") &&
+          col(rTsCol) <= col(lTsCol))
+  }
+
+  /** Batch twin of [[streamStreamIntervalJoin]] (same predicate, no
+    * watermarks). */
+  def streamStreamIntervalJoinBatch(left: DataFrame, lTsCol: String,
+      right: DataFrame, rTsCol: String, keyCols: (String, String),
+      within: String = "1 hour"): DataFrame = {
+    val (lk, rk) = keyCols
+    left.join(right,
+      col(lk) === col(rk) &&
+        col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $within") &&
+        col(rTsCol) <= col(lTsCol))
+  }
+
   /** `simhash` rides along so a near-dup stage can chain downstream of
     * the exact dedup without recovering it from the fingerprint
     * (0 when the input carries no simhash column). Emission schema

@@ -491,6 +491,41 @@ class StreamingOpsSpec extends SparkSpec {
       "native session_window must sessionize like the lag formulation")
   }
 
+  test("stream-stream interval join: final emissions equal the batch twin") {
+    val schema = spark.read.parquet(streamDir).schema
+    def side(name: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val clicks = side("l").filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = side("r").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("pts"), col("value").as("p_value"))
+    val joined = StreamingOps.streamStreamIntervalJoin(
+      clicks, "ts", purchases, "pts", ("user_id", "p_user_id"))
+    val q = joined.select("event_id", "p_event_id")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val got = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val all = spark.read.parquet(streamDir)
+    val bl = all.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val br = all.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
+        col("ts").as("pts"), col("value").as("p_value"))
+    val batch = StreamingOps.streamStreamIntervalJoinBatch(
+      bl, "ts", br, "pts", ("user_id", "p_user_id"))
+      .select("event_id", "p_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture should produce click-purchase matches")
+    assert(got === batch,
+      "inner stream-stream join must emit exactly the batch match set")
+  }
+
   test("streaming decontamination: per-batch reports union to the batch d7/d12 report") {
     import graft.streaming.AlertPipeline
     val docs = Tables.t(spark, sf, "documents")
