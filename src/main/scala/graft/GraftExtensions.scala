@@ -12,6 +12,10 @@ import org.apache.spark.sql.graft.GraftFunctions
   * Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    // whole-operator surface: the heap-based per-group top-k
+    // (SURVEY §4 option (c) — LogicalPlan + Strategy + SparkPlan)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerGroupStrategy)
+  }
 }

@@ -306,8 +306,21 @@ object AlertQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // q22: per-group top-k through the custom whole-operator extension
+  // (TopKPerGroupNode -> TopKPerGroupStrategy -> heap-based Exec —
+  // SURVEY §4 option (c)): one hash exchange on the group key, then
+  // bounded per-group heaps in a single pass — O(n log k) compares and
+  // O(groups x k) memory where the window formulation sorts every
+  // group in full. Total ordering via the (value desc, event_id) tie.
+  private def q22TopkGroup(s: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.TopKPerGroup(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("value")),
+        3, Seq(col("user_id")), Seq(col("value").desc, col("event_id").asc))
+      .orderBy("user_id", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_asof_join" -> (q19AsofJoin _),
+    "q22_topk_group" -> (q22TopkGroup _),
     "f1_nalerthist" -> (f1Nalerthist _),
     "f2_roid_cascade" -> (f2RoidCascade _),
     "g1_lc_stats" -> (g1LcStats _),
@@ -331,6 +344,16 @@ object AlertQueries extends QueryPack {
       |  FROM events GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q22: the heap operator's logical statement IS the row_number
+    // formulation — matching hashes pin that the custom physical
+    // operator changes nothing but the plan.
+    "q22_topk_group" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id) AS rk
+        |  FROM events) t
+        |WHERE rk <= 3 ORDER BY user_id, event_id""".stripMargin,
     "f1_nalerthist" ->
       s"""WITH $PACKET_CTE
          |SELECT user_id, CAST(len(cmag) AS BIGINT) AS n_total,

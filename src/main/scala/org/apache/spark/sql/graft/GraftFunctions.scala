@@ -98,4 +98,11 @@ object GraftFunctions {
 
   /** A builtin-equivalent registry without graft's functions. */
   def freshRegistry: FunctionRegistry = FunctionRegistry.builtin.clone()
+
+  /** An extensions object's injected planner strategies — private[sql]
+    * plumbing surfaced so tests can prove the injectPlannerStrategy
+    * path registers [[TopKPerGroupStrategy]]. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }
