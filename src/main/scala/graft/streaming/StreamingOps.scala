@@ -91,12 +91,10 @@ object StreamingOps {
       right: DataFrame, rTsCol: String, keyCols: (String, String),
       within: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val (lk, rk) = keyCols
+    requireDisjoint(left, right)
     left.withWatermark(lTsCol, watermark)
       .join(right.withWatermark(rTsCol, watermark),
-        col(lk) === col(rk) &&
-          col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $within") &&
-          col(rTsCol) <= col(lTsCol))
+        intervalCond(lTsCol, rTsCol, keyCols, within))
   }
 
   /** Batch twin of [[streamStreamIntervalJoin]] (same predicate, no
@@ -104,12 +102,21 @@ object StreamingOps {
   def streamStreamIntervalJoinBatch(left: DataFrame, lTsCol: String,
       right: DataFrame, rTsCol: String, keyCols: (String, String),
       within: String = "1 hour"): DataFrame = {
-    val (lk, rk) = keyCols
-    left.join(right,
-      col(lk) === col(rk) &&
-        col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $within") &&
-        col(rTsCol) <= col(lTsCol))
+    requireDisjoint(left, right)
+    left.join(right, intervalCond(lTsCol, rTsCol, keyCols, within))
   }
+
+  /** The one shared equi-key + time-range predicate of both twins. */
+  private def intervalCond(lTsCol: String, rTsCol: String,
+      keyCols: (String, String), within: String) =
+    col(keyCols._1) === col(keyCols._2) &&
+      col(rTsCol) >= col(lTsCol) - expr(s"INTERVAL $within") &&
+      col(rTsCol) <= col(lTsCol)
+
+  private def requireDisjoint(left: DataFrame, right: DataFrame): Unit =
+    require(!left.columns.toSet.exists(right.columns.toSet),
+      "streamStreamIntervalJoin left/right column names must be " +
+        "disjoint (the ScaleJoins.intervalJoin convention)")
 
   /** `simhash` rides along so a near-dup stage can chain downstream of
     * the exact dedup without recovering it from the fingerprint

@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension demo completing the SURVEY §4 preference
@@ -28,21 +29,35 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * [[TopKPerGroupExec]] replaces sort-rank-filter with one pass of
   * bounded per-group HEAPS: `requiredChildDistribution` asks Catalyst
   * for clustering on the group keys (the planner inserts the same hash
-  * exchange the window needed — no extra shuffle), then each partition
-  * streams its rows once, keeping a size-k binary heap per group —
-  * O(n log k) comparisons, memory O(groups x k) instead of the full
-  * partition, no sort buffer, no spill. The ordering comparator is the
-  * same whole-stage-generated `BaseOrdering` Spark's own SortExec uses.
+  * exchange the window needed — no extra shuffle, and
+  * `outputPartitioning` re-exposes the child's, so a downstream
+  * same-key aggregation adds none either), then each partition streams
+  * its rows once, keeping a size-k binary heap per group — O(n log k)
+  * comparisons, memory O(groups x k) instead of the full partition, no
+  * sort buffer. The ordering comparator is the same
+  * whole-stage-generated `BaseOrdering` Spark's own SortExec uses.
   *
-  * Contract: output is the top-k SET per group, in no particular
-  * order (callers ordering their final result — every oracle query
-  * here does — pay a sort over g x k rows, not over n). Ties at the
-  * k-th position are broken by the ordering itself, so callers make
-  * the ordering TOTAL (append a unique id — the repo-wide tie
-  * discipline) for deterministic results.
+  * Contract and limits:
+  *  - output is the top-k SET per group, in no particular order
+  *    (callers ordering their final result — every oracle query here
+  *    does — pay a sort over g x k rows, not over n);
+  *  - ties at the k-th position break by the ordering itself, so
+  *    callers make the ordering TOTAL (append a unique id — the
+  *    repo-wide tie discipline);
+  *  - heap state lives OUTSIDE Spark's task memory manager and cannot
+  *    spill — the win over the window is exactly that nothing
+  *    partition-sized is buffered, which inverts when groups x k
+  *    approaches partition size. `maxGroupsPerPartition` turns that
+  *    misuse (a near-unique group key) into a NAMED failure
+  *    recommending the window formulation, instead of an executor OOM;
+  *  - float/double group keys are bit-normalized (-0.0 == 0.0, one
+  *    NaN) like Aggregate/Window keys — the analyzer's
+  *    NormalizeFloatingNumbers rule does not descend into custom
+  *    nodes, so the Column API applies the same normalization itself.
   */
 case class TopKPerGroupNode(k: Int, groupExprs: Seq[Expression],
-    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+    order: Seq[SortOrder], child: LogicalPlan,
+    maxGroupsPerPartition: Long) extends UnaryNode {
   require(k > 0, s"topKPerGroup needs k > 0, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -55,22 +70,27 @@ case class TopKPerGroupNode(k: Int, groupExprs: Seq[Expression],
   * Column API for sessions built without the extension. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(k, g, o, child) =>
-      TopKPerGroupExec(k, g, o, planLater(child)) :: Nil
+    case TopKPerGroupNode(k, g, o, child, maxGroups) =>
+      TopKPerGroupExec(k, g, o, planLater(child), maxGroups) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
-    order: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+    order: Seq[SortOrder], child: SparkPlan,
+    maxGroupsPerPartition: Long) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   // the planner satisfies this with a hash exchange on the group keys —
   // the exact distribution the equivalent window formulation shuffles
-  // for, so the heap pass adds NO exchange of its own
+  // for, so the heap pass adds NO exchange of its own...
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
+
+  // ...and per-partition filtering preserves the child's partitioning,
+  // so a downstream same-key aggregation adds no second exchange
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitionsInternal { iter =>
@@ -89,7 +109,17 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](k, revCmp)
+          if (heaps.size() >= maxGroupsPerPartition)
+            throw new IllegalStateException(
+              s"topKPerGroup: more than $maxGroupsPerPartition groups in " +
+                "one partition — heap state is per-group JVM memory that " +
+                "cannot spill; for a near-unique group key use the window " +
+                "row_number formulation (or raise maxGroupsPerPartition " +
+                "if the memory budget allows)")
+          // capacity grows on demand: a huge k must not preallocate a
+          // k-element array for every small group
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(k, 16), revCmp)
           heaps.put(key.copy(), heap) // the projection reuses its buffer
         }
         if (heap.size() < k) heap.add(row.copy())
@@ -107,41 +137,55 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
 }
 
 object TopKPerGroup {
-  import org.apache.spark.sql.classic.ExpressionUtils
 
   /** DataFrame-level entry point: the top-k rows of each `groupCols`
     * group under `orderCols` (plain columns default ascending; pass
     * `col.desc`/`col.asc` forms for explicit direction). Registers the
-    * planner strategy into the session on first use if the
-    * `graft.GraftExtensions` config isn't set.
+    * planner strategy into the session on first use when neither the
+    * `graft.GraftExtensions` config nor a prior call already has.
     */
   def apply(df: DataFrame, k: Int, groupCols: Seq[Column],
-      orderCols: Seq[Column]): DataFrame = {
+      orderCols: Seq[Column],
+      maxGroupsPerPartition: Long = 1L << 22): DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     val spark = ds.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    // the extensions path injects into the session planner, NOT into
+    // experimental.extraStrategies — consult the planner's full
+    // strategy list so such sessions don't get a second copy
+    this.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKPerGroupStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
     val child = ds.queryExecution.analyzed
     // the analyzer's generic resolution does not descend into custom
     // nodes, so expressions are resolved HERE against the analyzed
     // child's output (single-part names — this operator keys on plain
-    // columns of `df`, the repo-wide convention)
+    // columns of `df`, the repo-wide convention); ambiguous names fail
+    // loudly like the analyzer would
     val resolver = spark.sessionState.analyzer.resolver
     def resolved(c: Column): Expression =
       spark.expression(c).transformUp {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          child.output.find(a => resolver(a.name, u.name)).getOrElse(
-            throw new IllegalArgumentException(
+          child.output.filter(a => resolver(a.name, u.name)) match {
+            case Seq(one) => one
+            case Seq() => throw new IllegalArgumentException(
               s"topKPerGroup: cannot resolve '${u.name}' against " +
-                child.output.map(_.name).mkString("[", ", ", "]")))
+                child.output.map(_.name).mkString("[", ", ", "]"))
+            case many => throw new IllegalArgumentException(
+              s"topKPerGroup: '${u.name}' is ambiguous — " +
+                s"${many.size} columns match")
+          }
       }
-    val g = groupCols.map(resolved)
+    // float keys group like Aggregate/Window keys (-0.0 == 0.0, one
+    // NaN): the optimizer rule doing this for builtin nodes skips
+    // custom ones, so normalize here
+    val g = groupCols.map(resolved).map(NormalizeFloatingNumbers.normalize)
     val o = orderCols.map(c => resolved(c) match {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
     org.apache.spark.sql.classic.Dataset.ofRows(spark,
-      TopKPerGroupNode(k, g, o, child))
+      TopKPerGroupNode(k, g, o, child, maxGroupsPerPartition))
   }
 }

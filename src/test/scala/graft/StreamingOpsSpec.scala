@@ -493,11 +493,11 @@ class StreamingOpsSpec extends SparkSpec {
 
   test("stream-stream interval join: final emissions equal the batch twin") {
     val schema = spark.read.parquet(streamDir).schema
-    def side(name: String) = spark.readStream.schema(schema)
+    def side() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
-    val clicks = side("l").filter(col("event_type") === "click")
+    val clicks = side().filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = side("r").filter(col("event_type") === "purchase")
+    val purchases = side().filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user_id"),
         col("ts").as("pts"), col("value").as("p_value"))
     val joined = StreamingOps.streamStreamIntervalJoin(
