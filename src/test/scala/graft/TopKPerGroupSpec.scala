@@ -58,6 +58,29 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top1.toSeq === Seq((1L, 11L), (2L, 20L)))
   }
 
+  test("near-unique group keys fail loudly at the partition group cap") {
+    import spark.implicits._
+    val manyGroups = (0L until 100L).map(i => (i, i)).toDF("g", "v")
+      .coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      TopKPerGroup(manyGroups, 1, Seq(col("g")), Seq(col("v").asc),
+        maxGroupsPerPartition = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxGroupsPerPartition") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxGroupsPerPartition")),
+      s"expected the named guard, got: ${ex.getMessage}")
+  }
+
+  test("float group keys normalize: -0.0 groups with 0.0 like a window would") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.0, 3L)).toDF("g", "id")
+    val got = TopKPerGroup(df, 5, Seq(col("g")), Seq(col("id").asc))
+      .groupBy("g").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got === Map(0.0 -> 2L, 1.0 -> 1L),
+      "-0.0 and 0.0 must be one group (NormalizeFloatingNumbers semantics)")
+  }
+
   test("GraftExtensions injects the planner strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
