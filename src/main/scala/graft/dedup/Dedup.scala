@@ -533,6 +533,112 @@ object Dedup {
   def simhashPairs(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame =
     pairsFromBanded(bandedSimhash(sim0, idCol, maxHamming), idCol, maxHamming)
 
+  /** Linear-OUTPUT near-dup connectivity forest — the scale-safe
+    * replacement for [[simhashPairs]]'s all-verified-pairs emission
+    * when the pairs are consumed for CONNECTIVITY (clustering,
+    * keep/drop) rather than pair-level inspection.
+    *
+    * Within each Hamming-LSH `(band, bits)` bucket, the verified-pair
+    * graph (bucket-mates at Hamming <= maxHamming) is resolved into
+    * components by a per-bucket union-find, and each component emits a
+    * STAR — `(component min id, member id)` for every other member —
+    * instead of all its pairs. Two facts make this exact for closure:
+    * by pigeonhole every verified pair shares at least one bucket, and
+    * within a bucket the star spans exactly the verified component; so
+    * the UNION of bucket stars has the same connected components as
+    * the union of all verified pairs, and [[simhashClusters]] built on
+    * it is bit-identical to one built on [[simhashPairs]].
+    *
+    * Cost shape: a duplicate clique of c docs costs the bucket join
+    * c(c-1)/2 shuffled+materialized rows (the sf1 stress's d5 x13
+    * blow-up), but costs this operator c-1 output rows. Verification
+    * compute stays O(k^2) popcounts per bucket of k members — the same
+    * work the join's post-filter did, in the same per-bucket task the
+    * hash shuffle already co-locates — with one extra collapse the
+    * join cannot do: members with IDENTICAL signatures (replication
+    * cliques) are grouped first, so the pairwise sweep runs over
+    * DISTINCT signatures only. Memory is O(k) per bucket (the group is
+    * drained into one array per task), not O(pairs).
+    *
+    * Output: distinct `(d1, d2)` with `d1 < d2` (`d1` is always the
+    * component min). Star edges are connectivity witnesses, not
+    * verified pairs — `d1`/`d2` may sit farther than maxHamming apart
+    * — so no `ham` column (see [[simhashPairs]] for pair-level
+    * distances).
+    */
+  def simhashForest(sim0: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val spark = sim0.sparkSession
+    import spark.implicits._
+    bandedSimhash(sim0, idCol, maxHamming)
+      .select(col("band"), col("bits"),
+        col(idCol).cast("long").as("id"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey { case (band, bits, _, _) => (band, bits) }
+      .flatMapGroups((_: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        bucketStars(it, maxHamming))
+      .toDF("d1", "d2")
+      .distinct()
+  }
+
+  /** Per-bucket kernel of [[simhashForest]]: union-find over the
+    * bucket's DISTINCT signatures (identical-signature members are
+    * Hamming-0 mates, pre-collapsed into one node), then one star per
+    * nontrivial component rooted at the component's min member id.
+    */
+  private[graft] def bucketStars(it: Iterator[(Int, Long, Long, Long)],
+      maxHamming: Int): Iterator[(Long, Long)] = {
+    // distinct signature -> index; per signature: min member id + ids
+    val sigIdx = new java.util.HashMap[Long, Int]()
+    val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val members = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    it.foreach { case (_, _, id, sim) =>
+      val j = sigIdx.computeIfAbsent(sim, _ => {
+        sigs += sim
+        members += scala.collection.mutable.ArrayBuffer.empty[Long]
+        sigs.length - 1
+      })
+      members(j) += id
+    }
+    val n = sigs.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (find(i) != find(j) &&
+            java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= maxHamming)
+          parent(find(j)) = find(i)
+        j += 1
+      }
+      i += 1
+    }
+    // component root -> min member id across the component
+    val compMin = new java.util.HashMap[Int, Long]()
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      var m = java.lang.Long.MAX_VALUE
+      members(i).foreach(id => if (id < m) m = id)
+      val cur = compMin.get(r)
+      if (!compMin.containsKey(r) || m < cur) compMin.put(r, m)
+      i += 1
+    }
+    // every member stars to its component min; the min itself is the
+    // one id the filter drops, so a singleton component emits nothing
+    (0 until n).iterator.flatMap { k =>
+      val root = compMin.get(find(k))
+      members(k).iterator.filter(_ != root).map(id => (root, id))
+    }
+  }
+
   /** Linear-output near-dup ASSIGNMENT: each document gets at most one
     * canonical representative (the smallest-id verified bucket
     * representative across its simhash bands) instead of the full pair
@@ -887,22 +993,29 @@ object Dedup {
       deleteSweepDir(df.sparkSession, t, idx)
   }
 
-  /** Near-dup CLUSTERS: connected components of the simhash pair graph
-    * ([[simhashPairs]] edges through [[connectedComponents]]). Converges
-    * to the transitive closure the one-hop [[simhashAssign]]
-    * deliberately trades away: every doc in a pair gets `cluster` = the
-    * min doc id of its whole component — the canonical keep/drop key
-    * for full dedup. `sweep` picks the per-sweep materialization
-    * (fault-tolerance) strategy; see [[SweepCheckpoint]].
+  /** Near-dup CLUSTERS: connected components of the verified simhash
+    * near-dup graph. Converges to the transitive closure the one-hop
+    * [[simhashAssign]] deliberately trades away: every doc in a
+    * verified pair gets `cluster` = the min doc id of its whole
+    * component — the canonical keep/drop key for full dedup. `sweep`
+    * picks the per-sweep materialization (fault-tolerance) strategy;
+    * see [[SweepCheckpoint]].
+    *
+    * The edge stream feeding the propagation loop is
+    * [[simhashForest]]'s per-bucket star forest, NOT [[simhashPairs]]'s
+    * full enumeration: the two edge sets have identical connectivity
+    * (proof at [[simhashForest]]), so the output here is bit-identical
+    * either way, but the forest keeps the loop's input linear in the
+    * corpus where a duplicate clique of c docs would otherwise push
+    * c(c-1)/2 pair rows through every sweep — the Omega(cliques^2)
+    * blow-up measured at 13-16x on the sf1 replication stress.
     */
   def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
       maxIter: Int = 25,
-      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
-    val banded = bandedSimhash(sim0, idCol, maxHamming)
-    val pairs = pairsFromBanded(banded, idCol, maxHamming).select("d1", "d2")
-    connectedComponents(pairs, maxIter, sweep)
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame =
+    connectedComponents(simhashForest(sim0, idCol, maxHamming),
+        maxIter, sweep)
       .select(col("id").as(idCol), col("label").as("cluster"))
-  }
 
   /** The production 100 TB dedup chain as ONE composed operator:
     * exact dedup -> linear-output canonical assignment -> component

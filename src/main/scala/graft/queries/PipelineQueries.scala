@@ -43,9 +43,13 @@ object PipelineQueries extends QueryPack {
     Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
 
-  private def d5SimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-      Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang")),
+  // d5: linear-output near-dup connectivity forest — per-LSH-bucket
+  // verified components emitted as (component min, member) stars
+  // instead of all verified pairs; same connectivity, O(docs) output
+  // where pair enumeration is Omega(clique^2) under replication.
+  private def d5SimhashForest(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashForest(
+      Dedup.simhash(docs(s, dir), "doc_id", "text"),
       "doc_id", maxHamming = 4)
       .orderBy("d1", "d2")
 
@@ -548,7 +552,7 @@ object PipelineQueries extends QueryPack {
     "d2_dedup_ngram_jaccard" -> (d2NgramJaccard _),
     "d3_dedup_minhash_lsh" -> (d3MinhashLsh _),
     "d4_simhash" -> (d4Simhash _),
-    "d5_simhash_pairs" -> (d5SimhashPairs _),
+    "d5_simhash_forest" -> (d5SimhashForest _),
     "d6_dedup_embedding" -> (d6EmbeddingDup _),
     "d7_decontaminate" -> (d7Decontaminate _),
     "d8_simhash_assign" -> (d8SimhashAssign _),
@@ -680,12 +684,34 @@ object PipelineQueries extends QueryPack {
          |WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7
          |ORDER BY d1, d2""".stripMargin,
     "d4_simhash" -> simhashSql(),
-    "d5_simhash_pairs" ->
-      s"""WITH sim AS (${simhashSql()})
-         |SELECT a.doc_id AS d1, b.doc_id AS d2,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    // d5: bucket-local verified components as star edges. Mirrors the
+    // engine's forest exactly: 5 bands x 12 bits (maxHamming=4), the
+    // verified-pair graph WITHIN each (band, bits) bucket resolved by
+    // recursive reachability scoped per bucket, each component emitting
+    // (component min id, member) — distinct across buckets. Star edges
+    // are connectivity witnesses (the pair (d1, d2) need not verify).
+    "d5_simhash_forest" ->
+      s"""WITH RECURSIVE sim AS (${simhashSql()}),
+         |bands AS (
+         |  SELECT doc_id, simhash, CAST(b.b AS INT) AS band,
+         |         (simhash >> CAST(12 * b.b AS INT)) & 4095 AS bits
+         |  FROM sim, LATERAL (SELECT unnest(range(0, 5)) AS b) b),
+         |p AS (
+         |  SELECT a.band, a.bits, a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+         |e AS (SELECT band, bits, d1 AS s, d2 AS t FROM p
+         |      UNION ALL SELECT band, bits, d2, d1 FROM p),
+         |r(band, bits, a, b) AS (
+         |  SELECT band, bits, s, t FROM e
+         |  UNION SELECT r.band, r.bits, r.a, e.t
+         |        FROM r JOIN e ON r.band = e.band AND r.bits = e.bits
+         |                     AND r.b = e.s),
+         |m AS (SELECT band, bits, a AS id, least(a, MIN(b)) AS root
+         |      FROM r GROUP BY band, bits, a)
+         |SELECT DISTINCT CAST(root AS BIGINT) AS d1, CAST(id AS BIGINT) AS d2
+         |FROM m WHERE id <> root
          |ORDER BY d1, d2""".stripMargin,
     "d6_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -824,8 +850,9 @@ object PipelineQueries extends QueryPack {
         |thr AS (SELECT doc_id, list_reduce(ms, (a, b) -> a + b) / 60 AS thr FROM t),
         |hsh AS (
         |  SELECT gm.doc_id,
-        |         sum(CASE WHEN gm.mean > thr.thr
-        |             THEN CAST(1 AS BIGINT) << gm.blk ELSE CAST(0 AS BIGINT) END) AS simhash
+        |         CAST(sum(CASE WHEN gm.mean > thr.thr
+        |             THEN CAST(1 AS BIGINT) << gm.blk ELSE CAST(0 AS BIGINT) END)
+        |              AS BIGINT) AS simhash
         |  FROM gm JOIN thr ON thr.doc_id = gm.doc_id GROUP BY 1)
         |SELECT d.doc_id AS id,
         |       coalesce(hsh.simhash, CAST(0 AS BIGINT)) AS simhash

@@ -172,6 +172,13 @@ object ProductQuantize {
     * argmin-sqDist-ties-to-lowest-cell; scoring is the s8 sub-ordered
     * left-fold; ranking ties break on (adist, id) — all
     * engine-mirrorable term-for-term.
+    *
+    * Self-exclusion: candidates with `id == qid` are dropped (the
+    * s5/s6 self-query convention — the query table is a slice of the
+    * corpus, and a vector's nearest neighbor is trivially itself). If
+    * the query table comes from an EXTERNAL id space that happens to
+    * overlap the corpus ids, those collisions are excluded too —
+    * remap one id space before calling if that is not wanted.
     */
   def ivfPqTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,

@@ -116,6 +116,13 @@ object Sampling {
     * drawn (P proportional to w) and are excluded up front.
     *
     * Output: (id, w, skey) — the k winners, skey descending.
+    *
+    * Edge: the uniform draw u = (hash60+1)/2^60 lies in (0, 1] — when
+    * hash60 hits its maximum (P = 2^-60 per row), u = 1.0 exactly and
+    * skey = ln(1)/w = 0, the global maximum, so that row wins a slot
+    * regardless of weight. Kept as-is deliberately: the oracle SQL
+    * mirrors the same formula term-for-term, so the result is still
+    * cross-engine exact, and the bias is statistically invisible.
     */
   def weightedSample(docs: DataFrame, idCol: String, weight: Column,
       k: Int, seed: Int = 0): DataFrame = {

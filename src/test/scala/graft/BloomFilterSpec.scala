@@ -106,8 +106,9 @@ class BloomFilterSpec extends SparkSpec {
         if f.condition.exists(_.isInstanceOf[
           org.apache.spark.sql.graft.BloomMightContain]) => f }
     assert(probeFilters.nonEmpty, "bloom_might_contain filter missing")
-    assert(joins.exists(_.left.exists(n => probeFilters.exists(_ eq n)) ||
-        joins.exists(_.right.exists(n => probeFilters.exists(_ eq n)))),
+    assert(joins.exists(j =>
+        j.left.exists(n => probeFilters.exists(_ eq n)) ||
+        j.right.exists(n => probeFilters.exists(_ eq n))),
       "the probe filter must be under a join input, not above the join")
   }
 

@@ -39,11 +39,70 @@ class DedupSpec extends SparkSpec {
     assert(assign.map(_.getLong(0)).distinct.length === assign.length)
   }
 
+  test("simhash forest: same connectivity as all verified pairs, star-shaped, no larger") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val pairEdges = Dedup.simhashPairs(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val forestEdges = Dedup.simhashForest(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the theorem the d9 rewrite rests on: union-of-bucket-stars and
+    // all-verified-pairs induce the SAME components over the SAME nodes
+    val viaPairs = unionFind(pairEdges)
+    val viaForest = unionFind(forestEdges)
+    assert(viaForest === viaPairs,
+      "forest connectivity diverged from the full pair enumeration")
+    // star shape: the root is its BUCKET-component min, so always the
+    // smaller id of the edge. (It need not be the GLOBAL component min:
+    // bucket fragments of one true component chain through shared
+    // members — that chaining is what the closure resolves.)
+    forestEdges.foreach { case (d1, d2) =>
+      assert(d1 < d2, s"star root must be the smaller id: ($d1, $d2)")
+    }
+    // linear output: each banded row contributes at most one star edge,
+    // so the bound is bands x touched-docs — O(n) — never O(pairs).
+    // (On sparse data the forest may exceed the pair COUNT — different
+    // buckets emit different fragments — linearity, not minimality, is
+    // the contract.)
+    val touched = forestEdges.flatMap(e => Seq(e._1, e._2)).distinct.length
+    assert(forestEdges.length <= 5 * touched)
+    assert(forestEdges.distinct.length === forestEdges.length)
+  }
+
+  test("simhash forest collapses a replication clique to linear edges") {
+    import spark.implicits._
+    // 60 identical docs + 3 singletons: pair enumeration owes
+    // 60*59/2 = 1770 rows; the forest owes 59
+    val docs = ((0L until 60L).map(i => (i, "same text replicated body")) ++
+      Seq((100L, "alpha unrelated"), (101L, "beta different entirely"),
+        (102L, "gamma nothing shared"))).toDF("doc_id", "text")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", maxHamming = 4).count()
+    val forest = Dedup.simhashForest(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === 1770L)
+    assert(forest.length === 59)
+    assert(forest.forall(_._1 === 0L), "clique stars to its min id")
+    assert(forest.map(_._2).sorted === (1L until 60L))
+  }
+
+  test("simhashClusters over the forest is bit-identical to components over all pairs") {
+    val docs = Tables.t(spark, sf, "documents")
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val viaOperator = Dedup.simhashClusters(sim, "doc_id", maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAllPairs = Dedup.connectedComponents(
+        Dedup.simhashPairs(sim, "doc_id", maxHamming = 4).select("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaOperator === viaAllPairs)
+  }
+
   test("simhash operators leave no cached tables behind (ADVICE r5)") {
     val docs = Tables.t(spark, sf, "documents")
     val sim = Dedup.simhash(docs, "doc_id", "text")
     spark.sharedState.cacheManager.clearCache()
     Dedup.simhashPairs(sim, "doc_id", maxHamming = 4).count()
+    Dedup.simhashForest(sim, "doc_id", maxHamming = 4).count()
     Dedup.simhashAssign(sim, "doc_id", maxHamming = 4).count()
     Dedup.simhashClusters(sim, "doc_id", maxHamming = 4).count()
     assert(spark.sharedState.cacheManager.isEmpty,

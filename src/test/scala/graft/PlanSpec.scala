@@ -76,10 +76,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("d5 simhash banding: no cartesian/nested-loop product") {
-    val p = plan("d5_simhash_pairs")
-    assert(!p.contains("CartesianProduct"), "banding must hash-join")
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+  test("d5 simhash forest: join-free — one bucket shuffle into the per-bucket kernel") {
+    val p = plan("d5_simhash_forest")
+    assert(!p.contains("Join"), "forest must not self-join the band table")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapGroups"), "per-bucket union-find kernel missing")
   }
 
   test("s1 knn: single scan + broadcast of the query vector, top-k without full sort") {

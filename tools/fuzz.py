@@ -21,7 +21,7 @@ import duckdb
 
 # every documents-only oracle query plus the embeddings family
 QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-           "d4_simhash", "d5_simhash_pairs", "d8_simhash_assign",
+           "d4_simhash", "d5_simhash_forest", "d8_simhash_assign",
            "d9_simhash_clusters", "d10_dedup_pipeline",
            "t1_lang_id", "t2_quality_score",
            "t3_token_stats", "t4_fingerprint", "t5_winnow_fingerprint",
