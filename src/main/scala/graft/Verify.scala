@@ -41,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // queries with no SQL-expressible oracle get a committed-golden
+    // adjudication instead of the rows-only fallback (see GoldenCheck)
+    val (status, rows, detail) = GoldenCheck.q17(spark, sfDir, outDir)
+    println(s"[verify] golden q17_cats_class: $status" +
+      (if (detail.nonEmpty) s" ($detail)" else ""))
+    Files.writeString(Paths.get(s"$outDir/golden_check.json"),
+      s"""{"q17_cats_class": {"status": ${q(status)}, "rows": $rows, """ +
+        s""""detail": ${q(detail)}}}""")
     spark.stop()
   }
 }

@@ -78,10 +78,25 @@ def main():
             print(f"PASS {name} ({len(got)} rows)")
         else:
             failures += 1
-    # rows-only queries (no oracle): just report
+    # queries with no SQL oracle: prefer the committed-golden
+    # adjudication Verify wrote (golden_check.json), fall back to the
+    # rows-only gate when the golden couldn't adjudicate (other scale
+    # factors, regenerated testdata)
+    try:
+        goldens = json.load(open(f"{out_dir}/golden_check.json"))
+    except Exception:
+        goldens = {}
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip('/').split('/')[-1]
         if name not in oracles:
+            g = goldens.get(name)
+            if g and g.get("status") in ("pass", "fail"):
+                det = f" ({g['detail']})" if g.get("detail") else ""
+                print(f"GOLDEN {g['status'].upper()} {name}: "
+                      f"{g['rows']} rows vs committed golden{det}")
+                if g["status"] != "pass":
+                    failures += 1
+                continue
             r = load_result(d)
             n = 0 if r is None else len(r)
             print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
