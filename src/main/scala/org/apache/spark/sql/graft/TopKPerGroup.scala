@@ -47,9 +47,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *  - heap state lives OUTSIDE Spark's task memory manager and cannot
   *    spill — the win over the window is exactly that nothing
   *    partition-sized is buffered, which inverts when groups x k
-  *    approaches partition size. `maxGroupsPerPartition` turns that
-  *    misuse (a near-unique group key) into a NAMED failure
-  *    recommending the window formulation, instead of an executor OOM;
+  *    approaches partition size. `maxGroupsPerPartition` is the
+  *    DEGRADE threshold for that case (a near-unique group key): on
+  *    breach the partition falls back to a spillable sort-based pass
+  *    (Spark's own ExternalSorter on (group, order), then stream the
+  *    first k of each group run) — the window's cost model, paid only
+  *    by partitions that actually need it, so a cardinality surprise
+  *    at scale costs performance, not the job. The fallback is exact:
+  *    any row evicted or rejected by the heaps before the breach is
+  *    dominated by k better same-group rows that are still held, so
+  *    (heap contents ++ remaining input) ⊇ every group's true top-k;
   *  - float/double group keys are bit-normalized (-0.0 == 0.0, one
   *    NaN) like Aggregate/Window keys — the analyzer's
   *    NormalizeFloatingNumbers rule does not descend into custom
@@ -104,33 +111,88 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       }
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
+      var breachRow: InternalRow = null
+      while (breachRow == null && iter.hasNext) {
         val row = iter.next()
         val key = groupProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          if (heaps.size() >= maxGroupsPerPartition)
-            throw new IllegalStateException(
-              s"topKPerGroup: more than $maxGroupsPerPartition groups in " +
-                "one partition — heap state is per-group JVM memory that " +
-                "cannot spill; for a near-unique group key use the window " +
-                "row_number formulation (or raise maxGroupsPerPartition " +
-                "if the memory budget allows)")
-          // capacity grows on demand: a huge k must not preallocate a
-          // k-element array for every small group
-          heap = new java.util.PriorityQueue[InternalRow](
-            math.min(k, 16), revCmp)
-          heaps.put(key.copy(), heap) // the projection reuses its buffer
+          if (heaps.size() >= maxGroupsPerPartition) {
+            // group cardinality outgrew the unspillable heap budget:
+            // hand the partition to the sort-based fallback below
+            breachRow = row.copy()
+          } else {
+            // capacity grows on demand: a huge k must not preallocate a
+            // k-element array for every small group
+            heap = new java.util.PriorityQueue[InternalRow](
+              math.min(k, 16), revCmp)
+            heaps.put(key.copy(), heap) // the projection reuses its buffer
+          }
         }
-        if (heap.size() < k) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
+        if (heap != null) {
+          if (heap.size() < k) heap.add(row.copy())
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      if (breachRow == null)
+        heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      else
+        sortBasedFallback(
+          owned = heaps.values().iterator().asScala
+            .flatMap(_.iterator().asScala) ++ Iterator.single(breachRow),
+          unowned = iter, k)
     }
+
+  /** Spillable degrade for a partition whose group count breached
+    * `maxGroupsPerPartition`: external-sort everything still held (heap
+    * contents — all private copies — plus the unread remainder) by
+    * (group, order) through Spark's own ExternalSorter, then stream the
+    * first k rows of each group run. Exact (see class doc), O(k) JVM
+    * memory beyond the sorter's managed, spill-capable buffer — the
+    * same cost model as the window formulation, paid per offending
+    * partition instead of by the whole plan.
+    */
+  private def sortBasedFallback(owned: Iterator[InternalRow],
+      unowned: Iterator[InternalRow], k: Int): Iterator[InternalRow] = {
+    logWarning(s"topKPerGroup: partition exceeded $maxGroupsPerPartition " +
+      "groups; degrading to the spillable sort-based pass (exact result, " +
+      "window-formulation cost). Raise maxGroupsPerPartition if the " +
+      "memory budget allows keeping the heap pass.")
+    val groupOrders = groupExprs.map(SortOrder(_, Ascending))
+    val fullOrd = GenerateOrdering.generate(groupOrders ++ order, child.output)
+    val groupOrd = GenerateOrdering.generate(groupOrders, child.output)
+    val sortKeyOrd = new Ordering[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+        fullOrd.compare(a, b)
+    }
+    val ctx = org.apache.spark.TaskContext.get()
+    val sorter = new org.apache.spark.util.collection.ExternalSorter[
+      UnsafeRow, Boolean, Boolean](ctx, None, None, Some(sortKeyOrd))
+    // the sorter holds references until spill/sort, so every row it
+    // sees must be privately owned: heap contents already are (the heap
+    // path copies on admission); remainder rows come straight off the
+    // child iterator, which reuses its row buffer — convert + copy
+    val toUnsafe = UnsafeProjection.create(child.output, child.output)
+    sorter.insertAll(
+      (owned.map { case u: UnsafeRow => u; case r => toUnsafe(r).copy() } ++
+        unowned.map(r => toUnsafe(r).copy())).map((_, true)))
+    var prev: InternalRow = null
+    var seen = 0L
+    val topK = sorter.iterator.map(_._1).filter { r =>
+      if (prev == null || groupOrd.compare(prev, r) != 0) {
+        prev = r // sorter rows are owned copies — safe to hold across next()
+        seen = 0L
+      }
+      seen += 1
+      seen <= k
+    }
+    org.apache.spark.util.CompletionIterator[InternalRow,
+      Iterator[InternalRow]](topK, sorter.stop())
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
@@ -147,6 +209,13 @@ object TopKPerGroup {
   def apply(df: DataFrame, k: Int, groupCols: Seq[Column],
       orderCols: Seq[Column],
       maxGroupsPerPartition: Long = 1L << 22): DataFrame = {
+    // an empty group list would reach ClusteredDistribution(Nil) and
+    // surface as a Spark-internal require crash at planning; the
+    // global-top-k ask it implies is orderBy(o).limit(k), which Spark
+    // already plans as TakeOrderedAndProject — point there by name
+    require(groupCols.nonEmpty,
+      "topKPerGroup needs at least one group column; for a GLOBAL top-k " +
+        "use df.orderBy(...).limit(k) (planned as TakeOrderedAndProject)")
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     val spark = ds.sparkSession
     // the extensions path injects into the session planner, NOT into

@@ -58,17 +58,50 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top1.toSeq === Seq((1L, 11L), (2L, 20L)))
   }
 
-  test("near-unique group keys fail loudly at the partition group cap") {
+  test("near-unique group keys degrade to the spillable sort pass, result window-equivalent") {
     import spark.implicits._
-    val manyGroups = (0L until 100L).map(i => (i, i)).toDF("g", "v")
-      .coalesce(1)
-    val ex = intercept[org.apache.spark.SparkException] {
-      TopKPerGroup(manyGroups, 1, Seq(col("g")), Seq(col("v").asc),
-        maxGroupsPerPartition = 10L).collect()
+    // 3 rows per group, 100 groups, one partition, cap 10: the heap
+    // pass breaches mid-stream and the partition must complete through
+    // the sort-based fallback with the exact window-formulation result
+    val manyGroups = (0L until 300L).map(i => (i % 100L, i))
+      .toDF("g", "v").coalesce(1)
+    val got = TopKPerGroup(manyGroups, 2, Seq(col("g")),
+        Seq(col("v").desc), maxGroupsPerPartition = 10L)
+      .select("g", "v").orderBy("g", "v").collect().map(_.toSeq)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val exp = manyGroups.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2).select("g", "v")
+      .orderBy("g", "v").collect().map(_.toSeq)
+    assert(exp.length === 200)
+    assert(got === exp,
+      "degraded partition diverged from the window formulation")
+  }
+
+  test("degrade is exact when the breach lands mid-group (pre-breach evictions)") {
+    import spark.implicits._
+    // group-interleaved input: every group has rows BOTH before and
+    // after the breach, so correctness requires the superset argument
+    // (heap contents + remainder covers each group's true top-k)
+    val rows = (0L until 1000L).map { i => (i % 50L, (i * 7919L) % 1000L) }
+    val df = rows.toDF("g", "v").coalesce(1)
+    val got = TopKPerGroup(df, 3, Seq(col("g")),
+        Seq(col("v").asc, col("g").asc), maxGroupsPerPartition = 5L)
+      .select("g", "v").orderBy("g", "v").collect().map(_.toSeq)
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc, col("g").asc)
+    val exp = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("g", "v")
+      .orderBy("g", "v").collect().map(_.toSeq)
+    assert(got === exp)
+  }
+
+  test("empty group list is a named argument error pointing at orderBy+limit") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      TopKPerGroup(df, 1, Seq.empty, Seq(col("v").asc))
     }
-    assert(ex.getMessage.contains("maxGroupsPerPartition") ||
-      Option(ex.getCause).exists(_.getMessage.contains("maxGroupsPerPartition")),
-      s"expected the named guard, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains("orderBy"),
+      s"guard must name the global formulation: ${ex.getMessage}")
   }
 
   test("float group keys normalize: -0.0 groups with 0.0 like a window would") {
