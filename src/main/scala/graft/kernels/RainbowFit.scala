@@ -338,6 +338,147 @@ object RainbowFit {
     BazinResult(p, errors, chi / dof)
   }
 
+  /** Rainbow with the LINEXP bolometric and sigmoid temperature — the
+    * variant the reference's Rubin SLSN module fits
+    * (rubin/slsn/feature_extraction.py:176-184: RainbowFit.from_angstrom
+    * with temperature="sigmoid", bolometric="linexp", no baseline).
+    * Linexp is the linear-rise-into-exponential-decay bolometric of the
+    * Rainbow family (Russeil et al. 2024, A&A 683 A251):
+    *
+    *   s(t) = (dt / rise_time) * exp(1 - dt / rise_time),  dt = t - t0
+    *          (0 before the reference time; peak value 1 at t0 + rise)
+    *   T(t) = Tmin + (Tmax - Tmin) / (1 + exp((t-t0)/t_color))
+    *
+    * Feature order mirrors feature_extraction.py:121-129:
+    * reference_time, rise_time, amplitude, Tmin, Tmax, t_color,
+    * fit_error (reduced chi2 — the solver-level analogue of
+    * light-curve's fit error; deviation documented). A fit the solver
+    * cannot finish returns the reference's RuntimeError sentinel: all
+    * seven features -9.0 (apply_rainbow, feature_extraction.py:178-196).
+    * Amplitude reports in the flux scale (divided by the average
+    * passband frequency — the BaseRainbowFit convention, see
+    * [[averageNu]]).
+    */
+  val LinexpFeatureNames: Seq[String] = Seq("reference_time", "rise_time",
+    "amplitude", "Tmin", "Tmax", "t_color", "fit_error")
+
+  /** Linexp-rainbow model flux at (t, nu); params
+    * (t0, A_bol, rise, Tmin, Tmax, t_color). */
+  def linexpModelFlux(p: Array[Double], t: Double, nu: Double): Double = {
+    val t0 = p(0); val a = p(1); val rise = p(2)
+    val tMin = p(3); val tMax = p(4); val tColor = p(5)
+    val dt = t - t0
+    val s = if (dt <= 0.0) 0.0 else dt / rise * math.exp(1.0 - dt / rise)
+    val temp = tMin + (tMax - tMin) / (1.0 + math.exp((t - t0) / tColor))
+    val x = H * nu / (KB * temp)
+    val planck = 2.0 * math.Pi * H * nu * nu * nu / (C * C) / math.expm1(x)
+    a * s * planck / (SIGMA_SB * temp * temp * temp * temp)
+  }
+
+  /** Fit the linexp-bolometric rainbow (6 params); returns the 7
+    * features of [[LinexpFeatureNames]], or seven -9.0 on failure.
+    */
+  def fitLinexp(t: Array[Double], band: Array[String], flux: Array[Double],
+      fluxErr: Array[Double], waveAA: Map[String, Double]): Array[Double] = {
+    val fail = Array.fill(7)(-9.0)
+    val sel = t.indices.filter(i => waveAA.contains(band(i)) &&
+      !flux(i).isNaN && !t(i).isNaN)
+    val tt = sel.map(t).toArray
+    val ff = sel.map(flux).toArray
+    val ee = sel.map(i =>
+      if (fluxErr(i).isNaN || fluxErr(i) <= 0) 1.0 else fluxErr(i)).toArray
+    val nu = sel.map(i => C / (waveAA(band(i)) * 1e-10)).toArray
+    val n = tt.length
+    val np_ = 6
+    if (n < np_ + 1) return fail
+
+    val iMax = ff.indices.maxBy(ff)
+    val lo = Array(tt.min - 300.0, 1e-12, 1e-2, 1e3, 1e3, 1e-2)
+    val hi = Array(tt.max + 100.0, 1e30, 500.0, 5e4, 5e4, 500.0)
+
+    def chi2Of(q: Array[Double]): Double = {
+      var c = 0.0
+      var i = 0
+      while (i < n) {
+        val r = (ff(i) - linexpModelFlux(q, tt(i), nu(i))) / ee(i)
+        c += r * r
+        i += 1
+      }
+      c
+    }
+
+    // scale-aware amplitude seed through the observed max; t0 seeds sit
+    // BEFORE the peak (the pre-t0 region is flat zero — a t0 seeded past
+    // the data has no gradient to climb back)
+    def seed(t0: Double, rise: Double): Array[Double] = {
+      val q = Array(t0, 1.0, rise, 5000.0, 12000.0, 10.0)
+      val unit = linexpModelFlux(q, tt(iMax), nu(iMax))
+      q(1) = if (unit > 0) math.max(ff(iMax), 1e-12) / unit else 1.0
+      q
+    }
+    val tPeak = tt(iMax)
+    val starts = for {
+      rise <- Seq(5.0, 15.0, 40.0, 80.0)
+      t0 <- Seq(tPeak - rise, tt.min - 1.0, tt.min - rise / 2)
+    } yield seed(t0, rise)
+    val p = starts.minBy(chi2Of).clone()
+
+    var lambda = 1e-3
+    var iter = 0
+    var chi = chi2Of(p)
+    while (iter < 200) {
+      val jtj = Array.ofDim[Double](np_, np_)
+      val jtr = new Array[Double](np_)
+      var i = 0
+      while (i < n) {
+        val f0 = linexpModelFlux(p, tt(i), nu(i))
+        val grad = new Array[Double](np_)
+        var k = 0
+        while (k < np_) {
+          val eps = math.max(math.abs(p(k)) * 1e-6, 1e-9)
+          val saved = p(k)
+          p(k) = saved + eps
+          grad(k) = (linexpModelFlux(p, tt(i), nu(i)) - f0) / eps
+          p(k) = saved
+          k += 1
+        }
+        val w = 1.0 / (ee(i) * ee(i))
+        val r = ff(i) - f0
+        k = 0
+        while (k < np_) {
+          var l = 0
+          while (l < np_) { jtj(k)(l) += w * grad(k) * grad(l); l += 1 }
+          jtr(k) += w * grad(k) * r
+          k += 1
+        }
+        i += 1
+      }
+      var k = 0
+      while (k < np_) { jtj(k)(k) *= (1.0 + lambda); jtj(k)(k) += 1e-12; k += 1 }
+      val step = solve(jtj, jtr)
+      if (step == null) { iter = 200 }
+      else {
+        val trial = Array.tabulate(np_)(k =>
+          math.min(hi(k), math.max(lo(k), p(k) + step(k))))
+        val trialChi = chi2Of(trial)
+        if (trialChi < chi) {
+          System.arraycopy(trial, 0, p, 0, np_)
+          if (chi - trialChi < 1e-13 * (1.0 + chi)) iter = 200
+          chi = trialChi
+          lambda = math.max(lambda / 3.0, 1e-9)
+        } else {
+          lambda *= 10.0
+          if (lambda > 1e12) iter = 200
+        }
+      }
+      iter += 1
+    }
+    if (p.exists(v => v.isNaN || v.isInfinite) || chi.isNaN) return fail
+    val dof = math.max(1, n - np_)
+    Array(p(0), p(2), p(1) / averageNu(waveAA.values), p(3), p(4), p(5),
+      chi / dof)
+  }
+
   /** Diagonal of inverse(a) via Gauss-Jordan; None when singular. */
   private def invDiag(a: Array[Array[Double]]): Option[Array[Double]] = {
     val n = a.length

@@ -198,21 +198,28 @@ object ExtendedClassifiers {
 
   /** SLSN score (Rubin) — reference: rubin/slsn/processor.py:26-92 +
     * feature_extraction.py/basic_functions.py: times shifted so the
-    * max-flux epoch is 0, fluxes normalized by the peak, rainbow fit on
-    * the normalized multiband curve, then per-band flux std and mean
-    * SNR (-1 empty-band sentinels), peak, point count. The reference's
-    * rainbow uses light-curve's linexp bolometric; ours is the sigmoid
-    * variant ([[graft.kernels.RainbowFit]]) — documented deviation; the
-    * SLSN_rainbow joblib classifier is CI-fetched and absent offline,
-    * so scoring defaults to the stand-in.
+    * max-flux epoch is 0, fluxes normalized by the peak, LINEXP-rainbow
+    * fit on the normalized multiband curve
+    * ([[graft.kernels.RainbowFit.fitLinexp]] — the exact
+    * temperature="sigmoid"/bolometric="linexp" model of
+    * feature_extraction.py:176-184, solver-level deviation documented
+    * there), then per-band flux std and mean SNR (-1 empty-band
+    * sentinels), ra/dec, point count — the no-metadata 23-feature
+    * layout of parametrise (feature_extraction.py:105-161). inf and
+    * NaN features both zero like get_probabilities (classifier.py:64).
+    * The SLSN_rainbow joblib classifier is CI-fetched and absent
+    * offline, so scoring defaults to the stand-in.
     */
   def slsnRubin(spark: SparkSession, df: DataFrame,
-      scorer: Scorer = StubModels.forest("slsn", 21)): DataFrame = {
+      scorer: Scorer = StubModels.forest("slsn", 23),
+      raCol: Column = col("diaSource.ra"),
+      decCol: Column = col("diaSource.dec")): DataFrame = {
     // slsn rainbow wavelengths (feature_extraction.py:178)
     val slsnWave = Map("u" -> 3751.0, "g" -> 4742.0, "r" -> 6173.0,
       "i" -> 7502.0, "z" -> 8679.0, "y" -> 9711.0)
     val s = udf((cmjd: Seq[java.lang.Double], cflux: Seq[java.lang.Double],
-        cerr: Seq[java.lang.Double], cband: Seq[String]) => {
+        cerr: Seq[java.lang.Double], cband: Seq[String],
+        ra: java.lang.Double, dec: java.lang.Double) => {
       def arr(xs: Seq[java.lang.Double]) =
         xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
       val t = arr(cmjd); val f = arr(cflux); val e = arr(cerr)
@@ -232,7 +239,7 @@ object ExtendedClassifiers {
         val fn = fs.map(_ / norm)
         val en = order.map(e(_) / norm).toArray
         val bs = order.map(i => if (cband(i) == null) "" else cband(i)).toArray
-        val rainbow = graft.kernels.RainbowFit.fit(ts, bs, fn, en, slsnWave).features
+        val rainbow = graft.kernels.RainbowFit.fitLinexp(ts, bs, fn, en, slsnWave)
         // per-band std / mean SNR with the -1 empty sentinels
         val perBand = Rubin.Bands.flatMap { b =>
           val bi = bs.indices.filter(bs(_) == b)
@@ -245,14 +252,18 @@ object ExtendedClassifiers {
             Seq(std, snr)
           }
         }
-        val feats = (Array(peak) ++ rainbow ++ perBand :+ sel.length.toDouble)
-          .map(x => if (x.isNaN) 0.0 else x)
+        val feats = (Array(peak) ++ rainbow ++ perBand ++
+          Array(if (ra == null) 0.0 else ra.doubleValue(),
+            if (dec == null) 0.0 else dec.doubleValue(),
+            sel.length.toDouble))
+          .map(x => if (x.isNaN || x.isInfinite) 0.0 else x)
         scorer.score(feats)
       }
     })
     df.withColumn("slsn_score", s(
         col("cmidpointMjdTai").cast("array<double>"), col("cpsfFlux").cast("array<double>"),
-        col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>")))
+        col("cpsfFluxErr").cast("array<double>"), col("cband").cast("array<string>"),
+        raCol.cast("double"), decCol.cast("double")))
       .withColumn("slsn_score_is_stub", lit(graft.models.Scorer.isStandIn(scorer)))
   }
 }

@@ -86,4 +86,53 @@ class SlsnFeaturesSpec extends AnyFunSuite {
       SlsnFeatures.BandWaveAA)
     assert(r.params.forall(_.isNaN))
   }
+
+  // the slsn-rubin wavelengths (rubin/slsn/feature_extraction.py:178)
+  private val slsnWave = Map("u" -> 3751.0, "g" -> 4742.0, "r" -> 6173.0,
+    "i" -> 7502.0, "z" -> 8679.0, "y" -> 9711.0)
+
+  test("linexp bolometric shape: zero before t0, peak amplitude at t0+rise") {
+    // p = (t0, A, rise, Tmin, Tmax, t_color)
+    val p = Array(-20.0, 1e28, 15.0, 6000.0, 12000.0, 10.0)
+    val nu = 2.99792458e8 / (slsnWave("r") * 1e-10)
+    assert(RainbowFit.linexpModelFlux(p, -25.0, nu) === 0.0,
+      "flux before the reference time must be exactly zero")
+    // s(t) peaks (=1) at dt=rise: flux at t0+rise must beat neighbors
+    val atPeak = RainbowFit.linexpModelFlux(p, -5.0, nu)
+    assert(atPeak > RainbowFit.linexpModelFlux(p, -12.0, nu))
+    assert(atPeak > RainbowFit.linexpModelFlux(p, 5.0, nu))
+    // long after peak the exponential term dominates: monotone decay
+    assert(RainbowFit.linexpModelFlux(p, 30.0, nu) >
+      RainbowFit.linexpModelFlux(p, 60.0, nu))
+  }
+
+  test("fitLinexp recovers a synthetic linexp-rainbow curve") {
+    val n = 48
+    val bands = Array("g", "r", "i")
+    val t = Array.tabulate(n)(i => -35.0 + i * 120.0 / (n - 1))
+    val band = Array.tabulate(n)(i => bands(i % 3))
+    val c = 2.99792458e8
+    val truth = Array(-25.0, 1e28, 20.0, 6000.0, 13000.0, 10.0)
+    val flux = Array.tabulate(n) { i =>
+      val nu = c / (slsnWave(band(i)) * 1e-10)
+      RainbowFit.linexpModelFlux(truth, t(i), nu)
+    }
+    val err = flux.map(f => math.max(math.abs(f) * 0.01, 1e-6))
+    val r = RainbowFit.fitLinexp(t, band, flux, err, slsnWave)
+    // feature order: reference_time, rise_time, amplitude, Tmin, Tmax,
+    // t_color, fit_error
+    assert(r.length === 7)
+    assert(math.abs(r(0) - truth(0)) < 2.0, s"reference_time ${r(0)}")
+    assert(math.abs(r(1) - truth(2)) / truth(2) < 0.3, s"rise_time ${r(1)}")
+    assert(r(2) > 0, s"amplitude ${r(2)}")
+    assert(r(6) < 50.0, s"fit_error ${r(6)}")
+  }
+
+  test("fitLinexp failure sentinel is the reference's -9.0 septet") {
+    // 6 points < 7 required: apply_rainbow's RuntimeError convention
+    val t = Array.tabulate(6)(_.toDouble)
+    val r = RainbowFit.fitLinexp(t, Array.fill(6)("g"), t.map(_ + 1),
+      Array.fill(6)(0.1), slsnWave)
+    assert(r.toSeq === Seq.fill(7)(-9.0))
+  }
 }
