@@ -249,6 +249,68 @@ class StreamingFuzzSpec extends SparkSpec {
     } }
   }
 
+  /** Event-time corpus ingest under RANDOM shuffles and batch splits:
+    * with a watermark delay wider than the corpus's whole timestamp
+    * span nothing is ever late, so determinism must be EXACT — the
+    * admission set equals the batch twin (smallest (event time, id)
+    * copy per distinct content) for EVERY arrival order, which is the
+    * auditability property the event-time variant exists for. The
+    * flush row reuses a real text at a far-future timestamp: it
+    * advances the watermark past all real data and, as the LATEST copy
+    * of its fingerprint, can never displace the true winner.
+    */
+  test("fuzz: event-time corpus ingest equals the batch twin on random replays (6 corpora)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withFewPartitions { for (seed <- 501 to 506) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      val n = 20 + rnd.nextInt(40)
+      val texts = scala.collection.mutable.ArrayBuffer[String]()
+      (0 until n).foreach { i =>
+        if (i > 2 && rnd.nextDouble() < 0.4) texts += texts(rnd.nextInt(i))
+        else texts += Vector.fill(5 + rnd.nextInt(8))(
+          words(rnd.nextInt(words.size))).mkString(" ")
+      }
+      val base = 1700000000000L
+      // disorder up to 10 minutes; ties on ts break by id in both twins
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, new java.sql.Timestamp(base + rnd.nextInt(600000).toLong))
+      }.toSeq
+      val flush = (999999L, texts.head,
+        new java.sql.Timestamp(base + 86400000L))
+      val want = StreamingOps.streamingCorpusIngestEventTimeBatch(
+          (docs :+ flush).toDF("doc_id", "text", "ts"),
+          "doc_id", "text", "ts", requireTerminal = false)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val shuffled = rnd.shuffle(docs)
+      val nBatches = 1 + rnd.nextInt(5)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(n)).sorted :+ n
+      val batches = (0 +: cuts).sliding(2)
+        .map { case Seq(a, b) => shuffled.slice(a, b) }.filter(_.nonEmpty).toSeq
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingOps.streamingCorpusIngestEventTime(spark,
+        ms.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+        watermark = "1 hour", requireTerminal = false)
+        .writeStream.format("memory").queryName(s"fz_evt_$seed")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        ms.addData(Seq(flush)); q.processAllAvailable()
+        // emissions ride the no-data batch AFTER the watermark advance;
+        // processAllAvailable doesn't wait for it — poll to the twin size
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (spark.table(s"fz_evt_$seed").count() < want.size &&
+            System.nanoTime() < deadline && q.isActive)
+          Thread.sleep(25)
+      } finally { q.stop(); q.awaitTermination(60000) }
+      val got = spark.table(s"fz_evt_$seed").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === want, s"seed $seed diverged from the batch twin")
+    } }
+  }
+
   test("fuzz: streaming near-dup assignment matches the simulator on random splits (8 corpora)") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
