@@ -224,8 +224,24 @@ object LiaFeatures {
     // near-zero-mass/tail shape that adopted the family (consistent
     // curves ~0.0x, structured curves cross every threshold up to
     // 4.81) while landing the ensemble mean at 2.6 — the closest of
-    // the 26 swept parameterizations. Family-level reconstruction;
-    // still surfaced via mulens_features_approx.
+    // the 26 swept parameterizations.
+    //
+    // r10 sweep (three NEW families, all artifact-refuted, so the
+    // per-point form stands as the only all-anchor-compatible one):
+    //  - per-point BINARY entropy (mag, k=2, /n) lands the training
+    //    mean almost exactly (0.467 vs 0.474) but is bounded by 1
+    //    against thresholds reaching 4.81 — killed by the same tail
+    //    test as the r6 histogram;
+    //  - Vasicek m-spacing differential entropy is negative over most
+    //    curves against a strictly POSITIVE threshold ladder
+    //    (0.0008..4.81) — support mismatch;
+    //  - OUTLIER-GATED surprisal (only p_i < p0 contribute) produces
+    //    the exact zeros the p50=0.008 threshold hints at, but goes
+    //    bimodal: nothing lands in the 0.008-0.23 band that carries
+    //    60% of the threshold mass (frac<p50 0.13-0.22 vs ideal 0.50,
+    //    reseed-stable).
+    // Family-level reconstruction; still surfaced via
+    // mulens_features_approx.
     val shannon = {
       val mMn = mag.sum / n
       val mSd = math.sqrt(mag.map(x => (x - mMn) * (x - mMn)).sum / n)

@@ -81,6 +81,22 @@ class LiaAnchorSpec extends AnyFunSuite {
         "unnormalized-sum regression")
   }
 
+  test("f37 r10 adjudication facts: positive threshold support with the 0.008/0.23/4.8 ladder") {
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val (n, q) = LiaAnchors.thresholdStats(37)
+    assert(n > 100, "threshold sample collapsed — artifact parsing drift")
+    // the three artifact facts the r10 refutations rest on:
+    // strictly positive support (kills Vasicek's negative values),
+    assert(q(0) > 0.0, s"negative/zero threshold appeared: ${q(0)}")
+    // a tail beyond 1 (kills every bounded-by-1 family: the r6
+    // histogram AND the r10 per-point binary entropy),
+    assert(q(6) > 4.0, s"tail threshold collapsed: ${q(6)}")
+    // and heavy mass in the 0.008-0.23 mid-band (kills the r10
+    // outlier-gated form, which evacuates it)
+    assert(q(3) < 0.05 && q(4) > 0.1 && q(4) < 1.0,
+      s"mid-band moved: p50=${q(3)} p75=${q(4)}")
+  }
+
   test("f36 sample_entropy: r9 anchor adoption holds (mag domain, m=1, r=0.15*std)") {
     assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
     val (_, q) = LiaAnchors.thresholdStats(36)

@@ -160,5 +160,31 @@ object LiaAnchors {
     evalFit2("fixedHist(32) bits nf", 37, cands.shannonFixedHist(32))
     evalFit2("surprisal(mag,k=2,log2) current", 37,
       cands.shannonSurprisal(true, 2.0, false, false))
+
+    // ---- r10 families (VERDICT r9 #7): the shape fact every earlier
+    // family missed is the HALF-AT-ZERO training marginal (thr p50 =
+    // 0.008); the gated surprisal can produce exact zeros, binary
+    // entropy and Vasicek are the remaining published-entropy shapes.
+    println("-- f37 r10 sweep: outlier-gated surprisal")
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0);
+         p0 <- Seq(0.25, 0.5, 0.75); pp <- Seq(true, false))
+      evalFit(f"gated(${if (mag) "mag" else "nf"},k=$k%.0f,p0=$p0%.2f" +
+        f"${if (pp) ",/n" else ""})", 37,
+        cands.shannonOutlierGated(mag, k, p0, pp))
+    println("-- f37 r10 sweep: binary entropy")
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0); pp <- Seq(true, false))
+      evalFit(f"binary(${if (mag) "mag" else "nf"},k=$k%.0f" +
+        f"${if (pp) ",/n" else ""})", 37, cands.shannonBinary(mag, k, pp))
+    println("-- f37 r10 sweep: Vasicek m-spacing")
+    for (mag <- Seq(true, false); mw <- Seq(1, 2, 5))
+      evalFit(f"vasicek(${if (mag) "mag" else "nf"},m=$mw)", 37,
+        cands.shannonVasicek(mag, mw))
+    println("-- r10 reseeded (seed 31) stability for the leading gated forms")
+    evalFit2("gated(mag,k=2,p0=0.50,/n)", 37,
+      cands.shannonOutlierGated(true, 2.0, 0.5, perPoint = true))
+    evalFit2("gated(mag,k=2,p0=0.25,/n)", 37,
+      cands.shannonOutlierGated(true, 2.0, 0.25, perPoint = true))
+    evalFit2("gated(nf,k=2,p0=0.50,/n)", 37,
+      cands.shannonOutlierGated(false, 2.0, 0.5, perPoint = true))
   }
 }

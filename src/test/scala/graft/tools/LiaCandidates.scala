@@ -315,6 +315,86 @@ object LiaCandidates {
       }
     }
 
+  /** r10 family: OUTLIER-GATED per-point surprisal — only points whose
+    * error-bar mass falls below `p0` contribute -log_base(p_i), then
+    * optional /n. The gate is what every previous family lacked
+    * against the f37 threshold sketch: HALF the training threshold
+    * mass sits below 0.008, i.e. half the training curves score
+    * essentially ZERO, which an ungated surprisal can never produce
+    * (an honest-error constant curve still pays ~0.07/point at k=2) —
+    * but a gated one does, exactly (no point of a consistent curve
+    * clears the gate).
+    */
+  def shannonOutlierGated(useMag: Boolean, k: Double, p0: Double,
+      perPoint: Boolean): (Array[Double], Array[Double]) => Double = (m, e) => {
+    val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+    val n = x.length
+    val mean = x.sum / n
+    val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / n)
+    if (std == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val p = phi((x(i) + k * xe(i) - mean) / std) -
+          phi((x(i) - k * xe(i) - mean) / std)
+        if (p < p0) s -= math.log(math.max(p, 1e-12)) / math.log(2.0)
+        i += 1
+      }
+      if (perPoint) s / n else s
+    }
+  }
+
+  /** r10 family: per-point BINARY entropy -sum[p log2 p + q log2 q]
+    * over the k-sigma error-bar mass (generalizes shannonCdf's k=1 nf
+    * form across domain/k/normalization).
+    */
+  def shannonBinary(useMag: Boolean, k: Double, perPoint: Boolean)
+      : (Array[Double], Array[Double]) => Double = (m, e) => {
+    val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+    val n = x.length
+    val mean = x.sum / n
+    val std = math.sqrt(x.map(v => (v - mean) * (v - mean)).sum / n)
+    if (std == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val p = phi((x(i) + k * xe(i) - mean) / std) -
+          phi((x(i) - k * xe(i) - mean) / std)
+        if (p > 0 && p < 1) {
+          val q = 1.0 - p
+          s -= (p * math.log(p) + q * math.log(q)) / math.log(2.0)
+        }
+        i += 1
+      }
+      if (perPoint) s / n else s
+    }
+  }
+
+  /** r10 family: Vasicek m-spacing differential-entropy estimator (the
+    * standard sample "Shannon entropy" of a continuous series):
+    * H = (1/n) sum ln(n/(2m) * (x_(i+m) - x_(i-m))) over the sorted
+    * sample, edges clamped; in bits.
+    */
+  def shannonVasicek(useMag: Boolean, mWin: Int)
+      : (Array[Double], Array[Double]) => Double = (m, e) => {
+    val x = (if (useMag) m else nfne(m, e)._1).sorted
+    val n = x.length
+    if (n <= 2 * mWin) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val hiV = x(math.min(n - 1, i + mWin))
+        val loV = x(math.max(0, i - mWin))
+        s += math.log(math.max(n.toDouble / (2 * mWin) * (hiV - loV), 1e-12))
+        i += 1
+      }
+      s / n / math.log(2.0)
+    }
+  }
+
   /** Same inverse-weighted surprisal on normalized flux. */
   val shannonInvNf: (Array[Double], Array[Double]) => Double = (m, e) => {
     val (nf, ne) = nfne(m, e)
