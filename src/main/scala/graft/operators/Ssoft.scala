@@ -151,6 +151,135 @@ object Ssoft {
           .as("spin")), "ssnamenr")
   }
 
+  final case class SoccaFit(h_g: Double, h_r: Double,
+      g1_1: Double, g1_2: Double, g2_1: Double, g2_2: Double,
+      a_b: Double, a_c: Double, phi0: Double,
+      alpha0: Double, delta0: Double, alpha0_alt: Double, delta0_alt: Double,
+      period: Double, period_chi2red: Double,
+      min_cos_lambda: Double, mean_cos_lambda: Double, max_cos_lambda: Double,
+      err_a_b: Double, err_a_c: Double, err_phi0: Double,
+      err_alpha0: Double, err_delta0: Double, err_period: Double,
+      chi2red: Double, n_obs: Int)
+
+  /** SOCCA fit for one object (ztf/ssoft/processor.py:525-607): light-
+    * travel-corrected times, dxy astrometric-noise trim, residual
+    * sigma-clip, then the period-blind 12-parameter ellipsoid fit
+    * ([[PhaseCurve.fitSOCCA]] — published-math reconstruction of the
+    * external asteroid_spinprops model; deviations documented there).
+    * Cleaning stand-ins for fink_utils.sso.cleaning: `dxy_cleaning` =
+    * drop points above the 0.95 dxy quantile; `iterative_cleaning` =
+    * one MAD-based 5-sigma clip of sHG1G2 residuals (the reference's
+    * loop iterates to convergence; one pass keeps the kernel
+    * deterministic and bounded).
+    */
+  def fitSocca(cmagpsf: Array[Double], csigmapsf: Array[Double],
+      cfid: Array[Int], cjd: Array[Double], phaseDeg: Array[Double],
+      raDeg: Array[Double], decDeg: Array[Double],
+      dobs: Array[Double], dhelio: Array[Double],
+      dxyIn: Array[Double]): SoccaFit = {
+    val nanFit = SoccaFit(Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+      Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
+      Double.NaN, 0)
+    var sel = cfid.indices.filter(i => (cfid(i) == 1 || cfid(i) == 2) &&
+      !cmagpsf(i).isNaN && !csigmapsf(i).isNaN && !phaseDeg(i).isNaN)
+    if (sel.length < 14) return nanFit.copy(n_obs = sel.length)
+    // dxy cleaning: drop the top-5% astrometric-noise points
+    if (dxyIn.length == cfid.length) {
+      val dxy = sel.map(dxyIn)
+      val thr = dxy.sorted.apply((0.95 * (dxy.length - 1)).toInt)
+      sel = sel.zip(dxy).filter(_._2 <= thr).map(_._1)
+    }
+    def mk(): (Array[Double], Array[Double], Array[Double], Array[Double],
+        Array[Int], Array[Double], Array[Double]) = (
+      sel.map(i => cmagpsf(i) - 5.0 * math.log10(dobs(i) * dhelio(i))).toArray,
+      sel.map(csigmapsf).toArray,
+      sel.map(i => math.toRadians(phaseDeg(i))).toArray,
+      sel.map(i => math.toRadians(raDeg(i))).toArray,
+      sel.map(cfid).toArray,
+      sel.map(i => math.toRadians(decDeg(i))).toArray,
+      sel.map(i => cjd(i) - dobs(i) / PhaseCurve.CAuPerDay).toArray)
+    // residual sigma-clip against a base sHG1G2 fit
+    locally {
+      val (m, s, ph, ra, bd, dec, _) = mk()
+      val base = PhaseCurve.fitSHG1G2(ph, ra, dec, bd, m, s)
+      if (!base.chi2red.isNaN) {
+        val res = m.indices.map { i =>
+          val h = if (bd(i) == 1) base.params(0) else base.params(1)
+          m(i) - PhaseCurve.shg1g2Mag(h, base.params(2), base.params(3),
+            base.params(4), base.params(5), base.params(6), ph(i), ra(i), dec(i))
+        }
+        val sorted = res.sorted
+        val med = sorted(sorted.length / 2)
+        val mad = res.map(r => math.abs(r - med)).sorted.apply(res.length / 2)
+        if (mad > 0) {
+          val keep = res.indices.filter(i => math.abs(res(i) - med) <= 5.0 * 1.4826 * mad)
+          if (keep.length >= 14) sel = keep.map(sel).toIndexedSeq
+        }
+      }
+    }
+    val (m, s, ph, ra, bd, dec, jdLt) = mk()
+    val r = PhaseCurve.fitSOCCA(ph, ra, dec, bd, m, s, jdLt)
+    if (r.result.chi2red.isNaN) return nanFit.copy(n_obs = sel.length)
+    val p = r.result.params
+    val e = r.result.errors
+    val a0 = (math.toDegrees(p(9)) % 360.0 + 360.0) % 360.0
+    val d0 = math.toDegrees(p(10))
+    // the kernel parameterizes shape as (a_b, b/c); report COLUMNS_SOCCA
+    // a_c = a_b * (b/c), error by first-order propagation
+    val aC = p(6) * p(7)
+    val errAC = math.sqrt(p(7) * p(7) * e(6) * e(6) + p(6) * p(6) * e(7) * e(7))
+    val phi0 = ((p(8) % (2 * math.Pi)) + 2 * math.Pi) % (2 * math.Pi)
+    SoccaFit(p(0), p(1), p(2), p(3), p(4), p(5), p(6), aC, phi0,
+      a0, d0, (a0 + 180.0) % 360.0, -d0,
+      r.periodH, r.result.chi2red,
+      r.minCosL, r.meanCosL, r.maxCosL,
+      e(6), errAC, e(8), math.toDegrees(e(9)), math.toDegrees(e(10)), e(11),
+      r.result.chi2red, sel.length)
+  }
+
+  /** SOCCA variant of the table build (build_the_ssoft model='SOCCA'):
+    * the base per-band table plus the period-blind spin-shape fit.
+    * Synthesizes the cdx/cdy noise columns when absent, like the
+    * reference's repair step.
+    */
+  def buildSocca(spark: SparkSession, aggregated: DataFrame,
+      nmin: Int = 50): DataFrame = {
+    val withNoise =
+      if (aggregated.columns.contains("cdx")) aggregated
+      else withNoiseColumns(aggregated)
+    val kernel = udf((cm: Seq[Double], cs: Seq[Double], cf: Seq[Int],
+        cjd: Seq[Double], phase: Seq[Double], ra: Seq[Double],
+        dec: Seq[Double], dobs: Seq[Double], dhelio: Seq[Double],
+        dxy: Seq[Double]) => {
+      def a(x: Seq[Double]): Array[Double] = if (x == null) Array.empty else x.toArray
+      if (cm == null || cf == null || phase == null ||
+        cm.size != phase.size || cm.size != cf.size)
+        fitSocca(Array.empty, Array.empty, Array.empty, Array.empty,
+          Array.empty, Array.empty, Array.empty, Array.empty, Array.empty,
+          Array.empty)
+      else fitSocca(a(cm), a(cs), cf.toArray, a(cjd), a(phase),
+        a(ra), a(dec), a(dobs), a(dhelio), a(dxy))
+    })
+    // dxy collapses to one array column up front (a UDF takes at most
+    // 10 args, and the kernel only ever uses the quadrature sum)
+    val withDxy = withNoise.withColumn("socca_dxy",
+      zip_with(col("cdx").cast("array<double>"),
+        col("cdy").cast("array<double>"),
+        (x, y) => sqrt(x * x + y * y)))
+    build(spark, withNoise, nmin)
+      .join(withDxy.select(col("ssnamenr"),
+        kernel(
+          col("cmagpsf").cast("array<double>"), col("csigmapsf").cast("array<double>"),
+          col("cfid").cast("array<int>"), col("cjd").cast("array<double>"),
+          col("Phase").cast("array<double>"),
+          col("cra").cast("array<double>"), col("cdec").cast("array<double>"),
+          col("Dobs").cast("array<double>"), col("Dhelio").cast("array<double>"),
+          col("socca_dxy")).as("socca")), "ssnamenr")
+  }
+
   /** Missing-column repair: per-measurement Gaussian noise arrays
     * (`cdx`/`cdy`) — reference: ztf/ssoft/processor.py:819-825, a seeded
     * randn pandas UDF there. Here the noise is a deterministic function

@@ -90,6 +90,77 @@ class SsoftSpec extends SparkSpec {
     }
   }
 
+  test("SOCCA fit recovers a synthetic rotating-ellipsoid curve") {
+    val rng = new java.util.Random(11L)
+    val n = 160
+    val phase = Array.fill(n)(math.toRadians(5 + rng.nextDouble() * 20))
+    val ra = Array.fill(n)(rng.nextDouble() * 2 * math.Pi)
+    val dec = Array.fill(n)(math.toRadians(rng.nextDouble() * 60 - 30))
+    val band = Array.tabulate(n)(i => 1 + i % 2)
+    val jdLt = Array.fill(n)(2459000.0 + rng.nextDouble() * 120.0).sorted
+    // [H_g, H_r, G1_g, G1_r, G2_g, G2_r, a_b, b/c ratio, phi0,
+    //  alpha0, delta0, period_h] (a_c = a_b * ratio = 1.8)
+    val truth = Array(15.0, 14.5, 0.15, 0.15, 0.2, 0.2, 1.5, 1.2,
+      0.7, 1.0, 0.3, 10.0)
+    val t0 = jdLt.min
+    val mag = Array.tabulate(n)(i =>
+      PhaseCurve.soccaMag(truth, band(i), phase(i), ra(i), dec(i), jdLt(i), t0) +
+        rng.nextGaussian() * 0.01)
+    val sigma = Array.fill(n)(0.01)
+    val r = PhaseCurve.fitSOCCA(phase, ra, dec, band, mag, sigma, jdLt)
+    assert(!r.result.chi2red.isNaN, "fit failed")
+    // the pure ellipsoid curve is exactly P/2-periodic, so P and P/2
+    // are degenerate; the convention reports the doubled photometric
+    // period — the planted sidereal value
+    assert(math.abs(r.periodH - truth(11)) / truth(11) < 0.02,
+      s"period ${r.periodH} vs ${truth(11)}")
+    assert(math.abs(r.result.params(6) - truth(6)) < 0.1,
+      s"a_b ${r.result.params(6)} vs ${truth(6)}")
+    assert(math.abs(r.result.params(7) - truth(7)) < 0.15,
+      s"b/c ${r.result.params(7)} vs ${truth(7)}")
+    // spin pole within a few degrees (mod the mirror ambiguity)
+    val a0 = math.toDegrees(r.result.params(9))
+    val d0 = math.toDegrees(r.result.params(10))
+    val direct = math.hypot(a0 - math.toDegrees(truth(9)),
+      d0 - math.toDegrees(truth(10)))
+    val mirror = math.hypot((a0 + 180.0) % 360.0 - math.toDegrees(truth(9)),
+      -d0 - math.toDegrees(truth(10)))
+    assert(math.min(direct, mirror) < 5.0, s"pole ($a0, $d0)")
+    assert(r.result.chi2red < 2.0, s"chi2red ${r.result.chi2red}")
+    assert(r.minCosL >= 0 && r.maxCosL <= 1 && r.meanCosL >= r.minCosL)
+  }
+
+  test("SOCCA build on the 3-object fixture mirrors the reference doctest structure") {
+    assume(new java.io.File(fixture).exists, "fixture absent")
+    val agg = spark.read.parquet(fixture)
+    val out = Ssoft.buildSocca(spark, agg, nmin = 50)
+    val rows = out.select("ssnamenr", "socca.period", "socca.a_b",
+      "socca.a_c", "socca.mean_cos_lambda", "socca.n_obs",
+      "socca.alpha0", "socca.alpha0_alt", "socca.delta0", "socca.delta0_alt")
+      .collect()
+    // build_the_ssoft doctest: nmin=50 keeps exactly 2 of the 3 objects
+    assert(rows.length === 2, s"expected 2 objects, got ${rows.length}")
+    rows.foreach { r =>
+      val period = r.getDouble(1)
+      assert(!period.isNaN && period > 0.5 && period < 250.0,
+        s"${r.getString(0)}: period $period out of the searched range")
+      assert(r.getDouble(2) >= 1.0, "a_b must be >= 1 (a >= b)")
+      assert(r.getDouble(3) >= 1.0, "a_c must be >= 1 (a >= c)")
+      val mcl = r.getDouble(4)
+      assert(mcl >= 0.0 && mcl <= 1.0)
+      assert(r.getInt(5) >= 50)
+      // flipped-pole convention (COLUMNS_SOCCA alpha0_alt/delta0_alt)
+      assert(math.abs((r.getDouble(6) + 180.0) % 360.0 - r.getDouble(7)) < 1e-9)
+      assert(math.abs(r.getDouble(8) + r.getDouble(9)) < 1e-9)
+    }
+    // the full COLUMNS_SOCCA surface is present
+    val soccaCols = out.select("socca.*").columns.toSet
+    for (c <- Seq("period", "period_chi2red", "a_b", "a_c", "phi0",
+        "alpha0", "delta0", "alpha0_alt", "delta0_alt", "err_a_b",
+        "err_period", "min_cos_lambda", "mean_cos_lambda", "max_cos_lambda"))
+      assert(soccaCols.contains(c), s"missing SOCCA column $c")
+  }
+
   test("SSOFT table carries astrometry + per-filter time-lapse stats") {
     val agg = spark.read.parquet(fixture)
     val out = Ssoft.build(spark, agg, nmin = 50).collect()
