@@ -1018,38 +1018,28 @@ object Dedup {
       .select(col("id").as(idCol), col("label").as("cluster"))
 
   /** The production 100 TB dedup chain as ONE composed operator:
-    * exact dedup -> linear-output canonical assignment -> component
-    * resolution over the THINNED edge stream — the documented answer to
-    * pair enumeration's Omega(cliques^2) blow-up (SCALE_r05.md: one
-    * replicated family = 113 docs = 6 328 pairs for [[simhashPairs]],
-    * but only 112 assignment edges here).
+    * exact dedup -> per-bucket star forest -> component resolution over
+    * the linear edge stream — the answer to pair enumeration's
+    * Omega(cliques^2) blow-up (SCALE_r05.md: one replicated family =
+    * 113 docs = 6 328 pairs for [[simhashPairs]], but <= bands x 113
+    * forest edges here).
     *
     * Stages:
     *  1. exact dedup ([[exact]] semantics): one survivor (min id) per
     *     distinct content hash; every doc remembers its survivor.
-    *  2. [[simhashAssign]] over the survivors: at most ONE verified
-    *     Hamming<=maxHamming edge per doc (join volume bands x n
-    *     whatever the clique structure).
-    *  3. [[connectedComponents]] over those assignment edges only —
-    *     edge count <= n instead of Omega(pairs), so the propagation
-    *     loop is corpus-linear per sweep. The assignment graph is a
-    *     forest with parent < child on every edge, so each tree's min
-    *     id IS its root: `cluster` = the canonical root every member
-    *     transitively points to.
-    *  4. map every original doc through its exact-dup survivor to the
+    *  2. [[simhashClusters]] over the survivors — which rides
+    *     [[simhashForest]]'s per-bucket union-find stars, so the
+    *     propagation loop's input is O(bands x n) whatever the clique
+    *     structure, and the components are the PIGEONHOLE-COMPLETE
+    *     transitive closure of all verified Hamming<=maxHamming pairs
+    *     (proof at [[simhashForest]]). Before r10 this stage was the
+    *     one-hop [[simhashAssign]], whose clustering was a documented
+    *     refinement (true components could come out split); the forest
+    *     delivers the full closure at the same linear cost, so the
+    *     trade-off no longer exists.
+    *  3. map every original doc through its exact-dup survivor to the
     *     survivor's cluster root (docs with no near-dup edge keep their
     *     survivor as cluster).
-    *
-    * Semantics (documented trade-off, inherited from [[simhashAssign]]):
-    * every merge is sound — exact-duplicate or a verified
-    * Hamming<=maxHamming pair, transitively — but the clustering is a
-    * REFINEMENT of the full [[simhashClusters]] closure: a bridge pair
-    * between two docs that both verified against different bucket
-    * representatives is not re-examined, so a true component may come
-    * out split. That is the scale trade: [[simhashPairs]]+
-    * [[simhashClusters]] pay Omega(all pairs) for pigeonhole-complete
-    * components; this chain pays O(bands x n) for sound, linear-output
-    * dedup — the keep/drop decision a training-data pipeline needs.
     */
   def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, maxIter: Int = 25,
@@ -1065,20 +1055,18 @@ object Dedup {
     val doc2surv = hashed.join(surv, "content_hash")
       .select(col(idCol), col("survivor"))
     val survDocs = df.join(surv.select(col("survivor").as(idCol)), idCol)
-    // cached: simhashAssign reads the banded expansion twice (rep
-    // aggregate + probe), and the simhash kernel over the survivors is
-    // the chain's dominant map stage. Unlike the lazy operators, this
-    // chain materializes internally (the sweep loop), so the cache can
-    // be dropped before returning — no r5-style leak
+    // cached: the simhash kernel over the survivors is the chain's
+    // dominant map stage and the forest's bucket pass reads it once
+    // more through connectedComponents' symmetric union. Unlike the
+    // lazy operators, this chain materializes internally (the sweep
+    // loop), so the cache can be dropped before returning — no
+    // r5-style leak
     val sim = simhash(survDocs, idCol, textCol).cache()
-    val assign = simhashAssign(sim, idCol, maxHamming)
     // private names: a caller's idCol may itself be "id"/"label",
     // which would collide with connectedComponents' output columns
     val comps =
-      try connectedComponents(
-        assign.select(col(idCol).as("d1"), col("canonical").as("d2")),
-        maxIter, sweep)
-        .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+      try simhashClusters(sim, idCol, maxHamming, maxIter, sweep)
+        .select(col(idCol).as("__cc_id"), col("cluster").as("__cc_label"))
       finally sim.unpersist() // labels are materialized by the loop
     doc2surv.join(comps, doc2surv("survivor") === comps("__cc_id"), "left")
       .select(col(idCol),

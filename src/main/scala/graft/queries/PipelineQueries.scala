@@ -235,10 +235,12 @@ object PipelineQueries extends QueryPack {
       "doc_id", maxHamming = 4)
       .orderBy("doc_id")
 
-  // d10: the production dedup chain d1 -> d8 -> components-over-thinned-
-  // edges as one composed operator; the oracle mirrors every stage
-  // (exact survivors, 12-bit band decomposition, bucket-min reps,
-  // verified assignment, recursive ancestor-min root resolution).
+  // d10: the production dedup chain d1 -> forest -> components as one
+  // composed operator; since r10 the near-dup stage is the COMPLETE
+  // verified-pair closure (per-bucket star forests, connectivity-
+  // identical to all pairs), so the oracle states the semantics
+  // directly: exact survivors, recursive reachability over all
+  // verified pairs, component-min roots.
   private def d10DedupPipeline(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupPipeline(docs(s, dir), "doc_id", "text", maxHamming = 4)
       .orderBy("doc_id")
@@ -1456,13 +1458,13 @@ object PipelineQueries extends QueryPack {
         |       CAST(len(regexp_extract_all(no_email,
         |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip
         |FROM s2 ORDER BY doc_id""".stripMargin,
-    // d10: stage-by-stage mirror of Dedup.dedupPipeline — exact-dedup
-    // survivors, the simhash kernel over survivors only, the 5 x 12-bit
-    // band decomposition (maxHamming=4 -> 60/5 bands, no remainder),
-    // bucket-min representatives (arg_min carries the rep's simhash),
-    // the verified min-rep assignment, and root resolution as the MIN
-    // ancestor of the recursive parent chain (parent < child on every
-    // edge makes each tree's min id its root).
+    // d10: exact-dedup survivors, the simhash kernel over survivors
+    // only, then the FULL transitive closure of verified
+    // Hamming<=4 pairs (recursive reachability, component = min
+    // reachable id), and originals mapped through their survivor. The
+    // engine thins the closure's edges to per-bucket star forests
+    // (Dedup.simhashForest) — connectivity-invariant, so the oracle
+    // states the semantics directly over ALL verified pairs.
     "d10_dedup_pipeline" ->
       """WITH RECURSIVE
         |hsh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
@@ -1487,23 +1489,15 @@ object PipelineQueries extends QueryPack {
         |    CROSS JOIN (SELECT unnest(range(60)) AS j)
         |    GROUP BY 1, 2)
         |  GROUP BY 1),
-        |banded AS (
-        |  SELECT doc_id, simhash, b, (simhash >> CAST(12*b AS INT)) & 4095 AS bits
-        |  FROM sim CROSS JOIN (SELECT unnest(range(5)) AS b)),
-        |reps AS (
-        |  SELECT b, bits, MIN(doc_id) AS rep, arg_min(simhash, doc_id) AS rep_sim
-        |  FROM banded GROUP BY 1, 2),
-        |asg AS (
-        |  SELECT t.doc_id, MIN(r.rep) AS canonical
-        |  FROM banded t JOIN reps r ON t.b = r.b AND t.bits = r.bits
-        |  WHERE r.rep < t.doc_id
-        |    AND bit_count(xor(t.simhash, r.rep_sim)) <= 4
-        |  GROUP BY 1),
-        |anc(doc_id, a) AS (
-        |  SELECT doc_id, canonical FROM asg
-        |  UNION
-        |  SELECT anc.doc_id, asg.canonical FROM anc JOIN asg ON anc.a = asg.doc_id),
-        |root AS (SELECT doc_id, MIN(a) AS root FROM anc GROUP BY 1)
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+        |e AS (SELECT d1 AS s, d2 AS t FROM p UNION ALL SELECT d2, d1 FROM p),
+        |r(a, b) AS (SELECT s, t FROM e
+        |            UNION SELECT r.a, e.t FROM r JOIN e ON r.b = e.s),
+        |root AS (SELECT a AS doc_id, least(a, MIN(b)) AS root
+        |         FROM r GROUP BY 1)
         |SELECT d.doc_id AS doc_id,
         |       CAST(coalesce(r.root, d.survivor) AS BIGINT) AS cluster
         |FROM d2s d LEFT JOIN root r ON r.doc_id = d.survivor
@@ -1554,23 +1548,15 @@ object PipelineQueries extends QueryPack {
         |    CROSS JOIN (SELECT unnest(range(60)) AS j)
         |    GROUP BY 1, 2)
         |  GROUP BY 1),
-        |banded AS (
-        |  SELECT doc_id, simhash, b, (simhash >> CAST(12*b AS INT)) & 4095 AS bits
-        |  FROM sim CROSS JOIN (SELECT unnest(range(5)) AS b)),
-        |breps AS (
-        |  SELECT b, bits, MIN(doc_id) AS rep, arg_min(simhash, doc_id) AS rep_sim
-        |  FROM banded GROUP BY 1, 2),
-        |asg AS (
-        |  SELECT t.doc_id, MIN(r.rep) AS canonical
-        |  FROM banded t JOIN breps r ON t.b = r.b AND t.bits = r.bits
-        |  WHERE r.rep < t.doc_id
-        |    AND bit_count(xor(t.simhash, r.rep_sim)) <= 4
-        |  GROUP BY 1),
-        |anc(doc_id, a) AS (
-        |  SELECT doc_id, canonical FROM asg
-        |  UNION
-        |  SELECT anc.doc_id, asg.canonical FROM anc JOIN asg ON anc.a = asg.doc_id),
-        |root AS (SELECT doc_id, MIN(a) AS root FROM anc GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 4),
+        |e AS (SELECT d1 AS s, d2 AS t FROM p UNION ALL SELECT d2, d1 FROM p),
+        |reach(a, b) AS (SELECT s, t FROM e
+        |            UNION SELECT reach.a, e.t FROM reach JOIN e ON reach.b = e.s),
+        |root AS (SELECT a AS doc_id, least(a, MIN(b)) AS root
+        |         FROM reach GROUP BY 1),
         |repdoc AS (
         |  SELECT s.survivor AS doc_id
         |  FROM (SELECT DISTINCT survivor FROM d2s) s

@@ -205,7 +205,7 @@ class DedupSpec extends SparkSpec {
     assert(left.length <= 1, s"stale sweep tables: ${left.map(_.getName).toSeq}")
   }
 
-  test("dedupPipeline: sound merges, root fixed points, closure refinement") {
+  test("dedupPipeline: sound merges, root fixed points, closure equality") {
     val docs = Tables.t(spark, sf, "documents")
     val out = Dedup.dedupPipeline(docs, "doc_id", "text", maxHamming = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -221,25 +221,23 @@ class DedupSpec extends SparkSpec {
       assert(cl <= doc, s"cluster $cl above member $doc")
       assert(out(cl) === cl, s"root $cl of $doc is not a fixed point")
     }
-    // refinement of the full closure: the chain only merges exact dups
-    // and verified Hamming pairs, so two docs it puts together must be
-    // together in (exact groups) U (full simhashClusters over survivors)
-    val sim = Dedup.simhash(docs, "doc_id", "text")
-    val full = Dedup.simhashClusters(sim, "doc_id", maxHamming = 4)
+    // closure EQUALITY (since the r10 forest upgrade): the pipeline's
+    // clustering must be exactly (exact groups) composed with the FULL
+    // simhashClusters closure over the survivors — not a refinement
+    val survSim = Dedup.simhash(
+      Dedup.exact(docs, "doc_id", "text")
+        .join(docs, Seq("doc_id")).select("doc_id", "text"),
+      "doc_id", "text")
+    val full = Dedup.simhashClusters(survSim, "doc_id", maxHamming = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val md5g = docs.selectExpr("doc_id", "md5(text) AS h")
+    val md5g = docs.selectExpr("doc_id", "md5(coalesce(text, '')) AS h")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // map every doc to its full-closure component key (via its exact
-    // survivor so exact dups inherit the survivor's component)
     val surv = md5g.groupBy(_._2).map { case (h, ms) => h -> ms.keys.min }
-    def fullKey(d: Long): Long = {
-      val s = surv(md5g(d)); full.getOrElse(s, s)
-    }
-    out.groupBy(_._2).foreach { case (cl, members) =>
-      val keys = members.keys.map(fullKey).toSet
-      assert(keys.size === 1,
-        s"pipeline cluster $cl spans full-closure components $keys")
-    }
+    val expected = md5g.keys.map { d =>
+      val s = surv(md5g(d)); d -> full.getOrElse(s, s)
+    }.toMap
+    assert(out === expected,
+      "pipeline clustering diverged from exact∘full-closure composition")
   }
 
   test("simhash clusters equal union-find over the exact pair graph") {
