@@ -348,6 +348,21 @@ object PipelineQueries extends QueryPack {
       .select(col("id").as("doc_id"), col("w"), col("skey"))
       .orderBy(col("skey").desc, col("doc_id").asc)
 
+  // p5: the event-time corpus ingest's BATCH twin on the driver board
+  // — quality filter, whitespace-normalized md5 fingerprint, simhash,
+  // and the smallest (event time, doc_id) copy per distinct content:
+  // the admission set the watermarked stream reproduces byte-identically
+  // under any bounded-disorder replay (StreamingOpsSpec/FuzzSpec pin
+  // stream==batch; this query pins the batch twin against DuckDB).
+  // Event time is synthesized deterministically from doc_id
+  // (minute-grained over a day) since documents carries no timestamp.
+  private def p5EventIngest(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.streamingCorpusIngestEventTimeBatch(
+      docs(s, dir).withColumn("ts",
+        timestamp_millis(lit(1700000000000L) + (col("doc_id") % 1440) * 60000L)),
+      "doc_id", "text", "ts", requireTerminal = false)
+      .orderBy("doc_id")
+
   // t12: deterministic k-per-stratum sample — the 5 smallest
   // (hash, id) per language; salted two-phase top-k so no stratum is
   // ever sorted on one task (plan pinned in SamplingSpec).
@@ -589,6 +604,7 @@ object PipelineQueries extends QueryPack {
     "p2_split_assign" -> (p2SplitAssign _),
     "p3_mixture_sample" -> (p3MixtureSample _),
     "p4_weighted_sample" -> (p4WeightedSample _),
+    "p5_event_ingest" -> (p5EventIngest _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
@@ -1250,6 +1266,56 @@ object PipelineQueries extends QueryPack {
         |  FROM w WHERE w > 0)
         |SELECT doc_id, w, skey FROM k
         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    // p5: the t9 cascade (minus the terminal-punct rule —
+    // requireTerminal=false) gates the corpus, fp = md5 of the
+    // whitespace-normalized text (DuckDB regexp_replace needs the 'g'
+    // flag Spark applies implicitly), simhash via the shared kernel
+    // mirror over KEPT raw text, and the admission winner per fp is
+    // ROW_NUMBER over (ts_ms, doc_id) — the struct-min the batch twin
+    // aggregates.
+    "p5_event_ingest" ->
+      """WITH k0 AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |         1700000000000 + (doc_id % 1440) * 60000 AS ts_ms
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, t, ts_ms,
+        |         len(string_split(lower(t), ' ')) AS nt,
+        |         octet_length(encode(t)) - len(regexp_extract_all(t, ' ')) AS wb,
+        |         CASE WHEN octet_length(encode(t)) = 0 THEN 1.0
+        |              ELSE CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE)
+        |                   / octet_length(encode(t)) END AS df
+        |  FROM k0),
+        |kept AS (
+        |  SELECT doc_id, t, ts_ms FROM q
+        |  WHERE NOT (nt < 5 OR CAST(wb AS DOUBLE)/nt < 3.0
+        |         OR CAST(wb AS DOUBLE)/nt > 10.0 OR df > 0.2)),
+        |sim AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
+        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, j,
+        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |    FROM (
+        |      SELECT doc_id,
+        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
+        |                  AS BIGINT) AS hv
+        |      FROM (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
+        |            FROM kept))
+        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT k.doc_id,
+        |         md5(regexp_replace(trim(lower(k.t)), ' +', ' ', 'g')) AS fp,
+        |         k.ts_ms, s.simhash,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY md5(regexp_replace(trim(lower(k.t)), ' +', ' ', 'g'))
+        |           ORDER BY k.ts_ms, k.doc_id) AS rn
+        |  FROM kept k JOIN sim s USING (doc_id))
+        |SELECT doc_id, fp, CAST(ts_ms AS BIGINT) AS ts_ms, simhash
+        |FROM f WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // t12: the salted two-phase plan reduces to the direct
     // per-stratum ROW_NUMBER over (hash, id) — the oracle states the
     // logical result, the Spark side owns the scale shape.
