@@ -212,6 +212,15 @@ class PlanSpec extends SparkSpec {
       "join must key on the coarse bucket")
   }
 
+  test("p5 event ingest twin: struct-min hash aggregate, no window sort, no join") {
+    val p = plan("p5_event_ingest")
+    assert(!p.contains("Window"),
+      "winner-per-fp must be a min-struct aggregate, not a window sort")
+    assert(!p.contains("Join"), "the batch twin is a single-table pipeline")
+    assert(p.contains("partial"),
+      "fp aggregation must partial-apply map-side")
+  }
+
   test("t19 cms: grid aggregate partial-applies; single-row sketch broadcasts") {
     val p = plan("t19_cms_heavy_hitters")
     assert(p.contains("partial_cms_sketch"),
