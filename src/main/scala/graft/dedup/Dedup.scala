@@ -1055,19 +1055,19 @@ object Dedup {
     val doc2surv = hashed.join(surv, "content_hash")
       .select(col(idCol), col("survivor"))
     val survDocs = df.join(surv.select(col("survivor").as(idCol)), idCol)
-    // cached: the simhash kernel over the survivors is the chain's
-    // dominant map stage and the forest's bucket pass reads it once
-    // more through connectedComponents' symmetric union. Unlike the
-    // lazy operators, this chain materializes internally (the sweep
-    // loop), so the cache can be dropped before returning — no
-    // r5-style leak
-    val sim = simhash(survDocs, idCol, textCol).cache()
-    // private names: a caller's idCol may itself be "id"/"label",
-    // which would collide with connectedComponents' output columns
-    val comps =
-      try simhashClusters(sim, idCol, maxHamming, maxIter, sweep)
-        .select(col(idCol).as("__cc_id"), col("cluster").as("__cc_label"))
-      finally sim.unpersist() // labels are materialized by the loop
+    // no cache on sim: the forest edge stream is what
+    // connectedComponents caches, and building it reads the survivors'
+    // simhash exactly once — caching the map stage would be a pure
+    // memory write with zero reuse
+    val sim = simhash(survDocs, idCol, textCol)
+    // private names throughout: a caller's idCol may itself be "id",
+    // "label" or "cluster", which would collide with the component
+    // table's output columns — so go through connectedComponents
+    // directly (its d1/d2/id/label names never meet the caller's)
+    // rather than simhashClusters' idCol-named projection
+    val comps = connectedComponents(
+        simhashForest(sim, idCol, maxHamming), maxIter, sweep)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
     doc2surv.join(comps, doc2surv("survivor") === comps("__cc_id"), "left")
       .select(col(idCol),
         coalesce(col("__cc_label"), col("survivor")).as("cluster"))

@@ -399,7 +399,6 @@ object PhaseCurve {
       return FitResult(Array.fill(np)(Double.NaN), Array.fill(np)(Double.NaN),
         Double.NaN, -1)
     val p = p0.clone()
-    val eps = 1e-6
     def chi2Of(q: Array[Double]): Double = {
       var c = 0.0; var i = 0
       while (i < n) {
@@ -423,6 +422,10 @@ object PhaseCurve {
         val grad = new Array[Double](np)
         var k = 0
         while (k < np) {
+          // RELATIVE step: a fixed 1e-6 vanishes against a 1e28-scale
+          // bolometric amplitude (p + eps == p in double) and silently
+          // zeroes that gradient direction
+          val eps = math.max(math.abs(p(k)) * 1e-6, 1e-9)
           val saved = p(k); p(k) = saved + eps
           grad(k) = (model(p, alpha(i)) - f0) / eps
           p(k) = saved; k += 1
@@ -526,13 +529,19 @@ object PhaseCurve {
       // chi2(P) oscillates on the scale osc = P^2/(24*span) (one extra
       // rotation across the time span); the LS grid (4x oversampled)
       // localizes the peak within osc/8, so refinement stays inside
-      // +-osc — a wider window hands the optimizer a dozen local minima
+      // +-osc — a wider window hands the optimizer a dozen local
+      // minima. A SHORT span makes osc exceed the candidate itself
+      // (spanDays=2, cand=240h -> osc=1200), so the lower bound clamps
+      // strictly positive — a negative "period" is still a finite
+      // model (the rotation merely reverses) and could otherwise win
+      // on chi2 and surface in the table's period column
       val osc = cand * cand / (24.0 * spanDays)
       val p0 = Array(base.params(0), base.params(1),
         0.15, 0.15, 0.2, 0.2,
         aBSeed, 1.1, phi0Seed, a0Seed, d0Seed, cand)
       val lo = Array(-3.0, -3.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.0,
-        -2 * math.Pi, 0.0, -math.Pi / 2, cand - osc)
+        -2 * math.Pi, 0.0, -math.Pi / 2,
+        math.max(cand - osc, math.min(0.5, cand * 0.5)))
       val hi = Array(30.0, 30.0, 1.0, 1.0, 1.0, 1.0, 10.0, 5.0,
         4 * math.Pi, 2 * math.Pi, math.Pi / 2, cand + osc)
       val idx = Array.tabulate(n)(_.toDouble)

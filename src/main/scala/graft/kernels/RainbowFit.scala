@@ -421,62 +421,21 @@ object RainbowFit {
       rise <- Seq(5.0, 15.0, 40.0, 80.0)
       t0 <- Seq(tPeak - rise, tt.min - 1.0, tt.min - rise / 2)
     } yield seed(t0, rise)
-    val p = starts.minBy(chi2Of).clone()
+    val p0 = starts.minBy(chi2Of)
 
-    var lambda = 1e-3
-    var iter = 0
-    var chi = chi2Of(p)
-    while (iter < 200) {
-      val jtj = Array.ofDim[Double](np_, np_)
-      val jtr = new Array[Double](np_)
-      var i = 0
-      while (i < n) {
-        val f0 = linexpModelFlux(p, tt(i), nu(i))
-        val grad = new Array[Double](np_)
-        var k = 0
-        while (k < np_) {
-          val eps = math.max(math.abs(p(k)) * 1e-6, 1e-9)
-          val saved = p(k)
-          p(k) = saved + eps
-          grad(k) = (linexpModelFlux(p, tt(i), nu(i)) - f0) / eps
-          p(k) = saved
-          k += 1
-        }
-        val w = 1.0 / (ee(i) * ee(i))
-        val r = ff(i) - f0
-        k = 0
-        while (k < np_) {
-          var l = 0
-          while (l < np_) { jtj(k)(l) += w * grad(k) * grad(l); l += 1 }
-          jtr(k) += w * grad(k) * r
-          k += 1
-        }
-        i += 1
-      }
-      var k = 0
-      while (k < np_) { jtj(k)(k) *= (1.0 + lambda); jtj(k)(k) += 1e-12; k += 1 }
-      val step = solve(jtj, jtr)
-      if (step == null) { iter = 200 }
-      else {
-        val trial = Array.tabulate(np_)(k =>
-          math.min(hi(k), math.max(lo(k), p(k) + step(k))))
-        val trialChi = chi2Of(trial)
-        if (trialChi < chi) {
-          System.arraycopy(trial, 0, p, 0, np_)
-          if (chi - trialChi < 1e-13 * (1.0 + chi)) iter = 200
-          chi = trialChi
-          lambda = math.max(lambda / 3.0, 1e-9)
-        } else {
-          lambda *= 10.0
-          if (lambda > 1e12) iter = 200
-        }
-      }
-      iter += 1
+    // Levenberg refinement via the shared PhaseCurve.fitLM (the same
+    // damped solver SOCCA uses — one LM kernel to maintain), with the
+    // index-as-x trick carrying the per-point frequency
+    val idx = Array.tabulate(n)(_.toDouble)
+    def model(q: Array[Double], xi: Double): Double = {
+      val i = xi.toInt
+      linexpModelFlux(q, tt(i), nu(i))
     }
-    if (p.exists(v => v.isNaN || v.isInfinite) || chi.isNaN) return fail
-    val dof = math.max(1, n - np_)
+    val r = graft.kernels.PhaseCurve.fitLM(model, p0, lo, hi, idx, ff, ee)
+    val p = r.params
+    if (p.exists(v => v.isNaN || v.isInfinite) || r.chi2red.isNaN) return fail
     Array(p(0), p(2), p(1) / averageNu(waveAA.values), p(3), p(4), p(5),
-      chi / dof)
+      r.chi2red)
   }
 
   /** Diagonal of inverse(a) via Gauss-Jordan; None when singular. */

@@ -183,6 +183,13 @@ object Ssoft {
       Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
       Double.NaN, Double.NaN, Double.NaN, Double.NaN, Double.NaN,
       Double.NaN, 0)
+    // a null or short companion array (the UDF maps null -> empty)
+    // must yield the NaN sentinel for THIS object, not an
+    // ArrayIndexOutOfBounds that kills the whole job (r10 review)
+    val n = cfid.length
+    if (Seq(cmagpsf, csigmapsf, cjd, phaseDeg, raDeg, decDeg, dobs,
+        dhelio).exists(_.length != n))
+      return nanFit
     var sel = cfid.indices.filter(i => (cfid(i) == 1 || cfid(i) == 2) &&
       !cmagpsf(i).isNaN && !csigmapsf(i).isNaN && !phaseDeg(i).isNaN)
     if (sel.length < 14) return nanFit.copy(n_obs = sel.length)
@@ -264,11 +271,18 @@ object Ssoft {
         a(ra), a(dec), a(dobs), a(dhelio), a(dxy))
     })
     // dxy collapses to one array column up front (a UDF takes at most
-    // 10 args, and the kernel only ever uses the quadrature sum)
-    val withDxy = withNoise.withColumn("socca_dxy",
-      zip_with(col("cdx").cast("array<double>"),
-        col("cdy").cast("array<double>"),
-        (x, y) => sqrt(x * x + y * y)))
+    // 10 args, and the kernel only ever uses the quadrature sum).
+    // Pre-filter with the SAME size gates as the base build: the
+    // multi-start SOCCA kernel is the most expensive fit in the repo,
+    // and the inner join below would discard sub-nmin results anyway
+    val withDxy = withNoise
+      .filter(size(col("cra")) >= nmin)
+      .filter(size(col("Phase")) >= nmin)
+      .filter(size(col("cmagpsf")) === size(col("Phase")))
+      .withColumn("socca_dxy",
+        zip_with(col("cdx").cast("array<double>"),
+          col("cdy").cast("array<double>"),
+          (x, y) => sqrt(x * x + y * y)))
     build(spark, withNoise, nmin)
       .join(withDxy.select(col("ssnamenr"),
         kernel(

@@ -214,6 +214,14 @@ class DedupSpec extends SparkSpec {
       docs.withColumnRenamed("doc_id", "id"), "id", "text", maxHamming = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(renamed === out, "idCol=\"id\" changed the clustering")
+    // ...including the OUTPUT column's own name (r10 review: routing
+    // through simhashClusters' idCol-named projection made
+    // idCol="cluster" an ambiguous-reference AnalysisException)
+    val asCluster = Dedup.dedupPipeline(
+      docs.withColumnRenamed("doc_id", "cluster"), "cluster", "text",
+      maxHamming = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asCluster === out, "idCol=\"cluster\" changed the clustering")
     assert(out.size === docs.count(), "one row per input doc")
     // cluster ids are canonical roots: never above the member, and the
     // root itself maps to itself

@@ -21,7 +21,7 @@ runtime is held to.
 Usage:
   sbt "Test/runMain graft.tools.CatsWeightsDump /tmp/cats_weights.json"
   python3 tools/cats_golden.py /tmp/cats_weights.json \
-      /root/testdata/sf0.01 src/test/resources/cats_q17_expected.json
+      /root/testdata/sf0.01 src/main/resources/cats_q17_expected.json
 
 Dev tooling only (driver-side python); the Scala library never runs it.
 """
