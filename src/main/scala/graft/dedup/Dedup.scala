@@ -625,10 +625,8 @@ object Dedup {
     i = 0
     while (i < n) {
       val r = find(i)
-      var m = java.lang.Long.MAX_VALUE
-      members(i).foreach(id => if (id < m) m = id)
-      val cur = compMin.get(r)
-      if (!compMin.containsKey(r) || m < cur) compMin.put(r, m)
+      val m = members(i).min
+      if (!compMin.containsKey(r) || m < compMin.get(r)) compMin.put(r, m)
       i += 1
     }
     // every member stars to its component min; the min itself is the

@@ -505,9 +505,9 @@ object PhaseCurve {
     // can strand the optimizer as badly as a sphere)
     val sortedR = resid.sorted
     val amp = sortedR((0.95 * (n - 1)).toInt) - sortedR((0.05 * (n - 1)).toInt)
-    val aBSeeds = Seq(1.3,
-      math.min(5.0, math.max(1.05, math.pow(10.0, 0.4 * amp))))
-      .distinct.filter(s => math.abs(s - 1.3) > 0.05 || s == 1.3)
+    val ampSeed = math.min(5.0, math.max(1.05, math.pow(10.0, 0.4 * amp)))
+    val aBSeeds =
+      if (math.abs(ampSeed - 1.3) > 0.05) Seq(1.3, ampSeed) else Seq(1.3)
     var best: FitResult = null
     var bestP = Double.NaN
     // multi-start over rotation phase AND spin pole: a phi0 seed out of
@@ -522,6 +522,11 @@ object PhaseCurve {
       (base.params(5), base.params(6)),
       ((base.params(5) + math.Pi) % (2 * math.Pi), -base.params(6)),
       (0.5, 0.9), (2.5, 0.0), (4.5, -0.9))
+    val idx = Array.tabulate(n)(_.toDouble)
+    def model(p: Array[Double], xi: Double): Double = {
+      val i = xi.toInt
+      soccaMag(p, band(i), phase(i), ra(i), dec(i), jdLt(i), t0)
+    }
     for (cand <- candidates;
          phi0Seed <- Seq(0.0, math.Pi / 2, math.Pi, 3 * math.Pi / 2);
          (a0Seed, d0Seed) <- poleSeeds;
@@ -544,11 +549,6 @@ object PhaseCurve {
         math.max(cand - osc, math.min(0.5, cand * 0.5)))
       val hi = Array(30.0, 30.0, 1.0, 1.0, 1.0, 1.0, 10.0, 5.0,
         4 * math.Pi, 2 * math.Pi, math.Pi / 2, cand + osc)
-      val idx = Array.tabulate(n)(_.toDouble)
-      def model(p: Array[Double], xi: Double): Double = {
-        val i = xi.toInt
-        soccaMag(p, band(i), phase(i), ra(i), dec(i), jdLt(i), t0)
-      }
       val r = fitLM(model, p0, lo, hi, idx, mag, sigma)
       if (r.status == 0 && !r.chi2red.isNaN &&
           (best == null || r.chi2red < best.chi2red)) {

@@ -1274,7 +1274,7 @@ object PipelineQueries extends QueryPack {
     // ROW_NUMBER over (ts_ms, doc_id) — the struct-min the batch twin
     // aggregates.
     "p5_event_ingest" ->
-      """WITH k0 AS (
+      s"""WITH k0 AS (
         |  SELECT doc_id, coalesce(text, '') AS t,
         |         1700000000000 + (doc_id % 1440) * 60000 AS ts_ms
         |  FROM documents),
@@ -1290,22 +1290,7 @@ object PipelineQueries extends QueryPack {
         |  SELECT doc_id, t, ts_ms FROM q
         |  WHERE NOT (nt < 5 OR CAST(wb AS DOUBLE)/nt < 3.0
         |         OR CAST(wb AS DOUBLE)/nt > 10.0 OR df > 0.2)),
-        |sim AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
-        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, j,
-        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |    FROM (
-        |      SELECT doc_id,
-        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
-        |                  AS BIGINT) AS hv
-        |      FROM (SELECT doc_id, unnest(string_split(lower(t), ' ')) AS tok
-        |            FROM kept))
-        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
+        |${simhashCte("kept", "t")},
         |f AS (
         |  SELECT k.doc_id,
         |         md5(regexp_replace(trim(lower(k.t)), ' +', ' ', 'g')) AS fp,
@@ -1532,29 +1517,13 @@ object PipelineQueries extends QueryPack {
     // (Dedup.simhashForest) — connectivity-invariant, so the oracle
     // states the semantics directly over ALL verified pairs.
     "d10_dedup_pipeline" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |hsh AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
         |surv AS (SELECT h, MIN(doc_id) AS survivor FROM hsh GROUP BY 1),
         |d2s AS (SELECT doc_id, survivor FROM hsh JOIN surv USING (h)),
         |sdoc AS (SELECT d.doc_id, d.text FROM documents d
         |         JOIN surv ON d.doc_id = surv.survivor),
-        |sim AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
-        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, j,
-        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |    FROM (
-        |      SELECT doc_id,
-        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
-        |                  AS BIGINT) AS hv
-        |      FROM (SELECT doc_id,
-        |                   unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-        |            FROM sdoc))
-        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
+        |${simhashCte("sdoc", "coalesce(text, '')")},
         |p AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -1575,7 +1544,7 @@ object PipelineQueries extends QueryPack {
     // final keep set. Every stage's SQL is the already-hash-green
     // oracle of its standalone query, re-rooted on the prior stage.
     "p1_corpus_build" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
         |q AS (
         |  SELECT doc_id,
@@ -1597,23 +1566,7 @@ object PipelineQueries extends QueryPack {
         |d2s AS (SELECT doc_id, survivor FROM hsh JOIN surv USING (h)),
         |sdoc AS (SELECT d.doc_id, d.text FROM kept d
         |         JOIN surv ON d.doc_id = surv.survivor),
-        |sim AS (
-        |  SELECT doc_id,
-        |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
-        |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
-        |  FROM (
-        |    SELECT doc_id, j,
-        |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |    FROM (
-        |      SELECT doc_id,
-        |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
-        |                  AS BIGINT) AS hv
-        |      FROM (SELECT doc_id,
-        |                   unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
-        |            FROM sdoc))
-        |    CROSS JOIN (SELECT unnest(range(60)) AS j)
-        |    GROUP BY 1, 2)
-        |  GROUP BY 1),
+        |${simhashCte("sdoc", "coalesce(text, '')")},
         |p AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2
         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
@@ -1716,6 +1669,29 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(n_chars % 640 AS INT) AS width, CAST(1 AS INT) AS height, md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin)
+
+  /** The shared simhash-kernel CTE over a relation exposing
+    * (doc_id, `textExpr`) — the d10/p1/p5 oracles all tokenize the
+    * SAME way, so the SQL lives once (format need not be byte-stable:
+    * the driver compares query RESULTS, not SQL text).
+    */
+  private def simhashCte(src: String, textExpr: String): String =
+    s"""sim AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j)
+       |                       ELSE 0::BIGINT END) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id, j,
+       |           SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |    FROM (
+       |      SELECT doc_id,
+       |             CAST(concat('0x', substr(md5(concat('0', ':', tok)), 1, 15))
+       |                  AS BIGINT) AS hv
+       |      FROM (SELECT doc_id, unnest(string_split(lower($textExpr), ' ')) AS tok
+       |            FROM $src))
+       |    CROSS JOIN (SELECT unnest(range(60)) AS j)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
 
   private def simhashSql(): String =
     """SELECT doc_id, lang,

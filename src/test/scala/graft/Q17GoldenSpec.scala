@@ -17,40 +17,13 @@ class Q17GoldenSpec extends SparkSpec {
 
   private val sf001 = "/root/testdata/sf0.01"
 
-  private lazy val (golden, expectedMd5): (Map[Long, (Int, Double, Array[Double])], String) = {
-    val url = getClass.getResource("/cats_q17_expected.json")
-    val txt = scala.io.Source.fromURL(url, "UTF-8").mkString
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.readTree(txt)
-    val it = root.fields()
-    val out = Map.newBuilder[Long, (Int, Double, Array[Double])]
-    var md5 = ""
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey == "_events_md5") md5 = e.getValue.asText()
-      else {
-        val v = e.getValue
-        val preds = (0 until v.get("preds").size())
-          .map(i => v.get("preds").get(i).asDouble()).toArray
-        out += e.getKey.toLong ->
-          ((v.get("broad_class").asInt(), v.get("p_max").asDouble(), preds))
-      }
-    }
-    (out.result(), md5)
-  }
-
-  /** Skip (not fail) when the driver has regenerated the testdata with
-    * a different seed than the committed golden was built from —
-    * regenerate via tools/cats_golden.py in that case.
-    */
-  private def dataMatchesGolden: Boolean = {
-    val f = new java.io.File(s"$sf001/events.parquet")
-    f.isFile && {
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      d.map("%02x".format(_)).mkString == expectedMd5
-    }
-  }
+  // golden loading + md5 gating shared with Verify's driver-side gate
+  // (GoldenCheck is the single parser of cats_q17_expected.json); skip
+  // (not fail) when the driver has regenerated the testdata with a
+  // different seed — regenerate via tools/cats_golden.py in that case
+  private lazy val golden = GoldenCheck.golden._1
+  private def dataMatchesGolden: Boolean =
+    GoldenCheck.dataMatchesGolden(sf001)
 
   test("q17 output matches the independent NumPy golden user-for-user") {
     assume(graft.models.RefModels.cats.isDefined, "model bundle absent")
@@ -59,9 +32,9 @@ class Q17GoldenSpec extends SparkSpec {
     assert(rows.length === golden.size)
     rows.foreach { r =>
       val uid = r.getLong(0)
-      val (gCls, gMax, _) = golden(uid)
-      assert(r.getLong(1) === gCls.toLong, s"user $uid broad_class")
-      assert(math.abs(r.getDouble(2) - gMax) < 1e-9, s"user $uid p_max")
+      val g = golden(uid)
+      assert(r.getLong(1) === g.broadClass, s"user $uid broad_class")
+      assert(math.abs(r.getDouble(2) - g.pMax) < 1e-9, s"user $uid p_max")
     }
   }
 
@@ -75,7 +48,7 @@ class Q17GoldenSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     assert(preds.keySet === golden.keySet)
     preds.foreach { case (uid, p) =>
-      val g = golden(uid)._3
+      val g = golden(uid).preds
       assert(p.length === g.length)
       p.indices.foreach { i =>
         // float64 saturation means components are 1.0 or ~0; anything
