@@ -318,9 +318,32 @@ object AlertQueries extends QueryPack {
         3, Seq(col("user_id")), Seq(col("value").desc, col("event_id").asc))
       .orderBy("user_id", "event_id")
 
+  // q23: the CATS input tensor itself, exploded to scalar rows — the
+  // deterministic 90% of the q17 pipeline (panel assembly, first-epoch
+  // shift, min-max normalization, band coding, pre-truncate/post-pad
+  // to 395) under the DuckDB gate, leaving only the CNN forward to the
+  // committed golden. float32 rounding is mirrored with CAST(.. AS
+  // REAL) oracle-side, so values hash-compare exactly.
+  private def q23CatsTensor(s: SparkSession, dir: String): DataFrame = {
+    val k = udf((mjd: Seq[Double], flux: Seq[Double], err: Seq[Double],
+        band: Seq[String]) =>
+      graft.operators.Rubin.catsInputTensor(mjd.toArray, flux.toArray,
+          err.toArray, band.toArray)
+        .zipWithIndex.map { case (row, i) =>
+          (i, row(0), row(1), row(2), row(3)) })
+    catsPanel(s, dir)
+      .select(col("user_id"), explode(k(col("cmidpointMjdTai"),
+        col("cpsfFlux"), col("cpsfFluxErr"), col("cband"))).as("r"))
+      .select(col("user_id"), col("r._1").as("step"),
+        col("r._2").as("t_shift"), col("r._3").as("flux_norm"),
+        col("r._4").as("err_norm"), col("r._5").as("band_code"))
+      .orderBy("user_id", "step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_asof_join" -> (q19AsofJoin _),
     "q22_topk_group" -> (q22TopkGroup _),
+    "q23_cats_tensor" -> (q23CatsTensor _),
     "f1_nalerthist" -> (f1Nalerthist _),
     "f2_roid_cascade" -> (f2RoidCascade _),
     "g1_lc_stats" -> (g1LcStats _),
@@ -354,6 +377,54 @@ object AlertQueries extends QueryPack {
         |           ORDER BY value DESC, event_id) AS rk
         |  FROM events) t
         |WHERE rk <= 3 ORDER BY user_id, event_id""".stripMargin,
+    // q23: tensor mirror — the band composition click/purchase/signup/
+    // view/else maps through g/r/i/z/u to codes 2/3/4/5/1; norm runs in
+    // DOUBLE then rounds to REAL exactly like the kernel's .toFloat;
+    // truncating='pre' keeps the LAST 395 steps and t0 is the FULL
+    // curve's first epoch (shift precedes truncation); pad rows carry
+    // the keras mask values (-999, band 0).
+    "q23_cats_tensor" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value AS v,
+        |         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s,
+        |         CASE WHEN event_type = 'click' THEN 2.0
+        |              WHEN event_type = 'purchase' THEN 3.0
+        |              WHEN event_type = 'signup' THEN 4.0
+        |              WHEN event_type = 'view' THEN 5.0
+        |              ELSE 1.0 END AS bcode
+        |  FROM events WHERE user_id % 20 = 0),
+        |o AS (
+        |  SELECT user_id, v, ts_s, bcode,
+        |         ROW_NUMBER() OVER w AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |         FIRST_VALUE(ts_s) OVER w AS t0,
+        |         MIN(v) OVER (PARTITION BY user_id) AS mn,
+        |         MAX(v) OVER (PARTITION BY user_id) AS mx,
+        |         MIN(v * 0.05) OVER (PARTITION BY user_id) AS emn,
+        |         MAX(v * 0.05) OVER (PARTITION BY user_id) AS emx
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |data_rows AS (
+        |  SELECT user_id,
+        |         CAST(rn - 1 - (n - LEAST(n, 395)) AS INT) AS step,
+        |         CAST(ts_s - t0 AS REAL) AS t_shift,
+        |         CASE WHEN n = 1 THEN CAST(1.0 AS REAL)
+        |              ELSE CAST((v - mn) / (mx - mn) AS REAL) END AS flux_norm,
+        |         CASE WHEN n = 1 THEN CAST(1.0 AS REAL)
+        |              ELSE CAST((v * 0.05 - emn) / (emx - emn) AS REAL)
+        |              END AS err_norm,
+        |         CAST(bcode AS REAL) AS band_code
+        |  FROM o WHERE rn > n - 395),
+        |users AS (SELECT DISTINCT user_id, LEAST(n, 395) AS take
+        |          FROM o),
+        |pad_rows AS (
+        |  SELECT u.user_id, CAST(i.i AS INT) AS step,
+        |         CAST(-999 AS REAL) AS t_shift, CAST(-999 AS REAL) AS flux_norm,
+        |         CAST(-999 AS REAL) AS err_norm, CAST(0 AS REAL) AS band_code
+        |  FROM users u, LATERAL (SELECT unnest(range(u.take, 395)) AS i) i)
+        |SELECT * FROM data_rows UNION ALL SELECT * FROM pad_rows
+        |ORDER BY user_id, step""".stripMargin,
     "f1_nalerthist" ->
       s"""WITH $PACKET_CTE
          |SELECT user_id, CAST(len(cmag) AS BIGINT) AS n_total,
