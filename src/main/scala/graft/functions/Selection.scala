@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.DoubleSortableBits
+
+/** Exact distributed ORDER STATISTICS without sorting — the primitive
+  * behind exact corpus quantiles (perplexity carves, length caps,
+  * quality-score cuts) at scales where "sort the column and take row
+  * k" is a non-starter and approximate percentiles break cross-engine
+  * determinism.
+  *
+  * Method: histogram DRILL over the value's order-preserving bit image
+  * ([[DoubleSortableBits]] — bit prefixes of the image are value
+  * ranges). Each round one partial-aggregatable count of a 16-bit
+  * slice (<= 65536 counters to the driver), narrowing to the exact
+  * 64-bit image in 4 rounds; rank ties on the exact value resolve with
+  * the same drill over the id bits (4 more rounds). Work: <= 8 full
+  * scans of counts — no shuffle of data rows, no per-partition top-k
+  * heaps (k can be corpus-sized), no driver row collection beyond the
+  * bounded counter maps.
+  *
+  * All strata drill SIMULTANEOUSLY: the per-round filter joins a
+  * broadcast (stratum -> prefix) table, so the pass count is 8 TOTAL
+  * however many strata exist — not 8 per stratum.
+  *
+  * Determinism: the selected pair is a pure function of the data (the
+  * lexicographic (value, id) order is total when ids are distinct),
+  * independent of partitioning. NaN values rank above every number
+  * (the IEEE image of NaN is the largest prefix) — callers that need
+  * them excluded filter first.
+  */
+object Selection {
+
+  /** The k-th smallest (value, id) pair per stratum, 1-based k, under
+    * lexicographic (value asc, id asc) order. Strata with k <= 0 or
+    * k > stratum size are dropped from the result.
+    */
+  def stratifiedKthSmallest(df: DataFrame, strataCol: String,
+      valueCol: String, idCol: String,
+      ks: Map[String, Long]): Map[String, (Double, Long)] = {
+    val base = df.select(col(strataCol).as("__s"),
+        DoubleSortableBits(col(valueCol)).as("__vb"),
+        col(idCol).cast("long").as("__id"))
+      // one top-bit flip makes unsigned shifts of the image iterate
+      // buckets in value order 0..65535
+      .select(col("__s"),
+        col("__vb").bitwiseXOR(lit(Long.MinValue)).as("__ub"),
+        col("__id").bitwiseXOR(lit(Long.MinValue)).as("__uid"))
+    val spark = df.sparkSession
+
+    val sizes = base.groupBy("__s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var live: Map[String, Long] = ks.filter { case (s, k) =>
+      k >= 1 && sizes.get(s).exists(k <= _)
+    }
+    if (live.isEmpty) return Map.empty
+
+    /** One drill phase over `keyCol`, under an optional equality
+      * pin from a previous phase (`pin`: stratum -> pinned column
+      * value). Returns (resolved key per stratum, remaining rank).
+      */
+    def drill(keyCol: String, pin: Map[String, Long], pinCol: String,
+        kRem0: Map[String, Long]): (Map[String, Long], Map[String, Long]) = {
+      var prefix: Map[String, Long] = live.keys.map(_ -> 0L).toMap
+      var kRem = kRem0
+      for (round <- 0 until 4) {
+        val shift = 48 - 16 * round
+        import spark.implicits._
+        val pre = prefix.toSeq.map { case (s, p) =>
+          (s, p, pin.getOrElse(s, 0L), kRem(s))
+        }.toDF("__ps", "__pfx", "__pin", "__k")
+        val pinned =
+          if (pin.isEmpty) lit(true)
+          else col(pinCol) === col("__pin")
+        val scoped =
+          if (round == 0) pinned
+          else pinned &&
+            shiftrightunsigned(col(keyCol), shift + 16) === col("__pfx")
+        val counts = base.join(broadcast(pre), col("__s") === col("__ps"))
+          .filter(scoped)
+          .groupBy(col("__s"),
+            shiftrightunsigned(col(keyCol), shift)
+              .bitwiseAND(lit(0xFFFFL)).as("__b"))
+          .count().collect()
+          .groupBy(_.getString(0))
+          .map { case (s, rows) =>
+            s -> rows.map(r => r.getLong(1) -> r.getLong(2))
+              .sortBy(_._1)
+          }
+        prefix = prefix.map { case (s, p) =>
+          var k = kRem(s)
+          var chosen = -1L
+          for ((b, c) <- counts(s) if chosen < 0) {
+            if (k <= c) chosen = b else k -= c
+          }
+          kRem += s -> k
+          s -> ((p << 16) | chosen)
+        }
+      }
+      (prefix, kRem)
+    }
+
+    val (ubResolved, tieRank) =
+      drill("__ub", Map.empty, "", live)
+    val (uidResolved, _) =
+      drill("__uid", ubResolved, "__ub", tieRank)
+
+    live.keys.map { s =>
+      s -> (DoubleSortableBits.invert(ubResolved(s) ^ Long.MinValue),
+        uidResolved(s) ^ Long.MinValue)
+    }.toMap
+  }
+
+  /** Single-stratum convenience. */
+  def kthSmallest(df: DataFrame, valueCol: String, idCol: String,
+      k: Long): Option[(Double, Long)] =
+    stratifiedKthSmallest(df.withColumn("__one", lit("_")), "__one",
+      valueCol, idCol, Map("_" -> k)).get("_")
+
+  /** CCNet-style carve: per stratum, KEEP the lowest `frac` fraction
+    * of rows by (value asc, id asc) — k = ceil(frac * n) exactly, so
+    * the keep set is a deterministic rank selection, not a threshold
+    * guess. The thresholds come from ONE simultaneous drill (8 count
+    * passes total); the carve itself is a broadcast threshold join +
+    * map-side filter — no window, no sort, nothing corpus-sized
+    * shuffles.
+    */
+  def carveLowest(df: DataFrame, strataCol: String, valueCol: String,
+      idCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(col(strataCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ks = sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong }
+    val thresholds = stratifiedKthSmallest(df, strataCol, valueCol, idCol, ks)
+    if (thresholds.isEmpty) return df.filter(lit(false))
+    val thr = thresholds.toSeq.map { case (s, (v, id)) => (s, v, id) }
+      .toDF("__ts", "__tv", "__tid")
+    df.join(broadcast(thr), col(strataCol) === col("__ts"))
+      .filter(col(valueCol) < col("__tv") ||
+        (col(valueCol) === col("__tv") &&
+          col(idCol).cast("long") <= col("__tid")))
+      .drop("__ts", "__tv", "__tid")
+  }
+}

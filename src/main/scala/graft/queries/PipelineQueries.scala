@@ -363,6 +363,22 @@ object PipelineQueries extends QueryPack {
       "doc_id", "text", "ts", requireTerminal = false)
       .orderBy("doc_id")
 
+  // p6: CCNet-style perplexity carve — keep each language's lowest
+  // 2/3 by (mean surprisal, doc_id). The selection is EXACT rank
+  // selection computed sort-free: per-stratum k-th-pair thresholds via
+  // the simultaneous bit-image histogram drill (8 count passes however
+  // many strata), then a broadcast threshold filter — no window over
+  // the corpus.
+  private def p6CcnetCarve(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val sur = graft.text.UnigramLm.surprisal(d, "doc_id", "text")
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    graft.functions.Selection
+      .carveLowest(sur, "lang", "mean_surprisal", "doc_id", 2.0 / 3.0)
+      .select(col("doc_id"), col("lang"), col("nt"), col("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   // t12: deterministic k-per-stratum sample — the 5 smallest
   // (hash, id) per language; salted two-phase top-k so no stratum is
   // ever sorted on one task (plan pinned in SamplingSpec).
@@ -605,6 +621,7 @@ object PipelineQueries extends QueryPack {
     "p3_mixture_sample" -> (p3MixtureSample _),
     "p4_weighted_sample" -> (p4WeightedSample _),
     "p5_event_ingest" -> (p5EventIngest _),
+    "p6_ccnet_carve" -> (p6CcnetCarve _),
     "t12_stratified_sample" -> (t12StratifiedSample _),
     "t13_unigram_surprisal" -> (t13UnigramSurprisal _),
     "t14_normalize" -> (t14NormalizeText _),
@@ -1320,21 +1337,28 @@ object PipelineQueries extends QueryPack {
     // token-ordered list — DuckDB's first-element-seeded left fold
     // equals Spark's 0.0-seeded aggregate() because 0.0 + x == x.
     "t13_unigram_surprisal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts FROM documents),
-        |t AS (SELECT doc_id, CAST(len(ts) AS INT) AS nt, unnest(ts) AS tok FROM toks),
-        |c AS (SELECT doc_id, nt, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
-        |tf AS (SELECT tok, sum(cnt) AS tf FROM c GROUP BY 1),
-        |tot AS (SELECT sum(cnt) AS tot FROM c),
-        |terms AS (
-        |  SELECT c.doc_id, c.nt, c.tok,
-        |         CAST(c.cnt AS DOUBLE) * ln(CAST(tot.tot AS DOUBLE) / CAST(tf.tf AS DOUBLE)) AS term
-        |  FROM c JOIN tf USING (tok) CROSS JOIN tot),
-        |s AS (SELECT doc_id, nt, list(term ORDER BY tok) AS arr
-        |      FROM terms GROUP BY 1, 2)
-        |SELECT doc_id, nt,
-        |       list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH $SurprisalCtes
+         |SELECT doc_id, nt, mean_surprisal
+         |FROM sur ORDER BY doc_id""".stripMargin,
+    // p6: the CCNet-style carve — t13's surprisal CTEs, lang joined
+    // back, and the keep set stated as the per-lang rank selection
+    // rk <= ceil(2n/3) over (mean_surprisal, doc_id). The engine
+    // computes the same selection SORT-FREE (Selection.carveLowest:
+    // per-stratum k-th-pair thresholds via the simultaneous bit-image
+    // histogram drill, then a broadcast threshold filter); matching
+    // hashes pin that the drill changes nothing but the plan.
+    "p6_ccnet_carve" ->
+      s"""WITH $SurprisalCtes,
+         |l AS (SELECT sur.doc_id, sur.nt, sur.mean_surprisal, d.lang
+         |      FROM sur JOIN documents d USING (doc_id)),
+         |r AS (SELECT l.*,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY mean_surprisal, doc_id) AS rk,
+         |        COUNT(*) OVER (PARTITION BY lang) AS n
+         |      FROM l)
+         |SELECT doc_id, lang, nt, mean_surprisal FROM r
+         |WHERE rk <= CAST(ceil(CAST(n AS DOUBLE) * (2.0/3.0)) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     // t17: the KMV estimate mirrored exactly — distinct hashes per
     // lang, the 16th smallest via row_number, the same
     // 15.0 * 2^60 / h_k double arithmetic; below 16 distinct hashes
@@ -1669,6 +1693,29 @@ object PipelineQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(n_chars % 640 AS INT) AS width, CAST(1 AS INT) AS height, md5(text) AS fp
         |FROM documents ORDER BY id""".stripMargin)
+
+  /** t13's surprisal pipeline as CTEs ending in
+    * `sur(doc_id, nt, mean_surprisal)` — shared by the t13 oracle and
+    * the p6 carve built on it.
+    */
+  // a def, not a val: the oracle map literal above interpolates this
+  // during object init, before later vals would be assigned
+  private def SurprisalCtes: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS ts FROM documents),
+      |t AS (SELECT doc_id, CAST(len(ts) AS INT) AS nt, unnest(ts) AS tok FROM toks),
+      |c AS (SELECT doc_id, nt, tok, count(*) AS cnt FROM t GROUP BY 1, 2, 3),
+      |tf AS (SELECT tok, sum(cnt) AS tf FROM c GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS tot FROM c),
+      |terms AS (
+      |  SELECT c.doc_id, c.nt, c.tok,
+      |         CAST(c.cnt AS DOUBLE) * ln(CAST(tot.tot AS DOUBLE) / CAST(tf.tf AS DOUBLE)) AS term
+      |  FROM c JOIN tf USING (tok) CROSS JOIN tot),
+      |s AS (SELECT doc_id, nt, list(term ORDER BY tok) AS arr
+      |      FROM terms GROUP BY 1, 2),
+      |sur AS (SELECT doc_id, nt,
+      |          list_reduce(arr, (a, b) -> a + b) / nt AS mean_surprisal
+      |        FROM s)""".stripMargin
 
   /** The shared simhash-kernel CTE over a relation exposing
     * (doc_id, `textExpr`) — the d10/p1/p5 oracles all tokenize the

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Selection
+import org.apache.spark.sql.graft.DoubleSortableBits
+
+/** The sort-free exact order-statistics drill: bit-image ordering,
+  * ground-truth equality on random data (negatives, -0.0, duplicates),
+  * tie resolution by id, stratified simultaneity, the carve's
+  * window-equivalence, and partitioning invariance.
+  */
+class SelectionSpec extends SparkSpec {
+
+  test("double bit image is order-isomorphic and invertible") {
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(500)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)) ++
+      Array(0.0, -0.0, 1e-300, -1e-300, 1e300, -1e300,
+        Double.MinPositiveValue, -Double.MinPositiveValue)
+    val sortedByBits = xs.sortBy(DoubleSortableBits.bits)
+    val sortedNumeric = xs.sorted // -0.0 < 0.0 under Ordering.Double.TotalOrdering
+    assert(sortedByBits.map(DoubleSortableBits.bits).toSeq ===
+      sortedNumeric.map(DoubleSortableBits.bits).toSeq,
+      "bit order diverged from numeric order")
+    xs.foreach { x =>
+      assert(DoubleSortableBits.invert(DoubleSortableBits.bits(x)) == x ||
+        (x.isNaN && DoubleSortableBits.invert(DoubleSortableBits.bits(x)).isNaN))
+    }
+  }
+
+  test("kthSmallest equals the sorted ground truth (negatives, dups, extremes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 2000L).map { id =>
+      val v = rnd.nextInt(6) match {
+        case 0 => rnd.nextGaussian()
+        case 1 => -math.abs(rnd.nextGaussian()) * 1e6
+        case 2 => rnd.nextInt(5).toDouble // heavy ties
+        case 3 => 0.0
+        case 4 => -0.0
+        case _ => rnd.nextGaussian() * 1e-9
+      }
+      (id, v)
+    }
+    val df = rows.toDF("id", "v").repartition(7)
+    val truth = rows.map { case (id, v) =>
+      (DoubleSortableBits.bits(v), id, v)
+    }.sorted
+    for (k <- Seq(1L, 2L, 37L, 1000L, 1999L, 2000L)) {
+      val got = Selection.kthSmallest(df, "v", "id", k).get
+      val (tb, tid, tv) = truth((k - 1).toInt)
+      assert(DoubleSortableBits.bits(got._1) === tb, s"k=$k value ${got._1} vs $tv")
+      assert(got._2 === tid, s"k=$k id")
+    }
+    // out-of-range ks resolve to None
+    assert(Selection.kthSmallest(df, "v", "id", 0L).isEmpty)
+    assert(Selection.kthSmallest(df, "v", "id", 2001L).isEmpty)
+  }
+
+  test("all-equal values: selection is pure id rank") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, 42.0)).toDF("id", "v").repartition(5)
+    assert(Selection.kthSmallest(df, "v", "id", 1L).get === ((42.0, 0L)))
+    assert(Selection.kthSmallest(df, "v", "id", 73L).get === ((42.0, 72L)))
+  }
+
+  test("stratified drill matches per-stratum ground truth in one pass set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val strata = Seq("en", "fr", "de")
+    val rows = (0L until 1500L).map { id =>
+      (strata(rnd.nextInt(3)), id, rnd.nextGaussian()) }
+    val df = rows.toDF("s", "id", "v").repartition(9)
+    val ks = Map("en" -> 10L, "fr" -> 200L, "de" -> 1L)
+    val got = Selection.stratifiedKthSmallest(df, "s", "v", "id", ks)
+    ks.foreach { case (s, k) =>
+      val sortedS = rows.filter(_._1 == s)
+        .map(r => (DoubleSortableBits.bits(r._3), r._2)).sorted
+      assert(k <= sortedS.length, "test setup: k in range")
+      val (tb, tid) = sortedS((k - 1).toInt)
+      val (gv, gid) = got(s)
+      assert(DoubleSortableBits.bits(gv) === tb, s"stratum $s value")
+      assert(gid === tid, s"stratum $s id")
+    }
+  }
+
+  test("carveLowest equals the window rank selection, partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 900L).map { id =>
+      (Seq("a", "b", "c", "d")(rnd.nextInt(4)), id,
+        rnd.nextInt(40).toDouble) } // heavy value ties across strata
+    val df = rows.toDF("s", "id", "v")
+    val got = Selection.carveLowest(df.repartition(8), "s", "v", "id", 2.0 / 3.0)
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("s")).orderBy(col("v").asc, col("id").asc)
+    val want = df
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("rk") <= ceil(col("n") * 2.0 / 3.0))
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got === want, "carve diverged from the window formulation")
+    val got2 = Selection.carveLowest(df.repartition(3), "s", "v", "id", 2.0 / 3.0)
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got2 === got, "carve depends on partitioning")
+  }
+}

@@ -37,7 +37,7 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "t14_normalize", "t15_pii_redact", "t16_bigram_surprisal",
            "t17_kmv_distinct", "t18_vocab_overlap", "t19_cms_heavy_hitters",
            "d12_bloom_decontaminate", "d13_semantic_dedup",
-           "d14_containment", "p4_weighted_sample", "p5_event_ingest"]
+           "d14_containment", "p4_weighted_sample", "p5_event_ingest", "p6_ccnet_carve"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
