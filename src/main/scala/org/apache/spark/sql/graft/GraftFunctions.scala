@@ -43,6 +43,14 @@ object GraftFunctions {
         require(args.length == 1, "nfc_normalize takes exactly 1 argument")
         NfcNormalize(args.head)
       }),
+    (FunctionIdentifier("double_sortable_bits"),
+      new ExpressionInfo(classOf[DoubleSortableBits].getName,
+        "double_sortable_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "double_sortable_bits takes exactly 1 argument")
+        DoubleSortableBits(args.head)
+      }),
     (FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (args: Seq[Expression]) => {

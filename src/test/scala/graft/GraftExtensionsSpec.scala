@@ -16,6 +16,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) === 2)
     assert(spark.sql("SELECT native_ln(3.0d)").head().getDouble(0)
       === math.log(3.0))
+    // the selection drill's order-preserving bit image, SQL-callable
+    val bits = spark.sql(
+      "SELECT double_sortable_bits(-0.0d) AS a, double_sortable_bits(0.0d) AS b")
+      .head()
+    assert(bits.getLong(0) === -1L && bits.getLong(1) === 0L,
+      "-0.0 must rank immediately below +0.0")
   }
 
   test("SQL dot_product equals the Column-API DotProduct on real embeddings") {
