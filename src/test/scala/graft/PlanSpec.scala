@@ -221,6 +221,14 @@ class PlanSpec extends SparkSpec {
       "fp aggregation must partial-apply map-side")
   }
 
+  test("p6 carve: broadcast threshold join, no window over the corpus") {
+    val p = plan("p6_ccnet_carve")
+    assert(!p.contains("Window"),
+      "rank selection must come from the drill thresholds, not a window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-stratum thresholds must broadcast")
+  }
+
   test("t19 cms: grid aggregate partial-applies; single-row sketch broadcasts") {
     val p = plan("t19_cms_heavy_hitters")
     assert(p.contains("partial_cms_sketch"),
