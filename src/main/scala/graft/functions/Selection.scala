@@ -39,7 +39,12 @@ object Selection {
   def stratifiedKthSmallest(df: DataFrame, strataCol: String,
       valueCol: String, idCol: String,
       ks: Map[String, Long]): Map[String, (Double, Long)] = {
-    val base = df.select(col(strataCol).as("__s"),
+    // null values/ids are EXCLUDED from ranking (a null has no place
+    // in the total order; without the filter its null bit image would
+    // silently land in a null bucket and shift every count)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(strataCol).as("__s"),
         DoubleSortableBits(col(valueCol)).as("__vb"),
         col(idCol).cast("long").as("__id"))
       // one top-bit flip makes unsigned shifts of the image iterate
@@ -131,7 +136,11 @@ object Selection {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     val spark = df.sparkSession
     import spark.implicits._
-    val sizes = df.groupBy(col(strataCol)).count().collect()
+    // sizes over RANKABLE rows only — k must be relative to the same
+    // population the drill ranks (null values never make the keep set)
+    val sizes = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(strataCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val ks = sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong }
     val thresholds = stratifiedKthSmallest(df, strataCol, valueCol, idCol, ks)

@@ -85,6 +85,20 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("null values are excluded from ranking, not silently bucketed") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)),
+      (4L, None), (5L, Some(3.0))).toDF("id", "v")
+    // k is relative to the 3 rankable rows; the 2nd smallest is 3.0
+    assert(Selection.kthSmallest(df, "v", "id", 2L).get === ((3.0, 5L)))
+    assert(Selection.kthSmallest(df, "v", "id", 4L).isEmpty,
+      "k beyond the non-null population must resolve to None")
+    val kept = Selection.carveLowest(
+        df.withColumn("s", lit("x")), "s", "v", "id", 2.0 / 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L), s"ceil(2/3 * 3) = 2 non-null keeps: $kept")
+  }
+
   test("carveLowest equals the window rank selection, partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
