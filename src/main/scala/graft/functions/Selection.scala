@@ -34,11 +34,13 @@ object Selection {
 
   /** The k-th smallest (value, id) pair per stratum, 1-based k, under
     * lexicographic (value asc, id asc) order. Strata with k <= 0 or
-    * k > stratum size are dropped from the result.
+    * k > stratum size are dropped from the result. `ksOf` receives the
+    * per-stratum RANKABLE sizes (nulls excluded) so fraction-derived
+    * ks come from the same population the drill ranks.
     */
   def stratifiedKthSmallest(df: DataFrame, strataCol: String,
       valueCol: String, idCol: String,
-      ks: Map[String, Long]): Map[String, (Double, Long)] = {
+      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] = {
     // null values/ids are EXCLUDED from ranking (a null has no place
     // in the total order; without the filter its null bit image would
     // silently land in a null bucket and shift every count)
@@ -52,10 +54,30 @@ object Selection {
       .select(col("__s"),
         col("__vb").bitwiseXOR(lit(Long.MinValue)).as("__ub"),
         col("__id").bitwiseXOR(lit(Long.MinValue)).as("__uid"))
-    val spark = df.sparkSession
+      // cached for the drill's lifetime: every round re-counts this
+      // 3-column projection, and WITHOUT the cache each of the ~9
+      // passes re-runs whatever upstream pipeline produced the value
+      // column (measured 5x on the p6 surprisal chain); unpersisted
+      // before returning — no r5-style leak
+      .cache()
+    try stratifiedKthSmallestOn(base, ksOf)
+    finally base.unpersist()
+  }
+
+  /** Fixed-ks convenience. */
+  def stratifiedKthSmallest(df: DataFrame, strataCol: String,
+      valueCol: String, idCol: String,
+      ks: Map[String, Long]): Map[String, (Double, Long)] =
+    stratifiedKthSmallest(df, strataCol, valueCol, idCol,
+      (_: Map[String, Long]) => ks)
+
+  private def stratifiedKthSmallestOn(base: DataFrame,
+      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] = {
+    val spark = base.sparkSession
 
     val sizes = base.groupBy("__s").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ks = ksOf(sizes)
     var live: Map[String, Long] = ks.filter { case (s, k) =>
       k >= 1 && sizes.get(s).exists(k <= _)
     }
@@ -136,14 +158,11 @@ object Selection {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     val spark = df.sparkSession
     import spark.implicits._
-    // sizes over RANKABLE rows only — k must be relative to the same
-    // population the drill ranks (null values never make the keep set)
-    val sizes = df
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
-      .groupBy(col(strataCol)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ks = sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong }
-    val thresholds = stratifiedKthSmallest(df, strataCol, valueCol, idCol, ks)
+    // k derives from the drill's own rankable sizes (nulls excluded),
+    // computed off the drill's cached base — no separate sizing pass
+    val thresholds = stratifiedKthSmallest(df, strataCol, valueCol, idCol,
+      (sizes: Map[String, Long]) =>
+        sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong })
     if (thresholds.isEmpty) return df.filter(lit(false))
     val thr = thresholds.toSeq.map { case (s, (v, id)) => (s, v, id) }
       .toDF("__ts", "__tv", "__tid")
