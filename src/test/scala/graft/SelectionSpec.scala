@@ -99,6 +99,16 @@ class SelectionSpec extends SparkSpec {
     assert(kept === Set(3L, 5L), s"ceil(2/3 * 3) = 2 non-null keeps: $kept")
   }
 
+  test("the drill leaves no cached tables behind") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => ("s", i, (i % 17).toDouble))
+      .toDF("s", "id", "v")
+    spark.sharedState.cacheManager.clearCache()
+    Selection.carveLowest(df, "s", "v", "id", 0.5).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the drill's base cache leaked into the session")
+  }
+
   test("carveLowest equals the window rank selection, partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
