@@ -35,17 +35,27 @@ object Selection {
   /** The k-th smallest (value, id) pair per stratum, 1-based k, under
     * lexicographic (value asc, id asc) order. Strata with k <= 0 or
     * k > stratum size are dropped from the result. `ksOf` receives the
-    * per-stratum RANKABLE sizes (nulls excluded) so fraction-derived
-    * ks come from the same population the drill ranks.
+    * per-stratum RANKABLE sizes (null strata, values, and ids
+    * excluded) so fraction-derived ks come from the same population
+    * the drill ranks. Rows with a null stratum key are excluded
+    * entirely (they belong to no stratum).
     */
   def stratifiedKthSmallest(df: DataFrame, strataCol: String,
       valueCol: String, idCol: String,
       ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] = {
-    // null values/ids are EXCLUDED from ranking (a null has no place
-    // in the total order; without the filter its null bit image would
-    // silently land in a null bucket and shift every count)
+    // strata must be a real string column: the driver-side counter maps
+    // key on String, and a silent cast would make carve joins diverge
+    require(df.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"stratifiedKthSmallest: strata column '$strataCol' must be " +
+        s"STRING, got ${df.schema(strataCol).dataType.sql}")
+    // null strata/values/ids are EXCLUDED from ranking (a null has no
+    // place in the total order, and a null stratum would survive the
+    // sizing groupBy but never match the per-round broadcast `===`
+    // join — the drill would NPE on its own counter map)
     val base = df
-      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .filter(col(strataCol).isNotNull &&
+        col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(strataCol).as("__s"),
         DoubleSortableBits(col(valueCol)).as("__vb"),
         col(idCol).cast("long").as("__id"))
@@ -166,9 +176,16 @@ object Selection {
     if (thresholds.isEmpty) return df.filter(lit(false))
     val thr = thresholds.toSeq.map { case (s, (v, id)) => (s, v, id) }
       .toDF("__ts", "__tv", "__tid")
+    // the filter compares the SAME total order the drill ranked by —
+    // the sortable bit image — not raw doubles: SQL `=` treats
+    // -0.0 == +0.0 while the image ranks -0.0 strictly below, so a
+    // zero-valued threshold in a mixed-sign-zero stratum would
+    // otherwise break the exact-k guarantee
     df.join(broadcast(thr), col(strataCol) === col("__ts"))
-      .filter(col(valueCol) < col("__tv") ||
-        (col(valueCol) === col("__tv") &&
+      .filter(DoubleSortableBits(col(valueCol)) <
+          DoubleSortableBits(col("__tv")) ||
+        (DoubleSortableBits(col(valueCol)) ===
+          DoubleSortableBits(col("__tv")) &&
           col(idCol).cast("long") <= col("__tid")))
       .drop("__ts", "__tv", "__tid")
   }

@@ -162,10 +162,17 @@ object AlertQueries extends QueryPack {
   // q17: CATS broad classification over the packet series — the REAL
   // bundled CNN+SE+BiLSTM runs natively (models.CatsModel) on the
   // 395x4 padded tensor; event types map to LSST band letters. The CNN
-  // is not SQL-expressible, so this is a rows-only driver entry; the
-  // model is pinned vs independent NumPy in CatsModelSpec and the FULL
-  // query path (panel sort, band map, gate, forward, argmax) against a
-  // committed tools/cats_golden.py golden in Q17GoldenSpec.
+  // is not SQL-expressible, so the DuckDB oracle states the committed
+  // independent-NumPy golden (src/main/resources/cats_q17_expected
+  // .json, regenerated by tools/cats_golden.py, keyed to the sf0.01
+  // events.parquet by md5) as a VALUES literal: the 8-user panel is
+  // deterministic and the softmax saturates to exact 0/1 in float64,
+  // so values hash-compare exactly. Provenance chain: the forward pass
+  // is pinned vs independent NumPy in CatsModelSpec, the full query
+  // path (panel sort, band map, gate, forward, argmax) in
+  // Q17GoldenSpec, the input tensor under the SQL gate as q23, and
+  // GoldenCheck re-adjudicates the dump against the same golden (with
+  // an md5 data gate) at verify time.
   private def q17Cats(s: SparkSession, dir: String): DataFrame = {
     val series = catsPanel(s, dir)
     graft.operators.Rubin.catsBroadClass(s, series)
@@ -367,6 +374,23 @@ object AlertQueries extends QueryPack {
       |  FROM events GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q17: committed-golden VALUES literal (see q17Cats scaladoc for
+    // the provenance chain). Rows mirror cats_q17_expected.json, which
+    // is keyed by md5 to the driver's sf0.01 events.parquet —
+    // GoldenCheck independently refuses adjudication if the data file
+    // ever changes, so a silent stale-literal pass is impossible. At
+    // OTHER scale factors this literal (like any fixed golden) does
+    // not apply: the classifier output there is verified by the q23
+    // tensor gate + CatsModelSpec instead.
+    "q17_cats_class" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        |       CAST(broad_class AS BIGINT) AS broad_class,
+        |       CAST(p_max AS DOUBLE) AS p_max
+        |FROM (VALUES (0, 2, 1.0), (20, 4, 1.0), (40, 2, 1.0),
+        |             (60, 2, 1.0), (80, 2, 1.0), (100, 2, 1.0),
+        |             (120, 2, 1.0), (140, 2, 1.0))
+        |  AS g(user_id, broad_class, p_max)
+        |ORDER BY user_id""".stripMargin,
     // q22: the heap operator's logical statement IS the row_number
     // formulation — matching hashes pin that the custom physical
     // operator changes nothing but the plan.

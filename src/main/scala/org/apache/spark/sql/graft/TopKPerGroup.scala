@@ -169,15 +169,19 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       override def compare(a: UnsafeRow, b: UnsafeRow): Int =
         fullOrd.compare(a, b)
     }
+    // inside doExecute partitions a TaskContext always exists;
+    // ExternalSorter dereferences it for the task memory manager, so
+    // fail loudly here rather than NPE inside the sorter constructor
     val ctx = org.apache.spark.TaskContext.get()
+    require(ctx != null,
+      "topKPerGroup sort fallback requires an active TaskContext")
     val sorter = new org.apache.spark.util.collection.ExternalSorter[
       UnsafeRow, Boolean, Boolean](ctx, None, None, Some(sortKeyOrd))
     // CompletionIterator alone leaks spill files when a downstream
     // operator stops consuming early (e.g. a LocalLimit) — the task
     // listener is the cleanup that always runs (Spark's own sorter
     // call sites pair both)
-    if (ctx != null)
-      ctx.addTaskCompletionListener[Unit](_ => sorter.stop())
+    ctx.addTaskCompletionListener[Unit](_ => sorter.stop())
     // the sorter holds references until spill/sort, so every row it
     // sees must be privately owned: heap contents already are (the heap
     // path copies on admission); remainder rows come straight off the

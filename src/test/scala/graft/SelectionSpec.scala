@@ -99,6 +99,43 @@ class SelectionSpec extends SparkSpec {
     assert(kept === Set(3L, 5L), s"ceil(2/3 * 3) = 2 non-null keeps: $kept")
   }
 
+  test("null strata are excluded, not a drill crash") {
+    import spark.implicits._
+    // the null-stratum rows must neither crash the per-round broadcast
+    // join (=== never matches null) nor shift any stratum's counts
+    val df = Seq((Option("a"), 1L, 3.0), (None, 2L, 1.0),
+      (Option("a"), 3L, 1.0), (None, 4L, 2.0), (Option("a"), 5L, 2.0))
+      .toDF("s", "id", "v")
+    val got = Selection.stratifiedKthSmallest(df, "s", "v", "id",
+      Map("a" -> 2L))
+    assert(got === Map("a" -> ((2.0, 5L))))
+    val kept = Selection.carveLowest(df, "s", "v", "id", 2.0 / 3.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L), s"null-stratum rows leaked: $kept")
+  }
+
+  test("non-string strata are rejected explicitly") {
+    import spark.implicits._
+    val df = Seq((1, 1L, 1.0)).toDF("s", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Selection.stratifiedKthSmallest(df, "s", "v", "id", Map("1" -> 1L))
+    }
+    assert(e.getMessage.contains("must be STRING"))
+  }
+
+  test("a signed-zero threshold carves by the bit-image order, not SQL =") {
+    import spark.implicits._
+    // ordered by (image, id): -1.0#1, -0.0#2, -0.0#4, 0.0#3, 0.0#5,
+    // 1.0#6 — k = ceil(0.5*6) = 3 lands the threshold ON (-0.0, 4).
+    // A raw-double filter would also admit the +0.0 row with id 3
+    // (SQL -0.0 = +0.0), breaking exact-k
+    val df = Seq((1L, -1.0), (2L, -0.0), (3L, 0.0), (4L, -0.0),
+      (5L, 0.0), (6L, 1.0)).toDF("id", "v").withColumn("s", lit("x"))
+    val kept = Selection.carveLowest(df, "s", "v", "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 4L), s"signed-zero carve diverged: $kept")
+  }
+
   test("the drill leaves no cached tables behind") {
     import spark.implicits._
     val df = (0L until 200L).map(i => ("s", i, (i % 17).toDouble))
