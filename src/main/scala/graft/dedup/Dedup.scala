@@ -436,6 +436,168 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Linear-output CLUSTER SUMMARY over the MinHash-LSH verified
+    * near-dup graph — the scale-safe sibling of [[minhashLshPairs]]
+    * for consumers that need cluster structure, not the pair report:
+    * one row per NONTRIVIAL component (>= 2 docs) of the
+    * exact-Jaccard-verified candidate graph, carrying the component's
+    * min doc id, its size, and the implied closure pair count
+    * n(n-1)/2.
+    *
+    * Why it scales where the pair report cannot: a duplicate family of
+    * c docs is Omega(c^2) OUTPUT for [[minhashLshPairs]] (the sf1
+    * replication stress's 8x slope — the report IS the answer), but
+    * c-1 star edges and ONE summary row here. Verification compute is
+    * also linear per family, not quadratic: the per-bucket union-find
+    * verifies a candidate pair (exact sorted-merge Jaccard, the same
+    * math as d3's verifier) ONLY when the two sides are not already
+    * connected, so a clique costs c-1 merges and the remaining
+    * candidate checks are near-O(1) find() probes. Buckets whose
+    * members do NOT verify still pay their pairwise merges — LSH at
+    * high thresholds keeps such buckets rare.
+    *
+    * Exactness: every verified pair is by construction a band
+    * collision, so it is examined inside at least one shared bucket,
+    * where lazy union-find either verifies it or has already connected
+    * it — the union of bucket stars therefore has exactly the
+    * connected components of the full verified pair set (the
+    * [[simhashForest]] argument with LSH-candidate pigeonhole), and
+    * [[connectedComponents]] resolves the cross-bucket closure.
+    * Singleton docs (no verified partner) emit nothing, mirroring the
+    * pair report's silence about them.
+    */
+  def minhashLshClusterSummary(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int = 12,
+      rowsPerBand: Int = 3, n: Int = 3, maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val forest = minhashForestFromSets(sets, threshold, numHashes,
+      rowsPerBand)
+    connectedComponents(forest, maxIter, sweep)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("n_docs"),
+        (col("n_docs") * (col("n_docs") - lit(1L)) / lit(2L))
+          .cast("long").as("n_pairs"))
+  }
+
+  /** Per-bucket star forest over the LSH band buckets of a
+    * [[shingleSets]] relation (the [[minhashLshClusterSummary]]
+    * engine): distinct `(d1, d2)` star edges, `d1` = component min.
+    * The bucket key is the EXACT band signature triple rendered as a
+    * string — no hashing, so no cross-bucket collisions can add
+    * candidates the pair operator would not see.
+    */
+  private[graft] def minhashForestFromSets(sets: DataFrame,
+      threshold: Double, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val bandsN = numHashes / rowsPerBand
+    val sigs = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val bandKeys = (0 until bandsN).map { b =>
+      concat_ws(":", (lit(b) +: (0 until rowsPerBand).map(r =>
+        col("sig")(b * rowsPerBand + r))): _*)
+    }
+    sigs.select(col("id").cast("long").as("id"), col("nsh"), col("shd"),
+        explode(array(bandKeys: _*)).as("bkey"))
+      .select(col("bkey"), col("id"), col("nsh"), col("shd"))
+      .as[(String, Long, Int, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups((_: String, it: Iterator[(String, Long, Int, Seq[Long])]) =>
+        lshBucketStars(it, threshold))
+      .toDF("d1", "d2")
+      .distinct()
+  }
+
+  /** Per-bucket kernel of [[minhashForestFromSets]]: lazy-verified
+    * union-find over the bucket's members — exact sorted-merge Jaccard
+    * runs only for pairs not already connected — then one star per
+    * nontrivial component rooted at its min member id.
+    */
+  private[graft] def lshBucketStars(
+      it: Iterator[(String, Long, Int, Seq[Long])],
+      threshold: Double): Iterator[(Long, Long)] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val szs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    it.foreach { case (_, id, nsh, shd) =>
+      ids += id; szs += nsh; sets += shd.toArray
+    }
+    val m = ids.length
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def verified(i: Int, j: Int): Boolean = {
+      val n1 = szs(i); val n2 = szs(j)
+      if (math.min(n1, n2) < math.max(n1, n2) * threshold) return false
+      val a = sets(i); val b = sets(j)
+      var x = 0; var y = 0; var inter = 0
+      while (x < a.length && y < b.length) {
+        if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+        else if (a(x) < b(y)) x += 1 else y += 1
+      }
+      inter.toDouble / (n1 + n2 - inter) >= threshold
+    }
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        if (find(i) != find(j) && verified(i, j))
+          parent(find(j)) = find(i)
+        j += 1
+      }
+      i += 1
+    }
+    val compMin = new java.util.HashMap[Int, Long]()
+    i = 0
+    while (i < m) {
+      val r = find(i)
+      if (!compMin.containsKey(r) || ids(i) < compMin.get(r))
+        compMin.put(r, ids(i))
+      i += 1
+    }
+    (0 until m).iterator.flatMap { k =>
+      val root = compMin.get(find(k))
+      if (ids(k) != root) Iterator.single((root, ids(k))) else Iterator.empty
+    }
+  }
+
+  /** Per-document DEGREE summary of the asymmetric containment
+    * relation — the linear-output sibling of [[containmentPairs]]: for
+    * each contained doc, how many containers hold it and the max
+    * containment. The verified join's output aggregates map-side
+    * (partial count/max) instead of materializing, shuffling, and
+    * sorting the Omega(family^2) pair report.
+    */
+  def containmentDegree(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame =
+    containmentPairs(df, idCol, textCol, threshold, n)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        max(col("containment")).as("max_containment"))
+
+  /** Per-document near-dup DEGREE over the exact n-gram Jaccard pair
+    * graph — [[ngramJaccardPairs]]'s linear-output sibling: each doc's
+    * verified-partner count and max similarity, aggregated map-side
+    * from both directions of the symmetric pair set. Docs with no
+    * qualifying partner emit nothing (mirroring the pair report).
+    */
+  def ngramJaccardDegree(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3): DataFrame =
+    // symmetrize with a per-row explode, not a self-union: the union
+    // form reads the verified join twice (or forces a cache)
+    ngramJaccardPairs(df, idCol, textCol, threshold, n)
+      .select(explode(array(
+        struct(col("d1").as("doc_id"), col("jac")),
+        struct(col("d2").as("doc_id"), col("jac")))).as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), max(col("e.jac")).as("max_jac"))
+
   /** 60-bit SimHash of one text: majority vote per bit over token
     * hashes, token multiplicity counted; the token hash is the same
     * seeded-MD5 60-bit family as [[graft.functions.Hashing.hash60]]

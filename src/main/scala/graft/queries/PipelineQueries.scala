@@ -39,6 +39,28 @@ object PipelineQueries extends QueryPack {
     Dedup.containmentPairs(docs(s, dir), "doc_id", "text", 0.7)
       .orderBy("d1", "d2")
 
+  // d15: linear-output cluster summary over the minhash-LSH verified
+  // near-dup graph — d3's scale-safe sibling (VERDICT r10 #3): one row
+  // per nontrivial component instead of the Omega(family^2) pair
+  // report; the per-bucket union-find verifies lazily, so a duplicate
+  // clique costs c-1 exact-Jaccard merges, not c(c-1)/2.
+  private def d15LshClusterSummary(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshClusterSummary(docs(s, dir), "doc_id", "text", 0.7)
+      .orderBy("cluster_id")
+
+  // d16: per-contained-doc containment degree — d14's linear-output
+  // sibling: the verified join aggregates map-side instead of
+  // reporting pairs.
+  private def d16ContainmentDegree(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentDegree(docs(s, dir), "doc_id", "text", 0.7)
+      .orderBy("doc_id")
+
+  // d17: per-doc near-dup degree over the exact Jaccard graph — d2's
+  // linear-output sibling.
+  private def d17JaccardDegree(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDegree(docs(s, dir), "doc_id", "text", 0.5)
+      .orderBy("doc_id")
+
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
@@ -595,6 +617,9 @@ object PipelineQueries extends QueryPack {
     "d12_bloom_decontaminate" -> (d12BloomDecontaminate _),
     "d13_semantic_dedup" -> (d13SemanticDedup _),
     "d14_containment" -> (d14Containment _),
+    "d15_lsh_cluster_summary" -> (d15LshClusterSummary _),
+    "d16_containment_degree" -> (d16ContainmentDegree _),
+    "d17_jaccard_degree" -> (d17JaccardDegree _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -718,6 +743,71 @@ object PipelineQueries extends QueryPack {
          |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          |WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7
          |ORDER BY d1, d2""".stripMargin,
+    // d15: the closure of d3's verified pair set (recursive CTE, the
+    // d9 pattern), then one summary row per component — the logical
+    // statement of the bucket-forest engine (connectivity equivalence
+    // argued at Dedup.minhashLshClusterSummary).
+    "d15_lsh_cluster_summary" ->
+      s"""WITH RECURSIVE $SH_CTE,
+         |mh AS (
+         |  SELECT doc_id, sd.seed,
+         |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed // 2, ':', g)),
+         |             1 + 16 * (sd.seed % 2), 15)) AS BIGINT)) AS v
+         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) sd
+         |  GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, bb.b,
+         |         md5(concat(sig[3*bb.b+1], ',', sig[3*bb.b+2], ',', sig[3*bb.b+3], ',', bb.b)) AS key
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.d1, c.d2, count(*) AS i
+         |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.g = y.g
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT d1, d2
+         |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7),
+         |e AS (SELECT d1 AS s, d2 AS t FROM v UNION ALL SELECT d2, d1 FROM v),
+         |r(a, b) AS (SELECT s, t FROM e
+         |            UNION SELECT r.a, e.t FROM r JOIN e ON r.b = e.s),
+         |m AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster FROM r GROUP BY a)
+         |SELECT CAST(cluster AS BIGINT) AS cluster_id,
+         |       count(*) AS n_docs,
+         |       (count(*) * (count(*) - 1)) // 2 AS n_pairs
+         |FROM m GROUP BY cluster ORDER BY cluster_id""".stripMargin,
+    // d16: d14's pair statement aggregated per contained doc.
+    "d16_containment_degree" ->
+      s"""WITH $SH_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT d1, CAST(inter AS DOUBLE)/s1.nsh AS containment
+         |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/s1.nsh >= 0.7)
+         |SELECT d1 AS doc_id, count(*) AS n_containers,
+         |       max(containment) AS max_containment
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d17: d2's pair statement symmetrized and aggregated per doc.
+    "d17_jaccard_degree" ->
+      s"""WITH $SH_CTE,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) AS jac
+         |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) >= 0.5),
+         |sym AS (SELECT d1 AS doc_id, jac FROM v
+         |        UNION ALL SELECT d2, jac FROM v)
+         |SELECT doc_id, count(*) AS n_neighbors, max(jac) AS max_jac
+         |FROM sym GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "d4_simhash" -> simhashSql(),
     // d5: bucket-local verified components as star edges. Mirrors the
     // engine's forest exactly: 5 bands x 12 bits (maxHamming=4), the

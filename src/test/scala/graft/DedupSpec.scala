@@ -295,6 +295,58 @@ class DedupSpec extends SparkSpec {
     assert(exact == lsh, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
   }
 
+  test("LSH cluster summary equals components over the full verified pair set") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "expected planted near-dups")
+    val labels = unionFind(pairs)
+    val expected = labels.groupBy(_._2).map { case (root, ms) =>
+      (root, ms.size.toLong, ms.size.toLong * (ms.size - 1) / 2)
+    }.toSet
+    val got = Dedup.minhashLshClusterSummary(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"summary diverged: missing ${expected.diff(got)}, extra ${got.diff(expected)}")
+  }
+
+  test("lazy-verified bucket stars match eager verification on a crafted bucket") {
+    // one bucket: a verified chain 1-2-3 (adjacent sets overlap, ends
+    // do not), plus an unrelated member 9 — lazy union-find must still
+    // produce the full chain component and leave 9 out
+    def set(xs: Long*): Seq[Long] = xs.sorted
+    val rows = Seq(
+      ("b", 1L, 4, set(1, 2, 3, 4)),
+      ("b", 2L, 4, set(3, 4, 5, 6)),
+      ("b", 3L, 4, set(5, 6, 7, 8)),
+      ("b", 9L, 4, set(100, 101, 102, 103)))
+    // threshold 1/3: |1 ∩ 2| = 2, jac = 2/6 = 0.333... >= 1/3; |1 ∩ 3| = 0
+    val stars = Dedup.lshBucketStars(rows.iterator, 1.0 / 3.0).toSet
+    assert(stars === Set((1L, 2L), (1L, 3L)), s"stars: $stars")
+  }
+
+  test("containment degree equals the aggregated pair report") {
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val expected = pairs.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.length.toLong, xs.map(_._2).max) }.toSet
+    val got = Dedup.containmentDegree(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("jaccard degree equals the symmetrized aggregated pair report") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    val sym = pairs.flatMap(p => Seq((p._1, p._3), (p._2, p._3)))
+    val expected = sym.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.length.toLong, xs.map(_._2).max) }.toSet
+    val got = Dedup.ngramJaccardDegree(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
   test("simhash of identical token multisets is identical; near-dups are close") {
     import spark.implicits._
     val df = Seq(
