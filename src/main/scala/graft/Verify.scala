@@ -38,7 +38,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // q17's VALUES-literal oracle encodes the sf0.01 golden panel (its
+    // provenance is the committed golden, md5-keyed to one specific
+    // events.parquet). At any OTHER sfDir the literal would
+    // deterministically FAIL the SQL compare, so omit it there and let
+    // check.py fall back to the golden/rows-only adjudication — the
+    // same gate GoldenCheck itself applies (ADVICE r11).
+    val oracleEntries = SparkEntry.oracleSql.filter { case (k, _) =>
+      k != "q17_cats_class" || GoldenCheck.dataMatchesGolden(sfDir)
+    }
+    val json = oracleEntries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // queries with no SQL-expressible oracle get a committed-golden

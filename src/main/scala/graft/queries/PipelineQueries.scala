@@ -48,9 +48,10 @@ object PipelineQueries extends QueryPack {
     Dedup.minhashLshClusterSummary(docs(s, dir), "doc_id", "text", 0.7)
       .orderBy("cluster_id")
 
-  // d16: per-contained-doc containment degree — d14's linear-output
-  // sibling: the verified join aggregates map-side instead of
-  // reporting pairs.
+  // d16: per-contained-doc containment degree — d14's pair report
+  // aggregated per doc. OUTPUT compression only (compute identical to
+  // d14 by construction — see containmentDegree's scaladoc); the
+  // compute-side scale siblings are d15/d17.
   private def d16ContainmentDegree(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentDegree(docs(s, dir), "doc_id", "text", 0.7)
       .orderBy("doc_id")

@@ -313,12 +313,12 @@ class DedupSpec extends SparkSpec {
     // one bucket: a verified chain 1-2-3 (adjacent sets overlap, ends
     // do not), plus an unrelated member 9 — lazy union-find must still
     // produce the full chain component and leave 9 out
-    def set(xs: Long*): Seq[Long] = xs.sorted
+    def set(xs: Long*): Array[Long] = xs.sorted.toArray
     val rows = Seq(
-      ("b", 1L, 4, set(1, 2, 3, 4)),
-      ("b", 2L, 4, set(3, 4, 5, 6)),
-      ("b", 3L, 4, set(5, 6, 7, 8)),
-      ("b", 9L, 4, set(100, 101, 102, 103)))
+      (7L, 1L, 4, set(1, 2, 3, 4)),
+      (7L, 2L, 4, set(3, 4, 5, 6)),
+      (7L, 3L, 4, set(5, 6, 7, 8)),
+      (7L, 9L, 4, set(100, 101, 102, 103)))
     // threshold 1/3: |1 ∩ 2| = 2, jac = 2/6 = 0.333... >= 1/3; |1 ∩ 3| = 0
     val stars = Dedup.lshBucketStars(rows.iterator, 1.0 / 3.0).toSet
     assert(stars === Set((1L, 2L), (1L, 3L)), s"stars: $stars")

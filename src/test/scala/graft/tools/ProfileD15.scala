@@ -23,27 +23,38 @@ object ProfileD15 {
       r
     }
 
-    // stage 1: shingle sets (string shingles + sorted hashes)
-    val sets = graft.dedup.Dedup.shingleSets(docs, "doc_id", "text")
-    time("shingleSets materialize") { sets.count() }
-    // stage 2: minhash signatures
-    val sigs = sets.withColumn("sig",
-      graft.dedup.Dedup.minhashSignature(col("sh"), 12))
-    time("signatures") { sigs.select(col("id"), col("sig")).count() }
-    time("signatures (fused w/ agg)") {
-      sigs.select(col("id"), element_at(col("sig"), 1).as("s0"))
-        .agg(max("s0")).head()
-    }
-    // stage 3: the d15 forest (band explode + groupByKey + lazy UF)
-    val forest = graft.dedup.Dedup.minhashForestFromSets(sets, 0.7, 12, 3)
+    // stage 1+2 fused: signed sets (tokenize + fingerprint + sign in
+    // one kernel pass)
+    val sets = graft.dedup.Dedup.signedSets(docs, "doc_id", "text")
+    time("signedSets materialize") { sets.count() }
+    // stage 3: the capped banded star forest
+    val forest = graft.dedup.Dedup
+      .minhashForestFromSets(sets, 0.7, 12, 3)
     val edges = time("forest edges") { forest.cache().count() }
     println(s"[profile] forest edges = $edges")
-    // stage 4: components + summary
-    time("components+summary") {
+    // stage 4a: driver union-find closure (the d15 default path)
+    time("driver union-find closure") {
+      val e = forest.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.dedup.Dedup.driverComponentLabels(e).size
+    }
+    // stage 4b: the distributed sweep loop it replaced
+    time("connectedComponents sweeps") {
       graft.dedup.Dedup.connectedComponents(forest).groupBy("label")
         .count().count()
     }
     forest.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+    // end-to-end d15 at the public entry point
+    time("d15 end-to-end") {
+      graft.dedup.Dedup
+        .minhashLshClusterSummary(docs, "doc_id", "text", 0.7).count()
+    }
+    spark.sharedState.cacheManager.clearCache()
+    // d3 for the beats-the-pair-report comparison
+    time("d3 end-to-end") {
+      graft.dedup.Dedup
+        .minhashLshPairs(docs, "doc_id", "text", 0.7).count()
+    }
     spark.sharedState.cacheManager.clearCache()
     // d16 decomposition: candidate generation vs verification
     time("d16 full") {

@@ -86,6 +86,17 @@ def main():
         goldens = json.load(open(f"{out_dir}/golden_check.json"))
     except Exception:
         goldens = {}
+    # golden adjudications for names that ALSO have a SQL oracle count
+    # as an extra independent gate (ADVICE r11: the golden must feed
+    # the verdict/exit code, not just Verify's stdout)
+    for name in sorted(goldens):
+        g = goldens[name]
+        if name in oracles and g.get("status") in ("pass", "fail"):
+            det = f" ({g['detail']})" if g.get("detail") else ""
+            print(f"GOLDEN {g['status'].upper()} {name}: "
+                  f"{g['rows']} rows vs committed golden{det}")
+            if g["status"] != "pass":
+                failures += 1
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip('/').split('/')[-1]
         if name not in oracles:
