@@ -405,7 +405,7 @@ object StreamingOps {
   final case class EventDedupState(emitted: Boolean, bestId: Long,
       bestTsMs: Long, bestSim: Long, nCopies: Long)
 
-  private def intervalMs(s: String, what: String): Long = {
+  private[streaming] def intervalMs(s: String, what: String): Long = {
     val i = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(s))
     require(i.months == 0, s"$what must not use month units")
