@@ -593,17 +593,9 @@ object Dedup {
     // whose per-sweep fixed costs dominated at this edge volume
     // (VERDICT r11 #1). Above the gate (or on a genuinely huge dup
     // population) the distributed sweep loop takes over unchanged.
-    val labels: DataFrame =
-      if (nEdges <= edgeGate) {
-        val edges = forest.collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        broadcast(driverComponentLabels(edges).toSeq.toDF("rid", "label"))
-      } else {
-        log.warn(s"minhashLshClusterSummary: $nEdges forest edges " +
-          s"exceed edgeGate=$edgeGate — using distributed sweeps")
-        connectedComponents(forest, maxIter, sweep)
-          .select(col("id").as("rid"), col("label"))
-      }
+    val labels: DataFrame = closeComponents(forest, maxIter, sweep,
+        edgeGate, Some(nEdges))
+      .select(col("id").as("rid"), col("label"))
     // stage 5: weighted summary — copy groups count with their
     // multiplicity; reps with no verified partner and a single copy
     // are singletons and emit nothing (the pair report's silence)
@@ -615,6 +607,41 @@ object Dedup {
       .select(col("cluster_id"), col("n_docs"),
         (col("n_docs") * (col("n_docs") - lit(1L)) / lit(2L))
           .cast("long").as("n_pairs"))
+  }
+
+  /** Component labels `(id, label)` over a `(d1, d2)` edge list — the
+    * gated two-path closure every dedup chain routes through
+    * (SCALE_r12): at or below `edgeGate` edges, one collect + driver
+    * union-find + broadcast — a single job, immune to graph DIAMETER,
+    * which the iterative sweep loop is not (d13's sf10 chain graphs
+    * exceeded the 25-sweep budget, and the per-sweep fixed costs
+    * dominate at forest-sized edge volumes anyway). Above the gate,
+    * [[connectedComponents]]'s distributed min-label sweeps take over
+    * unchanged (cluster-scale path; its convergence budget and resume
+    * artifact still apply). The edge list is collected but the OUTPUT
+    * is one row per touched node — broadcast-sized whenever the gate
+    * admits the edges.
+    */
+  private[graft] def closeComponents(pairs: DataFrame, maxIter: Int = 25,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local,
+      edgeGate: Long = 1L << 24, knownCount: Option[Long] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("d1").cast("long").as("d1"),
+      col("d2").cast("long").as("d2"))
+    val counted = if (knownCount.isEmpty) p.cache() else p
+    val n = knownCount.getOrElse(counted.count())
+    val out =
+      if (n <= edgeGate) {
+        val edges = counted.collect().map(r => (r.getLong(0), r.getLong(1)))
+        broadcast(driverComponentLabels(edges).toSeq.toDF("id", "label"))
+      } else {
+        log.warn(s"closeComponents: $n edges exceed edgeGate=$edgeGate " +
+          "— using distributed sweeps")
+        connectedComponents(counted, maxIter, sweep)
+      }
+    if (knownCount.isEmpty) counted.unpersist()
+    out
   }
 
   /** Driver-side union-find over a gated edge list: label = the min
@@ -989,7 +1016,14 @@ object Dedup {
     * distances).
     */
   def simhashForest(sim0: DataFrame, idCol: String, maxHamming: Int,
-      bucketCap: Int = 1 << 16): DataFrame = {
+      bucketCap: Int = 1 << 20): DataFrame = {
+    // default cap 2^20: a simhash bucket member is 3 longs (~24 MB per
+    // million members buffered in one task — no OOM exposure, unlike
+    // the minhash forest whose members carry whole shingle arrays),
+    // and below the cap the recursive sub-banding kernel
+    // ([[bucketStars]]) is far cheaper than the quadratic self-join
+    // fallback: the sf10 probe measured the 102k-member mega-bucket at
+    // ~34 s through the join vs ~3 s through the kernel.
     val spark = sim0.sparkSession
     import spark.implicits._
     // NOT cached (the no-cache-residue contract of the simhash family):
@@ -1042,7 +1076,27 @@ object Dedup {
     * bucket's DISTINCT signatures (identical-signature members are
     * Hamming-0 mates, pre-collapsed into one node), then one star per
     * nontrivial component rooted at the component's min member id.
+    *
+    * Large-bucket compute guard (SCALE_r12): the band key carries only
+    * 60/(maxHamming+1) bits, so the bucket population grows LINEARLY
+    * with the corpus while the all-pairs check grows quadratically —
+    * the sf1->sf10 probe measured 122x per 10x decade through this
+    * kernel. Buckets above `RecursePairwiseLimit` distinct signatures
+    * therefore sub-band RECURSIVELY over the still-unconstrained bits:
+    * a qualifying pair differs in <= maxHamming of those bits, so by
+    * the same pigeonhole as the top-level banding it agrees exactly on
+    * at least one of maxHamming+1 chunks and survives into that
+    * chunk's subgroup — connectivity is preserved while diffuse
+    * mega-buckets split geometrically. Tight near-duplicate families
+    * (groups a chunk cannot split) short-circuit to the pairwise
+    * lazy-union-find, which costs only c-1 verifications on a clique;
+    * if a chunk leaves the whole group intact every qualifying pair
+    * co-groups there, so the remaining chunks are skipped outright.
+    * Oracle-scale buckets sit far below the limit — emissions there
+    * are bit-identical to the unguarded kernel.
     */
+  private val RecursePairwiseLimit = 512
+
   private[graft] def bucketStars(it: Iterator[(Int, Long, Long, Long)],
       maxHamming: Int): Iterator[(Long, Long)] = {
     // distinct signature -> index; per signature: min member id + ids
@@ -1050,7 +1104,9 @@ object Dedup {
     val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val members = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[Long]]
-    it.foreach { case (_, _, id, sim) =>
+    var band = -1
+    it.foreach { case (b, _, id, sim) =>
+      band = b
       val j = sigIdx.computeIfAbsent(sim, _ => {
         sigs += sim
         members += scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1059,40 +1115,91 @@ object Dedup {
       members(j) += id
     }
     val n = sigs.length
-    val parent = Array.tabulate(n)(identity)
-    def find(x: Int): Int = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        if (find(i) != find(j) &&
-            java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= maxHamming)
-          parent(find(j)) = find(i)
-        j += 1
+    if (n == 0) return Iterator.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+
+    // pairwise lazy union-find over a set of signature nodes: exact
+    // Hamming verification only for still-disconnected pairs, then one
+    // star per nontrivial component rooted at its min member id
+    def pairwise(idxs: Array[Int]): Unit = {
+      val m = idxs.length
+      val parent = Array.tabulate(m)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
       }
-      i += 1
+      var i = 0
+      while (i < m) {
+        var j = i + 1
+        while (j < m) {
+          if (find(i) != find(j) &&
+              java.lang.Long.bitCount(sigs(idxs(i)) ^ sigs(idxs(j))) <= maxHamming)
+            parent(find(j)) = find(i)
+          j += 1
+        }
+        i += 1
+      }
+      val compMin = new java.util.HashMap[Int, Long]()
+      i = 0
+      while (i < m) {
+        val r = find(i)
+        val mn = members(idxs(i)).min
+        if (!compMin.containsKey(r) || mn < compMin.get(r)) compMin.put(r, mn)
+        i += 1
+      }
+      i = 0
+      while (i < m) {
+        val root = compMin.get(find(i))
+        members(idxs(i)).foreach(id => if (id != root) out += ((root, id)))
+        i += 1
+      }
     }
-    // component root -> min member id across the component
-    val compMin = new java.util.HashMap[Int, Long]()
-    i = 0
-    while (i < n) {
-      val r = find(i)
-      val m = members(i).min
-      if (!compMin.containsKey(r) || m < compMin.get(r)) compMin.put(r, m)
-      i += 1
+
+    // the top-level band already pins this bucket's band-bit range
+    val nBands = maxHamming + 1
+    val base = 60 / nBands
+    val extra = 60 % nBands
+    val offsets = (0 until nBands).scanLeft(0)((acc, b) =>
+      acc + base + (if (b < extra) 1 else 0))
+    val width = base + (if (band < extra) 1 else 0)
+    val bandMask = ((1L << width) - 1) << offsets(band)
+
+    def rec(idxs: Array[Int], mask: Long, depth: Int): Unit = {
+      if (idxs.length <= RecursePairwiseLimit || depth >= 8) {
+        pairwise(idxs); return
+      }
+      val free = (0 until 60).filter(b => ((mask >> b) & 1L) == 0L)
+      if (free.length < nBands) { pairwise(idxs); return }
+      val chunkBase = free.length / nBands
+      val chunkExtra = free.length % nBands
+      var start = 0
+      var c = 0
+      var done = false
+      while (c < nBands && !done) {
+        val sz = chunkBase + (if (c < chunkExtra) 1 else 0)
+        val cmask = free.slice(start, start + sz)
+          .foldLeft(0L)((a, b) => a | (1L << b))
+        start += sz
+        val groups = idxs.groupBy(i => sigs(i) & cmask)
+        groups.valuesIterator.foreach { g =>
+          if (g.length >= 2) {
+            if (g.length == idxs.length) {
+              // the chunk split nothing: every qualifying pair
+              // co-groups here — handle once, skip remaining chunks
+              pairwise(g)
+              done = true
+            } else rec(g, mask | cmask, depth + 1)
+          }
+        }
+        c += 1
+      }
     }
-    // every member stars to its component min; the min itself is the
-    // one id the filter drops, so a singleton component emits nothing
-    (0 until n).iterator.flatMap { k =>
-      val root = compMin.get(find(k))
-      members(k).iterator.filter(_ != root).map(id => (root, id))
-    }
+
+    rec(Array.tabulate(n)(identity), bandMask, 0)
+    out.iterator
   }
 
   /** Linear-output near-dup ASSIGNMENT: each document gets at most one
@@ -1469,7 +1576,7 @@ object Dedup {
   def simhashClusters(sim0: DataFrame, idCol: String, maxHamming: Int,
       maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame =
-    connectedComponents(simhashForest(sim0, idCol, maxHamming),
+    closeComponents(simhashForest(sim0, idCol, maxHamming),
         maxIter, sweep)
       .select(col("id").as(idCol), col("label").as("cluster"))
 
@@ -1521,7 +1628,7 @@ object Dedup {
     // table's output columns — so go through connectedComponents
     // directly (its d1/d2/id/label names never meet the caller's)
     // rather than simhashClusters' idCol-named projection
-    val comps = connectedComponents(
+    val comps = closeComponents(
         simhashForest(sim, idCol, maxHamming), maxIter, sweep)
       .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
     doc2surv.join(comps, doc2surv("survivor") === comps("__cc_id"), "left")
@@ -1554,7 +1661,19 @@ object Dedup {
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, ncells: Int = 8): DataFrame = {
-    val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, ncells)
+    // ncells <= 0 = AUTO: size the cell count from the corpus so
+    // per-cell occupancy stays ~bounded (the IVF property this
+    // operator's scale story rests on — SemDeDup itself runs k
+    // proportional to corpus size). A FIXED cell count at a growing
+    // corpus reproduces the banded-bucket disease: occupancy grows
+    // linearly, the within-cell exact join quadratically (sf10 probe:
+    // ncells=8 over 500k vectors = 284 s of dot products; auto = 122
+    // cells caps each cell near the 4096-vector target). Explicit
+    // ncells stays for oracle-pinned queries.
+    val cells =
+      if (ncells > 0) ncells
+      else math.max(8, (df.count() / 4096L).toInt)
+    val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, cells)
       .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
       // zero-norm vectors have no defined cosine: exclude them rather
       // than let NaN ride into the threshold comparison, where engines
@@ -1601,7 +1720,7 @@ object Dedup {
       .select(col("d1"), col("d2"))
     // private names: a caller's idCol may collide with the component
     // table's output columns (the dedupPipeline convention)
-    val comps = connectedComponents(pairs, maxIter, sweep)
+    val comps = closeComponents(pairs, maxIter, sweep)
       .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
     df.select(col(idCol))
       .join(comps, col(idCol) === col("__cc_id"), "left")
