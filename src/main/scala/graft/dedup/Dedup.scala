@@ -1660,19 +1660,21 @@ object Dedup {
     * DuckDB's list_dot_product).
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, ncells: Int = 8): DataFrame = {
-    // ncells <= 0 = AUTO: size the cell count from the corpus so
-    // per-cell occupancy stays ~bounded (the IVF property this
-    // operator's scale story rests on — SemDeDup itself runs k
-    // proportional to corpus size). A FIXED cell count at a growing
-    // corpus reproduces the banded-bucket disease: occupancy grows
-    // linearly, the within-cell exact join quadratically (sf10 probe:
-    // ncells=8 over 500k vectors = 284 s of dot products; auto = 122
-    // cells caps each cell near the 4096-vector target). Explicit
-    // ncells stays for oracle-pinned queries.
+      threshold: Double, ncells: Int = 0): DataFrame = {
+    // ncells <= 0 = AUTO (Similarity.autoCells, the default): size the
+    // cell count from the corpus so per-cell occupancy stays ~bounded
+    // (the IVF property this operator's scale story rests on —
+    // SemDeDup itself runs k proportional to corpus size). A FIXED
+    // cell count at a growing corpus reproduces the banded-bucket
+    // disease: occupancy grows linearly, the within-cell exact join
+    // quadratically (sf10 probe: ncells=8 over 500k vectors = 284 s of
+    // dot products; auto = 122 cells caps each cell near the
+    // 4096-vector target). Explicit ncells stays for pinned structures;
+    // the floor of 8 keeps the oracle scales (sf0.01/sf0.1) on the
+    // 8-cell structure the DuckDB oracles encode.
     val cells =
       if (ncells > 0) ncells
-      else math.max(8, (df.count() / 4096L).toInt)
+      else graft.sim.Similarity.autoCells(df, idCol)
     val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, cells)
       .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
       // zero-norm vectors have no defined cosine: exclude them rather
@@ -1714,7 +1716,7 @@ object Dedup {
     * cluster runs ([[SweepCheckpoint]]).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, ncells: Int = 8, maxIter: Int = 25,
+      threshold: Double, ncells: Int = 0, maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
     val pairs = embeddingDupPairs(df, idCol, vecCol, threshold, ncells)
       .select(col("d1"), col("d2"))

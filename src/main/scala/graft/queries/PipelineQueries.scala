@@ -78,11 +78,14 @@ object PipelineQueries extends QueryPack {
 
   // d13: semantic dedup — d6's IVF-cell cosine pairs resolved into
   // transitive components (the SemDeDup shape); every vector gets a
-  // cluster, singletons their own. Same cell seeds/threshold as d6 so
-  // the two oracles share their candidate structure.
+  // cluster, singletons their own. Same AUTO cell sizing/threshold as
+  // d6, so the two oracles share their candidate structure (at the
+  // driver's oracle scales AUTO resolves to the floor of 8 cells the
+  // SQL encodes; at stress scales cells grow with the corpus —
+  // SCALE_r12).
   private def d13SemanticDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, ncells = 8)
+        threshold = 0.4)
       .orderBy("vec_id")
 
   private def d6EmbeddingDup(s: SparkSession, dir: String): DataFrame =
@@ -139,7 +142,7 @@ object PipelineQueries extends QueryPack {
     val e = emb(s, dir)
     graft.sim.ProductQuantize.ivfPqTopKAll(e, "vec_id", "embedding",
         e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
-        k = 5, ncells = 8, nprobe = 2, nsub = 4, kcent = 8, iters = 2)
+        k = 5, nprobe = 2, nsub = 4, kcent = 8, iters = 2)
       .select(col("qid"), col("id").as("vec_id"), col("adist"))
       .orderBy("qid", "vec_id")
   }

@@ -182,18 +182,27 @@ object ProductQuantize {
     */
   def ivfPqTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, ncells: Int = 8, nprobe: Int = 2,
+      k: Int, ncells: Int = 0, nprobe: Int = 2,
       nsub: Int = 4, kcent: Int = 8, iters: Int = 2,
       sweep: SweepCheckpoint = SweepCheckpoint.Local,
       maxBroadcastQueries: Long = 1L << 16,
       knownQueryCount: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ncells <= 0 = AUTO (Similarity.autoCells): per-query candidates
+    // are ~corpus * nprobe / ncells, so a fixed cell count over a
+    // growing corpus and query table is quadratic per data decade
+    // (SCALE_r12: 23x at sf10); explicit ncells stays for pinned
+    // structures. The PQ codebook (nsub x kcent) is residual-free and
+    // independent of the cell count, so it needs no scaling.
+    val cells =
+      if (ncells > 0) ncells
+      else graft.sim.Similarity.autoCells(emb, idCol)
     val e = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val icent = e.filter(col("id") < ncells)
+    val icent = e.filter(col("id") < cells)
       .select(col("id").as("icell"), col("v").as("icv"))
     val corpusCells = graft.sim.Similarity
-      .assignCells(emb, idCol, vecCol, ncells)
+      .assignCells(emb, idCol, vecCol, cells)
       .select(col("id"), col("cell").as("icell"))
     val q = queries.select(col(qidCol).as("qid"),
       col(qvecCol).cast("array<double>").as("qv"))

@@ -49,6 +49,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** AUTO cell count for the IVF family: sized from the corpus so
+    * per-cell occupancy stays near a fixed target (~4096 vectors),
+    * the IVF property every batched operator's scale story rests on.
+    * A FIXED cell count over a growing corpus makes occupancy — and
+    * with it every within-cell join and per-query probe scan — grow
+    * linearly, turning batched-query work quadratic per data decade
+    * (SCALE_r12: d13 284 s and s10 23x/decade at sf10 under
+    * ncells=8; both ~linear under AUTO). One column-pruned count job;
+    * floor 8 keeps tiny corpora (and the sf0.01/sf0.1 oracle scales)
+    * on the pinned 8-cell structure the DuckDB oracles encode.
+    */
+  def autoCells(emb: DataFrame, idCol: String): Int =
+    math.max(8, (emb.select(col(idCol)).count() / 4096L).toInt)
+
   /** Cell assignment: argmin squared-L2 centroid per vector (ties break
     * to the lowest cell id). Reusable across queries. min_by under a
     * groupBy rather than a window sort — partial-aggregatable map-side,
@@ -265,15 +279,19 @@ object Similarity {
     */
   def ivfTopKAll(emb: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, ncells: Int = 8, nprobe: Int = 2,
+      k: Int, ncells: Int = 0, nprobe: Int = 2,
       maxBroadcastQueries: Long = 1L << 16,
       maxBroadcastQueryFloats: Long = 1L << 23,
       knownQueryCount: Long = -1L, knownQueryDim: Long = -1L): DataFrame = {
+    // ncells <= 0 = AUTO (see autoCells): a batched query table grows
+    // with the corpus, so fixed cells make this operator quadratic per
+    // decade; explicit ncells stays for pinned structures
+    val cells = if (ncells > 0) ncells else autoCells(emb, idCol)
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
       .filter(nonZero(col("qv")))
-    val cent = e.filter(col("id") < ncells)
+    val cent = e.filter(col("id") < cells)
       .select(col("id").as("cell"), col("v").as("cv"))
     // per-query probe cells: queries x nprobe rows; the nprobe cut is
     // a row_number over the query table, not the corpus
@@ -288,7 +306,7 @@ object Similarity {
         maxBroadcastQueryFloats, knownQueryCount, knownQueryDim))
         broadcast(qcells)
       else qcells.hint("merge")
-    assignCells(emb, idCol, vecCol, ncells)
+    assignCells(emb, idCol, vecCol, cells)
       .filter(nonZero(col("v")))
       .join(probeSide, "cell")
       .filter(col("id") =!= col("qid"))
