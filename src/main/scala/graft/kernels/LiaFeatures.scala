@@ -240,8 +240,26 @@ object LiaFeatures {
     //    bimodal: nothing lands in the 0.008-0.23 band that carries
     //    60% of the threshold mass (frac<p50 0.13-0.22 vs ideal 0.50,
     //    reseed-stable).
-    // Family-level reconstruction; still surfaced via
-    // mulens_features_approx.
+    // r12 sweep closed the last unexplored axes of the cited SIDRA
+    // method (Mislis et al. 2015 score each point under BOTH a
+    // Gaussian and a uniform model; LIA's own scale helper is an
+    // uncentered RMS) — all artifact-refuted (LiaAnchorSpec pins):
+    //  - UNIFORM window mass (|window ∩ range| / range), alone and
+    //    summed with the Gaussian term, leaves the 0.008 p50
+    //    threshold band nearly empty (frac<p50 ≤ 0.06 at every
+    //    domain/k/normalization vs the ~0.50 a correct definition
+    //    must show);
+    //  - RMS-scaled z-scores inflate every curve's surprisal (mag
+    //    RMS ≈ |mean mag| >> centered std): ensemble p10 ≥ 2.6
+    //    against a threshold p75 of 0.23 — no overlap at all.
+    // TERMINAL for the swept space: across r7-r12, 60+
+    // parameterizations over every family the LIA source, its cited
+    // method, and its helpers suggest (histogram, CDF mass, surprisal
+    // ladders, double-CDF, outlier-gated, binary, Vasicek m-spacing,
+    // fixed-bin bit entropy, uniform/paired window mass, RMS scale),
+    // the adopted per-point Gaussian surprisal remains the ONLY
+    // all-anchor-compatible form. Family-level reconstruction; still
+    // surfaced via mulens_features_approx.
     val shannon = {
       val mMn = mag.sum / n
       val mSd = math.sqrt(mag.map(x => (x - mMn) * (x - mMn)).sum / n)

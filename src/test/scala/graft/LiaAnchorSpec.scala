@@ -97,6 +97,43 @@ class LiaAnchorSpec extends AnyFunSuite {
       s"mid-band moved: p50=${q(3)} p75=${q(4)}")
   }
 
+  test("f37 r12 refutations: uniform window mass, Mislis normal+uniform pair, RMS scale") {
+    // The r12 sweep closed the two axes every earlier round left
+    // untouched: (a) the UNIFORM-model window mass of the SIDRA
+    // method the LIA docstring cites (Mislis et al. 2015 score each
+    // point under BOTH a Gaussian and a uniform model — only the
+    // Gaussian half had ever been swept), alone and paired with the
+    // Gaussian term; (b) LIA's own root-mean-square helper as the
+    // z-score scale (uncentered RMS ≈ |mean mag| in the magnitude
+    // domain). All three families are artifact-refuted at every
+    // swept parameterization (mag/nf domain, k ∈ {1,2}, raw and
+    // per-point): their ensemble mass sits entirely ABOVE the
+    // 0.0034/0.008 low-threshold band that carries half the training
+    // marginal — frac< p50 ≤ 0.06 everywhere vs the ~0.50 a correct
+    // definition must show, and the RMS family cannot even reach the
+    // p75 threshold (frac< = 0.00 at every setting, ensemble p10 ≥
+    // 2.6 vs threshold p75 0.23). Pin the discriminating fact per
+    // family on the per-point k=2 mag form (each family's closest
+    // approach) so a kernel or artifact drift resurfaces them.
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    val (_, q) = LiaAnchors.thresholdStats(37)
+    val small = ens.take(400)
+    def fracBelow(f: (Array[Double], Array[Double]) => Double, t: Double) = {
+      val xs = small.map { case (m, e) => f(m, e) }
+      xs.count(_ < t).toDouble / xs.length
+    }
+    import graft.tools.LiaCandidates._
+    // p50 threshold (0.008) carries ~half the training mass; the
+    // refuted families leave it nearly empty
+    assert(fracBelow(shannonUniform(true, 2.0, true), q(3)) < 0.2,
+      "uniform window mass now reaches the low band — re-adjudicate")
+    assert(fracBelow(shannonNormalPlusUniform(true, 2.0, true), q(3)) < 0.2,
+      "normal+uniform pair now reaches the low band — re-adjudicate")
+    // the RMS family is refuted harder: no mass even below p75 (0.23)
+    assert(fracBelow(shannonRms(true, 2.0, true), q(4)) < 0.1,
+      "RMS-scaled surprisal now reaches the mid band — re-adjudicate")
+  }
+
   test("f36 sample_entropy: r9 anchor adoption holds (mag domain, m=1, r=0.15*std)") {
     assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
     val (_, q) = LiaAnchors.thresholdStats(36)

@@ -137,6 +137,16 @@ object LiaAnchors {
         cands.shannonSurprisal(mag, k, ln, pp))
     evalFit("Mislis dblCDF mag", 37, cands.shannonMislis(true))
     evalFit("Mislis dblCDF nf", 37, cands.shannonMislis(false))
+    println("-- f37 r12 families: uniform window mass / normal+uniform / RMS scale")
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0); pp <- Seq(true, false))
+      evalFit(f"uniform(${if (mag) "mag" else "nf"},k=$k%.0f${if (pp) ",/n" else ""})",
+        37, cands.shannonUniform(mag, k, pp))
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0); pp <- Seq(true, false))
+      evalFit(f"norm+unif(${if (mag) "mag" else "nf"},k=$k%.0f${if (pp) ",/n" else ""})",
+        37, cands.shannonNormalPlusUniform(mag, k, pp))
+    for (mag <- Seq(true, false); k <- Seq(1.0, 2.0); pp <- Seq(true, false))
+      evalFit(f"rmsScale(${if (mag) "mag" else "nf"},k=$k%.0f${if (pp) ",/n" else ""})",
+        37, cands.shannonRms(mag, k, pp))
     for (bins <- Seq(20, 30, 32, 40, 50, 64))
       evalFit(s"fixedHist($bins) bits nf", 37, cands.shannonFixedHist(bins))
     println("-- f36 fine sweep around the m=1 mag ladder")

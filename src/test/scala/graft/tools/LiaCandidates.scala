@@ -410,4 +410,76 @@ object LiaCandidates {
     }
     s
   }
+
+  // ---- f37 r12 families: the two axes every earlier sweep left
+  // untouched. (a) UNIFORM-CDF window mass — the SIDRA method the LIA
+  // docstring cites (Mislis et al. 2015) scores each point against
+  // BOTH a Gaussian and a uniform model, and no uniform-model
+  // candidate has ever been swept; (b) the UNCENTERED RMS scale —
+  // LIA's own helper is a root-mean-square (sqrt(mean(x^2))), not a
+  // centered std, and in the magnitude domain the two differ by ~the
+  // mean magnitude itself.
+
+  /** Per-point surprisal of the UNIFORM window mass: p_i = |[x-k*e,
+    * x+k*e] ∩ [min, max]| / (max - min). Near 1 (term near 0) when the
+    * error bars span the observed range — the constant-star case the
+    * near-zero f37 threshold mass demands — and small (term large) for
+    * high-amplitude structure.
+    */
+  def shannonUniform(useMag: Boolean, k: Double,
+      perPoint: Boolean): (Array[Double], Array[Double]) => Double = (m, e) => {
+    val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+    val n = x.length
+    val lo = x.min; val hi = x.max
+    if (hi == lo) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.max(lo, x(i) - k * xe(i))
+        val b = math.min(hi, x(i) + k * xe(i))
+        val p = math.max(b - a, 0.0) / (hi - lo)
+        s -= math.log(math.max(p, 1e-12)) / math.log(2.0)
+        i += 1
+      }
+      if (perPoint) s / n else s
+    }
+  }
+
+  /** Mislis-style PAIR: per-point sum of the Gaussian and uniform
+    * window-mass surprisals (both k-sigma'd on the same domain),
+    * optionally per-point normalized.
+    */
+  def shannonNormalPlusUniform(useMag: Boolean, k: Double,
+      perPoint: Boolean): (Array[Double], Array[Double]) => Double = (m, e) => {
+    val g = shannonSurprisal(useMag, k, lnBase = false, perPoint)(m, e)
+    val u = shannonUniform(useMag, k, perPoint)(m, e)
+    g + u
+  }
+
+  /** The adopted per-point Gaussian surprisal with LIA's UNCENTERED
+    * RMS as the scale: z = (x ± k*e - mean) / sqrt(mean(x^2)). In the
+    * magnitude domain RMS ~ |mean mag| >> centered std, so windows
+    * shrink toward zero mass and surprisal inflates — included to
+    * refute or adopt the RootMS reading of the source's scale choice.
+    */
+  def shannonRms(useMag: Boolean, k: Double,
+      perPoint: Boolean): (Array[Double], Array[Double]) => Double = (m, e) => {
+    val (x, xe) = if (useMag) (m, e) else nfne(m, e)
+    val n = x.length
+    val mean = x.sum / n
+    val rms = math.sqrt(x.map(v => v * v).sum / n)
+    if (rms == 0) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val p = phi((x(i) + k * xe(i) - mean) / rms) -
+          phi((x(i) - k * xe(i) - mean) / rms)
+        s -= math.log(math.max(p, 1e-12)) / math.log(2.0)
+        i += 1
+      }
+      if (perPoint) s / n else s
+    }
+  }
 }
