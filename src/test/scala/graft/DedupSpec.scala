@@ -295,6 +295,63 @@ class DedupSpec extends SparkSpec {
     assert(exact == lsh, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
   }
 
+  test("giant planted family: cluster summary is identical through the capped join route") {
+    // one viral near-dup family (300 members, per-member token tweak
+    // so the exact-dup collapse cannot pre-merge them) + distinct
+    // background docs. bucketCap=16 forces every family bucket through
+    // the spilling-join fallback; the summary must be bit-identical to
+    // the star-kernel route and report the family as ONE component.
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val fam = (0 until 300).map(i => (i.toLong, s"$base extra$i"))
+    val bg = (0 until 50).map(i =>
+      (1000L + i, (0 until 40).map(j => s"bg${i}w$j").mkString(" ")))
+    val df = (fam ++ bg).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshClusterSummary(df, "doc_id", "text", 0.7,
+        bucketCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = Dedup.minhashLshClusterSummary(df, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === uncapped,
+      s"cap route diverged: missing ${uncapped.diff(capped)}, extra ${capped.diff(uncapped)}")
+    val famRow = capped.find(_._1 == 0L)
+    assert(famRow.exists(_._2 === 300L),
+      s"giant family not one component of 300: $famRow / $capped")
+  }
+
+  test("giant simhash bucket: recursive sub-banding equals brute force") {
+    // a bucket above RecursePairwiseLimit (512 distinct signatures)
+    // exercises bucketStars' recursion: two 300-member cliques far
+    // apart in the free bits (members <= 2 flips from their base, so
+    // pairwise <= 4 within a clique; the bases differ in 20 bits).
+    // Components of the emitted stars must equal brute-force
+    // components over all 600 signatures.
+    val baseA = 0x0000000000000FFFL // band-0 bits (0..11) set
+    val baseB = baseA | (0xFFFFFL << 40) // same bucket, 20 far bits
+    def flips(base: Long): Seq[Long] = {
+      val free = (12 until 40).toArray // untouched by baseB's far bits
+      for {
+        i <- free.indices; j <- i + 1 until free.length
+        if i * free.length + j < 10000
+      } yield base ^ (1L << free(i)) ^ (1L << free(j))
+    }
+    val sigs = (flips(baseA).take(299) :+ baseA) ++
+      (flips(baseB).take(299) :+ baseB)
+    assert(sigs.distinct.length === 600)
+    val rows = sigs.zipWithIndex.map { case (s, i) => (0, 0xFFFL, i.toLong, s) }
+    val stars = Dedup.bucketStars(rows.iterator, maxHamming = 4).toSeq
+    val got = unionFind(stars)
+    val brute = for {
+      i <- sigs.indices; j <- i + 1 until sigs.length
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 4
+    } yield (i.toLong, j.toLong)
+    val expected = unionFind(brute)
+    assert(got === expected,
+      s"recursion diverged from brute force (${got.size} vs ${expected.size} labeled)")
+    // and the two cliques really are separate components
+    assert(expected.values.toSet.size === 2)
+  }
+
   test("LSH cluster summary equals components over the full verified pair set") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
