@@ -136,6 +136,18 @@ object SlsnFeatures {
   /** Neutral salt2 stand-in (z, x0, x1, c, chi2) — the template fit
     * needs sncosmo's external SALT2 surfaces; zeros are deterministic
     * and keep rows scoreable (the reference's NaN would sentinel them).
+    *
+    * Terminal status (r12): these two stand-ins are ARTIFACT-DATA
+    * gaps, not machinery gaps, and cannot be closed offline. The SFD
+    * E(B-V) map is a measured all-sky dust survey (a data product;
+    * there is no formula to reconstruct it from) and the SALT2 M0/M1/
+    * CL surfaces are trained template data files distributed by
+    * sncosmo — the same class as the CI-fetched classifier joblibs.
+    * Everything COMPUTED around them is implemented and pinned on the
+    * reference's own doctests: F99 extinction, abs_peak's LambdaCDM
+    * luminosity distance, and the photo-z veto (kernels.SlsnPhotoz),
+    * with both values injectable per row (`ebv`, `salt`) so supplying
+    * the public artifacts requires no code change.
     */
   val DefaultSalt: (Double, Double, Double, Double, Double) =
     (0.0, 0.0, 0.0, 0.0, 0.0)
