@@ -23,6 +23,21 @@ class StreamingOpsSpec extends SparkSpec {
       .repartitionByRange(4, col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir)
+    // FileStreamSource replays in MODIFICATION-TIME order, and the four
+    // part files land with near-identical mtimes — ties let each source
+    // instance list them in a different (even ts-DESCENDING) order, so
+    // a whole early file can arrive after the watermark passed it and
+    // be dropped wholesale (observed: an interval-join side reading
+    // file 3 first drops file 0-2's matches). Stamp strictly
+    // increasing mtimes in range order (part file names follow the
+    // range partition order) so every replay is the event-time order
+    // this fixture promises.
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
     dir
   }
 
