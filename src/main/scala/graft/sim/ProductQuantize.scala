@@ -82,9 +82,13 @@ object ProductQuantize {
       nsub: Int, kcent: Int, iters: Int,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): (DataFrame, DataFrame) = {
     val codes = Quantize.int8Codes(emb, idCol, vecCol)
-    val subcodes = subCodes(codes, nsub)
-    val seed = subcodes.filter(col("id") < kcent)
+    val subcodes0 = subCodes(codes, nsub)
+    val seed = subcodes0.filter(col("id") < kcent)
       .select(col("sub"), col("id").as("cell"), col("sv").as("cv"))
+    // every iteration's distance pass runs above this exchange
+    // (graft.sim.Similarity.parallelized: a 1-2 split scan would
+    // serialize the per-row assignment math on as many cores)
+    val subcodes = graft.sim.Similarity.parallelized(subcodes0)
     require(!seed.isEmpty, s"ProductQuantize.train: seed codebook is " +
       s"empty — no $idCol < kcent=$kcent exists (ids must start at 0); " +
       "normalize ids or raise kcent")

@@ -38,15 +38,28 @@ object Similarity {
   /** Exact top-k by cosine against the vector of `queryId`. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .filter(nonZero(col("v")))
-    val q = e.filter(col("id") === queryId).select(col("v").as("qv"))
-    e.join(broadcast(q))
+    val q = e0.filter(col("id") === queryId).select(col("v").as("qv"))
+    parallelized(e0).join(broadcast(q))
       .filter(col("id") =!= queryId)
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
       .select(col("id"), col("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Spread a narrow scan across the session's cores before a
+    * compute-heavy broadcast join: a single small parquet file arrives
+    * as 1-2 splits, and every per-row distance evaluation above it
+    * would serialize on as many cores (the `Dedup.parallelized`
+    * treatment — measured 23.6 s -> ~3 s for the sf10 cell-assignment
+    * pass). No-op at real scale where scans carry enough splits.
+    */
+  private[sim] def parallelized(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** AUTO cell count for the IVF family: sized from the corpus so
@@ -71,9 +84,13 @@ object Similarity {
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cent = e.filter(col("id") < ncells)
+    val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // centroid seed from the NARROW scan (an id-pushed filter over a
+    // handful of rows); only the corpus side of the n x ncells
+    // distance pass is spread across cores
+    val cent = e0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
+    val e = parallelized(e0)
     e.join(broadcast(cent))
       .withColumn("d", Vec.sqDist(col("v"), col("cv")))
       .groupBy(col("id"))
@@ -123,9 +140,11 @@ object Similarity {
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, iters: Int,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
-    val codes = Quantize.int8Codes(emb, idCol, vecCol)
-    val seed = codes.filter(col("id") < ncells)
+    val codes0 = Quantize.int8Codes(emb, idCol, vecCol)
+    val seed = codes0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("q").as("cv"))
+    // every iteration's distance pass runs above this exchange
+    val codes = parallelized(codes0)
     require(!seed.isEmpty, s"kmeansCells: seed centroid table is empty — " +
       s"no $idCol < ncells=$ncells exists (ids must start at 0 per the " +
       "assignCells convention); normalize ids or raise ncells")
@@ -206,15 +225,15 @@ object Similarity {
   def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
     import graft.functions.Hashing
-    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val dim = e.agg(max(size(col("v"))).as("dim"))
+    val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = e0.agg(max(size(col("v"))).as("dim"))
     val planes = dim
       .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
       .select(col("p"),
         transform(sequence(lit(0), col("dim") - 1),
           i => when(Hashing.hash60(i.cast("string"), col("p"))
             .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
-    val bucketed = e.join(broadcast(planes))
+    val bucketed = parallelized(e0).join(broadcast(planes))
       .select(col("id"), col("v"),
         when(Vec.dot(col("v"), col("w")) > lit(0.0),
           expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
@@ -357,7 +376,9 @@ object Similarity {
             expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
         .groupBy(col(idc))
         .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
-    val bucketed = bucketOf(e, "id", "v").filter(nonZero(col("v")))
+    // corpus side only — the query table is probe-sized
+    val bucketed = bucketOf(parallelized(e), "id", "v")
+      .filter(nonZero(col("v")))
     val qin = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
       .filter(nonZero(col("qv")))
