@@ -62,6 +62,20 @@ object PipelineQueries extends QueryPack {
     Dedup.ngramJaccardDegree(docs(s, dir), "doc_id", "text", 0.5)
       .orderBy("doc_id")
 
+  // d18: MOSS-style substring-span overlap — pairs sharing winnowed
+  // fingerprints (any copied substring of >= w + k - 1 codepoints
+  // leaves a shared fingerprint), the relation doc-level Jaccard
+  // misses when a lifted paragraph sits inside an unrelated host.
+  // minShared=6 demands a sustained span (or several), maxDf=32 drops
+  // boilerplate shared corpus-wide — calibrated on the sf0.01 fp-df
+  // distribution: (2, 64) pairs 57% of ALL doc pairs through shared
+  // vocabulary, (8, 16) prunes even the planted families to zero;
+  // (6, 32) reports 119 genuine span pairs (max n_shared 24).
+  private def d18WinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.overlapPairs(docs(s, dir), "doc_id", "text",
+        minShared = 6, maxDf = 32)
+      .orderBy("d1", "d2")
+
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
@@ -624,6 +638,7 @@ object PipelineQueries extends QueryPack {
     "d15_lsh_cluster_summary" -> (d15LshClusterSummary _),
     "d16_containment_degree" -> (d16ContainmentDegree _),
     "d17_jaccard_degree" -> (d17JaccardDegree _),
+    "d18_winnow_overlap" -> (d18WinnowOverlap _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -812,6 +827,47 @@ object PipelineQueries extends QueryPack {
          |        UNION ALL SELECT d2, jac FROM v)
          |SELECT doc_id, count(*) AS n_neighbors, max(jac) AS max_jac
          |FROM sym GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d18: the MOSS overlap report over winnowed fingerprints — the
+    // g/n/p/small CTEs are t5's fingerprint reconstruction verbatim
+    // (61-bit Mersenne rolling hash in HUGEINT, rightmost-min winnow),
+    // extended to the per-doc DISTINCT fingerprint set, the maxDf=64
+    // boilerplate prune, and the shared-count pair join.
+    "d18_winnow_overlap" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+        |    CAST((((CAST(ord(substr(text, CAST(i.i AS INT), 1)) AS HUGEINT) * 257
+        |      + ord(substr(text, CAST(i.i + 1 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 2 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 3 AS INT), 1))) * 257
+        |      + ord(substr(text, CAST(i.i + 4 AS INT), 1)) AS BIGINT)
+        |      % 2305843009213693951 AS hash
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) i
+        |  WHERE length(text) >= 5),
+        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id, a.i AS win, b.hash, b.i AS j
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
+        |  JOIN n ON n.doc_id = a.doc_id
+        |  WHERE a.i <= n.ng - 3
+        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.i
+        |                             ORDER BY b.hash ASC, b.i DESC) = 1),
+        |small AS (
+        |  SELECT g.doc_id, min(hash) AS min_fp
+        |  FROM g JOIN n ON n.doc_id = g.doc_id WHERE n.ng BETWEEN 1 AND 3 GROUP BY 1),
+        |fps AS (SELECT DISTINCT doc_id, hash FROM (
+        |  SELECT doc_id, hash FROM p
+        |  UNION ALL SELECT doc_id, min_fp AS hash FROM small) u),
+        |keep AS (SELECT hash FROM fps GROUP BY 1 HAVING count(*) <= 32),
+        |pf AS (SELECT f.doc_id, f.hash FROM fps f JOIN keep USING (hash)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM pf GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        |       FROM pf a JOIN pf b ON a.hash = b.hash AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2 HAVING count(*) >= 6)
+        |SELECT pr.d1, pr.d2, CAST(pr.n_shared AS BIGINT) AS n_shared,
+        |       CAST(pr.n_shared AS DOUBLE) / least(s1.n, s2.n) AS overlap
+        |FROM pr JOIN sz s1 ON s1.doc_id = pr.d1
+        |JOIN sz s2 ON s2.doc_id = pr.d2
+        |ORDER BY d1, d2""".stripMargin,
     "d4_simhash" -> simhashSql(),
     // d5: bucket-local verified components as star edges. Mirrors the
     // engine's forest exactly: 5 bands x 12 bits (maxHamming=4), the

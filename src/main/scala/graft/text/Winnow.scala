@@ -82,4 +82,64 @@ object Winnow {
     val union = sa.size + b.distinct.length - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** SUBSTRING-level overlap pairs — the MOSS report over winnowed
+    * fingerprints: all document pairs sharing at least `minShared`
+    * fingerprints, with the shared count and the containment-style
+    * overlap `n_shared / min(|A|, |B|)`. The winnowing guarantee makes
+    * this a SPAN detector: any copied substring of length >= w + k - 1
+    * codepoints yields a shared fingerprint, so a lifted paragraph
+    * pairs its source and its host even when whole-document Jaccard
+    * (d2) is tiny and set-decontamination (d7) has no benchmark side —
+    * the relation doc-level similarity structurally misses.
+    *
+    * Scale shape: fingerprints are a sparse per-doc sample (~1/w of
+    * k-grams), candidates come from a fingerprint-bucketed equi-join —
+    * never all-pairs — and `maxDf` drops fingerprints shared by more
+    * than that many docs BEFORE the join (MOSS's ignore-common-code
+    * step: boilerplate hashes would otherwise create the hot-bucket
+    * quadratic blow-up, and a span shared by hundreds of docs is
+    * boilerplate, not plagiarism). Both the shared counts and the
+    * overlap denominators are computed over the PRUNED sets, so the
+    * statement stays self-consistent. Output is pair-level — bounded
+    * by real overlap density, a diagnostic like d2/d14 at viral
+    * densities (SCALE_r12).
+    */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 1 << 10): DataFrame = {
+    val fpk = udf((t: String) => fingerprints(if (t == null) "" else t, k, w))
+      .asNondeterministic() // keeps the kernel above the exchange (the
+    // signedSets convention); fingerprints() is pure
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val wide =
+      if (!df.isStreaming && base.rdd.getNumPartitions < target)
+        base.repartition(target)
+      else base
+    // fingerprints() returns a distinct set, so (id, fp) is unique
+    val fps = wide.select(col("id"), explode(fpk(col("__t"))).as("fp"))
+    val dfc = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= maxDf)
+      .select(col("fp"))
+    val pf = fps.join(dfc, "fp").cache()
+    val sizes = pf.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val pairs = pf.as("a").join(pf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("overlap",
+        col("n_shared").cast("double") / least(col("n1"), col("n2")))
+      .select(col("d1"), col("d2"),
+        col("n_shared").cast("long").as("n_shared"), col("overlap"))
+  }
 }

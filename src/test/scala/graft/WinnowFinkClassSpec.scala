@@ -17,6 +17,41 @@ class WinnowFinkClassSpec extends SparkSpec {
     assert(Winnow.similarity(a, a) === 1.0)
   }
 
+  test("overlapPairs: a lifted span pairs source and host; boilerplate prunes; counts match the kernel") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val boiler = "standard footer all rights reserved"
+    // doc 0 and 1 share the span; 2 is unrelated; 3..12 all share only
+    // the boilerplate, which exceeds maxDf=5 and must not pair anyone
+    val rows = Seq(
+      (0L, s"prefix text $span suffix one $boiler"),
+      (1L, s"other start $span different end $boiler"),
+      (2L, s"completely unrelated content with no overlap at all here $boiler")) ++
+      (3L to 12L).map(i => (i, s"host document number $i body $boiler"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Winnow.overlapPairs(df, "doc_id", "text",
+        minShared = 2, maxDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // brute-force expectation from the kernel under the same prune
+    val fps = rows.map { case (id, t) => id -> Winnow.fingerprints(t).toSet }
+    val dfc = fps.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val pruned = fps.map { case (id, s) =>
+      id -> s.filter(h => dfc(h) <= 5) }.toMap
+    val expected = (for {
+      (a, sa) <- pruned; (b, sb) <- pruned if a < b
+      shared = (sa & sb).size if shared >= 2
+    } yield (a, b) -> (shared.toLong,
+      shared.toDouble / math.min(sa.size, sb.size))).toMap
+    assert(got === expected, s"got $got expected $expected")
+    assert(got.contains((0L, 1L)), "the lifted span must pair its docs")
+    assert(!got.keys.exists(p => p._1 >= 3L),
+      "boilerplate-only hosts must not pair (maxDf prune)")
+    // the 3..12 docs DO share their 'host document number ... body'
+    // frame too — if that survives the prune the assertion above
+    // would fail, so its absence also witnesses the df computation
+  }
+
   test("winnowing is deterministic and position-robust") {
     val t = "some document text for fingerprinting purposes"
     assert(Winnow.fingerprints(t).toSeq === Winnow.fingerprints(t).toSeq)
