@@ -598,8 +598,15 @@ object Dedup {
       .select(col("id").as("rid"), col("label"))
     // stage 5: weighted summary — copy groups count with their
     // multiplicity; reps with no verified partner and a single copy
-    // are singletons and emit nothing (the pair report's silence)
+    // are singletons and emit nothing (the pair report's silence).
+    // Zero-SHINGLE groups (empty/too-short texts) are excluded even
+    // when several docs share the text byte-for-byte: the statement
+    // is the summary of d3's VERIFIED Jaccard graph, and a doc with
+    // no shingles has no Jaccard identity there (0/0) — signedSets
+    // drops them, so membership in `sets` is exactly d3's domain
+    // (fuzz-found: all-empty corpora produced a phantom copy family)
     groups.select(col("rid"), col("n_copies"))
+      .join(sets.select(col("id").as("rid")), Seq("rid"), "left_semi")
       .join(labels, Seq("rid"), "left")
       .groupBy(coalesce(col("label"), col("rid")).as("cluster_id"))
       .agg(sum(col("n_copies")).as("n_docs"))

@@ -295,6 +295,23 @@ class DedupSpec extends SparkSpec {
     assert(exact == lsh, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
   }
 
+  test("cluster summary: zero-shingle copy groups are not families; short identical docs are") {
+    // d15 summarizes d3's VERIFIED graph: empty/too-short texts have
+    // no shingles hence no Jaccard identity — identical empties must
+    // NOT form a phantom copy family (fuzz-found r12). Identical
+    // one-shingle docs DO pair (jac = 1) and must still summarize.
+    import spark.implicits._
+    val df = Seq(
+      (0L, ""), (1L, ""), (2L, ""), // byte-identical, zero shingles
+      (3L, "a b"), // too short for a 3-gram
+      (4L, "one two three"), (5L, "one two three"), // one shared shingle
+      (6L, "entirely different words here")).toDF("doc_id", "text")
+    val got = Dedup.minhashLshClusterSummary(df, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((4L, 2L, 1L)),
+      s"expected only the one-shingle family, got ${got.toSeq}")
+  }
+
   test("giant planted family: cluster summary is identical through the capped join route") {
     // one viral near-dup family (300 members, per-member token tweak
     // so the exact-dup collapse cannot pre-merge them) + distinct

@@ -40,9 +40,13 @@ object FuzzVerify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // optional comma-separated subset for re-running a fixed query
+    // over existing corpora (the rest of the results stay valid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = queries.filter(q => only.forall(_.contains(q)))
     val corpora = new java.io.File(root).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("c")).sortBy(_.getName)
-    for (corpus <- corpora; name <- queries) {
+    for (corpus <- corpora; name <- selected) {
       graft.SparkEntry.queries(name)(spark, corpus.getPath)
         .coalesce(1)
         .write.mode("overwrite")
