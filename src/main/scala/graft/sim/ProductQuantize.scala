@@ -87,8 +87,10 @@ object ProductQuantize {
       .select(col("sub"), col("id").as("cell"), col("sv").as("cv"))
     // every iteration's distance pass runs above this exchange
     // (graft.sim.Similarity.parallelized: a 1-2 split scan would
-    // serialize the per-row assignment math on as many cores)
-    val subcodes = graft.sim.Similarity.parallelized(subcodes0)
+    // serialize the per-row assignment math on as many cores; the
+    // size gate reads `codes` — subcodes' Generate has no
+    // scan-derived estimate)
+    val subcodes = graft.sim.Similarity.parallelized(subcodes0, codes)
     require(!seed.isEmpty, s"ProductQuantize.train: seed codebook is " +
       s"empty — no $idCol < kcent=$kcent exists (ids must start at 0); " +
       "normalize ids or raise kcent")

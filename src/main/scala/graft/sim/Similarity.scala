@@ -54,12 +54,25 @@ object Similarity {
     * as 1-2 splits, and every per-row distance evaluation above it
     * would serialize on as many cores (the `Dedup.parallelized`
     * treatment — measured 23.6 s -> ~3 s for the sf10 cell-assignment
-    * pass). No-op at real scale where scans carry enough splits.
+    * pass). No-op at real scale where scans carry enough splits, AND
+    * below a 16 MB size estimate: on a corpus that small the serial
+    * pass is cheaper than the exchange plus the per-stage task
+    * overhead the extra partitions add to every downstream stage
+    * (measured: an ungated repartition cost the Lloyd-loop operators
+    * +0.6..1.7 s per query at the oracle scales while the corpus fit
+    * in one task anyway). `gate` overrides the frame whose size
+    * estimate decides — pass the pre-explode base when `df` contains
+    * a Generate, whose estimate is not scan-derived.
     */
-  private[sim] def parallelized(df: DataFrame): DataFrame = {
+  private[sim] def parallelized(df: DataFrame,
+      gate: DataFrame = null): DataFrame = {
     if (df.isStreaming) return df
+    val g = if (gate == null) df else gate
+    val bytes = g.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (bytes >= (1L << 24) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** AUTO cell count for the IVF family: sized from the corpus so
