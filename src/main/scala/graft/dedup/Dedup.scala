@@ -1123,44 +1123,39 @@ object Dedup {
     }
     val n = sigs.length
     if (n == 0) return Iterator.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
 
-    // pairwise lazy union-find over a set of signature nodes: exact
-    // Hamming verification only for still-disconnected pairs, then one
-    // star per nontrivial component rooted at its min member id
+    // ONE union-find over the bucket's distinct signatures, SHARED by
+    // every recursive sub-call: the recursion only decides WHICH pairs
+    // get an exact Hamming verification; star emission happens once at
+    // the end from the bucket-level components. (An earlier form
+    // emitted stars inside each sub-call — connectivity was preserved
+    // but a component spanning several subgroups emitted one star set
+    // PER subgroup, diverging from the one-star-per-bucket-component
+    // contract the d5 oracle states: sf0.1 check, 11,071 rows vs
+    // 7,720.)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+
+    // lazy pairwise verification over a set of signature nodes: exact
+    // Hamming check only for still-disconnected pairs, unions into the
+    // shared bucket-level forest
     def pairwise(idxs: Array[Int]): Unit = {
       val m = idxs.length
-      val parent = Array.tabulate(m)(identity)
-      def find(x: Int): Int = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
       var i = 0
       while (i < m) {
         var j = i + 1
         while (j < m) {
-          if (find(i) != find(j) &&
+          if (find(idxs(i)) != find(idxs(j)) &&
               java.lang.Long.bitCount(sigs(idxs(i)) ^ sigs(idxs(j))) <= maxHamming)
-            parent(find(j)) = find(i)
+            parent(find(idxs(j))) = find(idxs(i))
           j += 1
         }
-        i += 1
-      }
-      val compMin = new java.util.HashMap[Int, Long]()
-      i = 0
-      while (i < m) {
-        val r = find(i)
-        val mn = members(idxs(i)).min
-        if (!compMin.containsKey(r) || mn < compMin.get(r)) compMin.put(r, mn)
-        i += 1
-      }
-      i = 0
-      while (i < m) {
-        val root = compMin.get(find(i))
-        members(idxs(i)).foreach(id => if (id != root) out += ((root, id)))
         i += 1
       }
     }
@@ -1206,7 +1201,20 @@ object Dedup {
     }
 
     rec(Array.tabulate(n)(identity), bandMask, 0)
-    out.iterator
+    // one star per nontrivial bucket-level component, rooted at the
+    // component's min member id — identical to the unguarded kernel
+    val compMin = new java.util.HashMap[Int, Long]()
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      val mn = members(i).min
+      if (!compMin.containsKey(r) || mn < compMin.get(r)) compMin.put(r, mn)
+      i += 1
+    }
+    (0 until n).iterator.flatMap { k =>
+      val root = compMin.get(find(k))
+      members(k).iterator.filter(_ != root).map(id => (root, id))
+    }
   }
 
   /** Linear-output near-dup ASSIGNMENT: each document gets at most one

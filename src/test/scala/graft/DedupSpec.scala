@@ -367,6 +367,15 @@ class DedupSpec extends SparkSpec {
       s"recursion diverged from brute force (${got.size} vs ${expected.size} labeled)")
     // and the two cliques really are separate components
     assert(expected.values.toSet.size === 2)
+    // the EDGE SET itself must be the canonical one-star-per-component
+    // form the d5 oracle states (root = component min, one edge per
+    // other member) — not per-subgroup stars (sf0.1 oracle regression:
+    // a component spanning recursion subgroups emitted extra stars)
+    val canonical = expected.groupBy(_._2).iterator.flatMap { case (root, ms) =>
+      ms.keys.filter(_ != root).map(m => (root, m))
+    }.toSet
+    assert(stars.toSet === canonical,
+      s"star edges not canonical: extra ${stars.toSet.diff(canonical)}")
   }
 
   test("LSH cluster summary equals components over the full verified pair set") {
