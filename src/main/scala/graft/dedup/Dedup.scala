@@ -429,12 +429,19 @@ object Dedup {
     * (measured 9.1 s -> 4.3 s at the 50k-doc stress scale). No-op, and
     * no shuffle, when the scan already carries enough splits — the
     * corpus-scale case, where a blind repartition would be a full
-    * shuffle of the text column.
+    * shuffle of the text column — AND below a 16 MB size estimate
+    * (the [[graft.sim.Similarity.parallelized]] gate, ADVICE r12): on
+    * a corpus that small the serial kernel pass is cheaper than the
+    * exchange plus the per-stage task overhead the extra partitions
+    * add to every downstream stage.
     */
   private def parallelized(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (bytes >= (1L << 24) && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** The shared near-dup base relation: (id, sh: array<string>,
@@ -596,6 +603,14 @@ object Dedup {
     val labels: DataFrame = closeComponents(forest, maxIter, sweep,
         edgeGate, Some(nEdges))
       .select(col("id").as("rid"), col("label"))
+    // labels is materialized on BOTH closure paths (driver union-find
+    // broadcast below the gate; checkpoint-backed sweeps above), so the
+    // forest cache is dead here — free it instead of letting one cached
+    // edge table per invocation accrete for the session (ADVICE r12).
+    // `groups`/`sets` still back the returned lazy plan: callers own
+    // those lifetimes (the signedSets convention — Verify/Bench clear
+    // per query, pipelines own clearCache).
+    forest.unpersist()
     // stage 5: weighted summary — copy groups count with their
     // multiplicity; reps with no verified partner and a single copy
     // are singletons and emit nothing (the pair report's silence).
@@ -631,7 +646,7 @@ object Dedup {
     */
   private[graft] def closeComponents(pairs: DataFrame, maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local,
-      edgeGate: Long = 1L << 24, knownCount: Option[Long] = None): DataFrame = {
+      edgeGate: Long = 1L << 22, knownCount: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(col("d1").cast("long").as("d1"),
@@ -640,8 +655,15 @@ object Dedup {
     val n = knownCount.getOrElse(counted.count())
     val out =
       if (n <= edgeGate) {
-        val edges = counted.collect().map(r => (r.getLong(0), r.getLong(1)))
-        broadcast(driverComponentLabels(edges).toSeq.toDF("id", "label"))
+        // specialized Tuple2[Long, Long] collect (primitive fields) +
+        // the open-addressed union-find below: the transient driver
+        // footprint is ~4 primitive arrays over <= 2n nodes, not a
+        // boxed java HashMap over tens of millions of entries
+        // (ADVICE r12; the gate default also drops 1<<24 -> 1<<22 —
+        // every measured star forest is orders of magnitude under it)
+        val edges = counted.as[(Long, Long)].collect()
+        broadcast(spark.createDataset(driverComponentLabels(edges))
+          .toDF("id", "label"))
       } else {
         log.warn(s"closeComponents: $n edges exceed edgeGate=$edgeGate " +
           "— using distributed sweeps")
@@ -660,19 +682,41 @@ object Dedup {
     * costs exceed the whole computation at this size.
     */
   private[graft] def driverComponentLabels(
-      edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val idx = new java.util.HashMap[java.lang.Long, Integer]()
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    // open-addressed long -> slot index (linear probing, power-of-two
+    // capacity, load <= 0.5): nodes <= 2 * edges, so the whole
+    // structure is four primitive arrays — no boxing, no per-entry
+    // object headers (ADVICE r12: the boxed HashMap form was a
+    // multi-GB transient near the edge gate)
+    val maxNodes = math.max(2 * edges.length, 1)
+    var cap = 4
+    while (cap < 2 * maxNodes) cap <<= 1
+    val keys = new Array[Long](cap)
+    val slotOf = new Array[Int](cap) // -1 = empty
+    java.util.Arrays.fill(slotOf, -1)
+    val ids = new Array[Long](maxNodes)
+    val parent = new Array[Int](maxNodes)
+    var nNodes = 0
+    val mask = cap - 1
     def node(v: Long): Int = {
-      val j = idx.get(java.lang.Long.valueOf(v))
-      if (j != null) j.intValue()
-      else {
-        ids += v
-        parent += parent.length
-        idx.put(java.lang.Long.valueOf(v), Integer.valueOf(ids.length - 1))
-        ids.length - 1
+      // finalizer mix so sequential ids spread across the table
+      var h = (v ^ (v >>> 33)) * 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      var i = (h & mask).toInt
+      while (true) {
+        val s = slotOf(i)
+        if (s == -1) {
+          keys(i) = v
+          slotOf(i) = nNodes
+          ids(nNodes) = v
+          parent(nNodes) = nNodes
+          nNodes += 1
+          return nNodes - 1
+        }
+        if (keys(i) == v) return s
+        i = (i + 1) & mask
       }
+      -1 // unreachable
     }
     def find(x: Int): Int = {
       var r = x
@@ -685,18 +729,15 @@ object Dedup {
       val ra = find(node(a)); val rb = find(node(b))
       if (ra != rb) parent(rb) = ra
     }
-    // min id per component root
-    val rootMin = new java.util.HashMap[Integer, java.lang.Long]()
+    // min id per component root (slot-indexed primitive array)
+    val rootMin = Array.fill(nNodes)(Long.MaxValue)
     var i = 0
-    while (i < ids.length) {
-      val r = Integer.valueOf(find(i))
-      val m = rootMin.get(r)
-      if (m == null || ids(i) < m.longValue()) rootMin.put(r, ids(i))
+    while (i < nNodes) {
+      val r = find(i)
+      if (ids(i) < rootMin(r)) rootMin(r) = ids(i)
       i += 1
     }
-    (0 until ids.length).map { k =>
-      ids(k) -> rootMin.get(Integer.valueOf(find(k))).longValue()
-    }.toMap
+    Array.tabulate(nNodes)(k => ids(k) -> rootMin(find(k)))
   }
 
   /** Per-bucket star forest over the LSH band buckets of a

@@ -830,7 +830,7 @@ object PipelineQueries extends QueryPack {
     // d18: the MOSS overlap report over winnowed fingerprints — the
     // g/n/p/small CTEs are t5's fingerprint reconstruction verbatim
     // (61-bit Mersenne rolling hash in HUGEINT, rightmost-min winnow),
-    // extended to the per-doc DISTINCT fingerprint set, the maxDf=64
+    // extended to the per-doc DISTINCT fingerprint set, the maxDf=32
     // boilerplate prune, and the shared-count pair join.
     "d18_winnow_overlap" ->
       """WITH g AS (
@@ -899,38 +899,24 @@ object PipelineQueries extends QueryPack {
          |FROM m WHERE id <> root
          |ORDER BY d1, d2""".stripMargin,
     "d6_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cell, e.v,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
-        |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
-        |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
-        |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
-        |SELECT a.vec_id AS d1, b.vec_id AS d2,
-        |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
-        |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${cellAssignCtes("e")},
+         |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
     // d13: d6's pair CTEs + the d9-style reachability closure (min
     // reachable id per node); the left join restores unpaired and
     // zero-norm vectors as their own cluster.
     "d13_semantic_dedup" ->
-      """WITH RECURSIVE
-        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, v AS cv FROM e0 WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e0.vec_id, c.cell, e0.v,
-        |           row_number() OVER (PARTITION BY e0.vec_id ORDER BY
-        |             (list_dot_product(e0.v, e0.v) + list_dot_product(c.cv, c.cv)
-        |              - 2.0 * list_dot_product(e0.v, c.cv)) ASC, c.cell ASC) AS rn
-        |    FROM e0 CROSS JOIN cent c) WHERE rn = 1),
-        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
-        |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0),
+      s"""WITH RECURSIVE
+         |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${cellAssignCtes("e0")},
+         |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0),
         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2
         |      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |      WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4),
@@ -1077,34 +1063,28 @@ object PipelineQueries extends QueryPack {
     // the same dot-product identities and (distance, cell) tie-break;
     // per-query top-k as row_number over (cos DESC, vec_id ASC).
     "s5_knn_batch" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e
-        |      WHERE vec_id % 50 = 0 AND list_dot_product(v, v) > 0),
-        |asg AS (
-        |  SELECT vec_id, cell, v FROM (
-        |    SELECT e.vec_id, c.cell, e.v,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv)
-        |              - 2.0 * list_dot_product(e.v, c.cv)) ASC, c.cell ASC) AS rn
-        |    FROM e CROSS JOIN cent c)
-        |  WHERE rn = 1 AND list_dot_product(v, v) > 0),
-        |qc AS (
-        |  SELECT qid, qv, cell FROM (
-        |    SELECT q.qid, q.qv, c.cell,
-        |           row_number() OVER (PARTITION BY q.qid ORDER BY
-        |             (list_dot_product(c.cv, c.cv) + list_dot_product(q.qv, q.qv)
-        |              - 2.0 * list_dot_product(c.cv, q.qv)) ASC, c.cell ASC) AS rn
-        |    FROM q CROSS JOIN cent c) WHERE rn <= 2),
-        |cand AS (
-        |  SELECT qc.qid AS query_id, a.vec_id, a.cell,
-        |         list_dot_product(a.v, qc.qv) /
-        |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cos
-        |  FROM asg a JOIN qc ON a.cell = qc.cell AND a.vec_id <> qc.qid)
-        |SELECT query_id, vec_id, cell, cos FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) WHERE rk <= 5
-        |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${cellAssignCtes("e")},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e
+         |      WHERE vec_id % 50 = 0 AND list_dot_product(v, v) > 0),
+         |asgn AS (SELECT vec_id, cell, v FROM asg
+         |         WHERE list_dot_product(v, v) > 0),
+         |qc AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT q.qid, q.qv, c.cell,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             (list_dot_product(c.cv, c.cv) + list_dot_product(q.qv, q.qv)
+         |              - 2.0 * list_dot_product(c.cv, q.qv)) ASC, c.cell ASC) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT qc.qid AS query_id, a.vec_id, a.cell,
+         |         list_dot_product(a.v, qc.qv) /
+         |           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cos
+         |  FROM asgn a JOIN qc ON a.cell = qc.cell AND a.vec_id <> qc.qid)
+         |SELECT query_id, vec_id, cell, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, vec_id ASC) AS rk FROM cand) WHERE rk <= 5
+         |ORDER BY query_id, cos DESC, vec_id""".stripMargin,
     // s6: batched SRP mirror — the engine's Hamming-ball bucket
     // expansion is set-equivalent to the direct bit_count(xor) <= r
     // predicate (each corpus bucket matches exactly one mask), so the
@@ -1161,7 +1141,7 @@ object PipelineQueries extends QueryPack {
     "s7_kmeans_cells" -> s7KmeansSql(8, 3),
     "s8_pq_adc" -> s8PqSql(4, 8, 2, 10),
     "s9_pq_rerank" -> s9PqRerankSql(4, 8, 2, 10, 30),
-    "s10_ivfpq_batch" -> s10IvfPqSql(4, 8, 2, 5, 8, 2),
+    "s10_ivfpq_batch" -> s10IvfPqSql(4, 8, 2, 5, 2),
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -1890,6 +1870,54 @@ object PipelineQueries extends QueryPack {
        |    GROUP BY 1, 2)
        |  GROUP BY 1)""".stripMargin
 
+  /** The shared IVF cell-assignment WITH-chain fragment — mirrors
+    * [[graft.sim.Similarity.assignCells]] with the cell count DERIVED
+    * exactly the way `autoCells` derives it (`greatest(8, count //
+    * divisor)`, one formula in both engines — ADVICE r12: hardcoded
+    * 8-cell oracles deterministically failed once the corpus exceeded
+    * 8 x 4096 vectors), including the TWO-LEVEL coarse-quantizer
+    * route above the gate. At or below the gate, nsuper = k and the
+    * chain reduces exactly to the single-level argmin (the routing
+    * argmin is the global argmin under the same (distance, id)
+    * tie-break, and the winning super's member set always contains
+    * the winner — see assignCells' equivalence note), so the oracle
+    * scales stay on the pinned structure.
+    *
+    * Emits CTEs `nc0/nc/cent/sup/ctag/rt/asg`, with
+    * `asg(vec_id, cell, v)` and `cent(cell, cv)`, reading vectors
+    * from CTE `src`(vec_id, v).
+    */
+  private def cellAssignCtes(src: String): String = {
+    val div = graft.sim.Similarity.cellDivisor
+    val gate = graft.sim.Similarity.TwoLevelGate
+    s"""nc0 AS (SELECT greatest(8, count(*) // $div) AS k FROM $src),
+       |nc AS (SELECT k, CASE WHEN k > $gate
+       |         THEN CAST(ceil(sqrt(k)) AS BIGINT) ELSE k END AS ns FROM nc0),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM $src, nc WHERE vec_id < nc.k),
+       |sup AS (SELECT cell AS sup, cv AS scv FROM cent, nc WHERE cell < nc.ns),
+       |ctag AS (
+       |  SELECT cell, cv, sup FROM (
+       |    SELECT c.cell, c.cv, s.sup,
+       |           row_number() OVER (PARTITION BY c.cell ORDER BY
+       |             (list_dot_product(c.cv, c.cv) + list_dot_product(s.scv, s.scv)
+       |              - 2.0 * list_dot_product(c.cv, s.scv)) ASC, s.sup ASC) AS rn
+       |    FROM cent c CROSS JOIN sup s) WHERE rn = 1),
+       |rt AS (
+       |  SELECT vec_id, v, sup FROM (
+       |    SELECT t.vec_id, t.v, s.sup,
+       |           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |             (list_dot_product(t.v, t.v) + list_dot_product(s.scv, s.scv)
+       |              - 2.0 * list_dot_product(t.v, s.scv)) ASC, s.sup ASC) AS rn
+       |    FROM $src t CROSS JOIN sup s) WHERE rn = 1),
+       |asg AS (
+       |  SELECT vec_id, cell, v FROM (
+       |    SELECT r.vec_id, c.cell, r.v,
+       |           row_number() OVER (PARTITION BY r.vec_id ORDER BY
+       |             (list_dot_product(r.v, r.v) + list_dot_product(c.cv, c.cv)
+       |              - 2.0 * list_dot_product(r.v, c.cv)) ASC, c.cell ASC) AS rn
+       |    FROM rt r JOIN ctag c ON c.sup = r.sup) WHERE rn = 1)""".stripMargin
+  }
+
   private def simhashSql(): String =
     """SELECT doc_id, lang,
       |       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
@@ -1958,21 +1986,18 @@ object PipelineQueries extends QueryPack {
        |       GROUP BY 1)""".stripMargin
 
   /** s10 oracle: [[pqTrainCtes]]'s codebooks/encodings + the raw-vector
-    * IVF routing (the d6 cell CTEs, nprobe-ranked per query) + a
-    * per-query ADC distance table; candidates are the probed cells'
-    * members, scored by the sub-ordered fold and ranked per query.
+    * IVF routing (the shared [[cellAssignCtes]] fragment — derived
+    * cell count, two-level above the gate — nprobe-ranked per query)
+    * + a per-query ADC distance table; candidates are the probed
+    * cells' members, scored by the sub-ordered fold and ranked per
+    * query.
     */
   private def s10IvfPqSql(nsub: Int, kcent: Int, iters: Int, k: Int,
-      ncells: Int, nprobe: Int): String =
+      nprobe: Int): String =
     s"""${pqTrainCtes(nsub, kcent, iters)},
-       |icent AS (SELECT vec_id AS icell, v AS icv FROM e WHERE vec_id < $ncells),
-       |iasg AS (
-       |  SELECT vec_id, icell FROM (
-       |    SELECT e.vec_id, c.icell,
-       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |             (list_dot_product(e.v, e.v) + list_dot_product(c.icv, c.icv)
-       |              - 2.0 * list_dot_product(e.v, c.icv)) ASC, c.icell ASC) AS rn
-       |    FROM e CROSS JOIN icent c) WHERE rn = 1),
+       |${cellAssignCtes("e")},
+       |icent AS (SELECT cell AS icell, cv AS icv FROM cent),
+       |iasg AS (SELECT vec_id, cell AS icell FROM asg),
        |qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
        |qprobe AS (
        |  SELECT qid, icell FROM (

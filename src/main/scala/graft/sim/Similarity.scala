@@ -75,6 +75,16 @@ object Similarity {
     else df
   }
 
+  /** Per-cell occupancy target for [[autoCells]]. The env override is
+    * a TEST-ONLY knob (`GRAFT_CELL_DIVISOR`): shrinking it at a tiny
+    * scale factor pushes the derived cell count over [[TwoLevelGate]],
+    * so the two-level assignment path can be exercised end-to-end
+    * against the DuckDB oracle without generating a 300k-vector
+    * corpus. Production and the driver's gate never set it.
+    */
+  private[graft] val cellDivisor: Long =
+    sys.env.get("GRAFT_CELL_DIVISOR").map(_.toLong).getOrElse(4096L)
+
   /** AUTO cell count for the IVF family: sized from the corpus so
     * per-cell occupancy stays near a fixed target (~4096 vectors),
     * the IVF property every batched operator's scale story rests on.
@@ -87,29 +97,91 @@ object Similarity {
     * on the pinned 8-cell structure the DuckDB oracles encode.
     */
   def autoCells(emb: DataFrame, idCol: String): Int =
-    math.max(8, (emb.select(col(idCol)).count() / 4096L).toInt)
+    math.max(8, (emb.select(col(idCol)).count() / cellDivisor).toInt)
+
+  /** Cell-count gate above which [[assignCells]] routes through the
+    * two-level coarse quantizer. At or below it the single-level
+    * argmin runs — the plan (and result, see the equivalence note on
+    * [[assignCells]]) the oracle scales have always pinned.
+    */
+  private[graft] val TwoLevelGate = 64
 
   /** Cell assignment: argmin squared-L2 centroid per vector (ties break
     * to the lowest cell id). Reusable across queries. min_by under a
     * groupBy rather than a window sort — partial-aggregatable map-side,
     * so at scale the only wide exchange is one hash aggregate over the
     * vector ids.
+    *
+    * Above [[TwoLevelGate]] cells, assignment is TWO-LEVEL (the IVF
+    * coarse-quantizer tree — SCALE_r12's named next bottleneck: flat
+    * assignment is N x ncells = N x N/4096 distances, quadratic per
+    * data decade once autoCells scales the cell count):
+    * ceil(sqrt(ncells)) SUPER-centroids (the centroids with cell <
+    * nsuper — the same first-k convention as the centroids
+    * themselves); each centroid is tagged with its nearest super
+    * (argmin sqDist, ties to the lowest super id — an ncells x nsuper
+    * pass, negligible); each vector routes to its nearest super and
+    * refines among that super's member centroids only — N x (nsuper +
+    * ~sqrt(ncells)) distances, i.e. N^1.5 per decade instead of N^2.
+    * The refinement is an EQUI-join on the super key, so when the
+    * tagged centroid table itself outgrows a broadcast (corpora
+    * beyond ~25B vectors) it degrades to a shuffle join without a
+    * plan rewrite.
+    *
+    * Exactness/consistency: the two-level result is a deterministic
+    * function mirrored term-for-term by the DuckDB oracles (same
+    * distance identity, same tie-breaks). With nsuper = ncells the
+    * two-level formula reduces EXACTLY to the single-level argmin
+    * (the routing argmin is the global argmin with the same
+    * tie-break, and the winning super's member set always contains
+    * that winner: a lower-id duplicate centroid would have won the
+    * routing too), which is why the gate can switch plans without a
+    * result seam at the boundary.
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int): DataFrame = {
     val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // centroid seed from the NARROW scan (an id-pushed filter over a
-    // handful of rows); only the corpus side of the n x ncells
-    // distance pass is spread across cores
+    // handful of rows); only the corpus side of the distance passes
+    // is spread across cores
     val cent = e0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
     val e = parallelized(e0)
-    e.join(broadcast(cent))
-      .withColumn("d", Vec.sqDist(col("v"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        min_by(struct(col("cell"), col("v")), struct(col("d"), col("cell"))).as("m"))
-      .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
+    if (ncells <= TwoLevelGate) {
+      e.join(broadcast(cent))
+        .withColumn("d", Vec.sqDist(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(
+          min_by(struct(col("cell"), col("v")), struct(col("d"), col("cell"))).as("m"))
+        .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
+    } else {
+      val nsuper = math.ceil(math.sqrt(ncells.toDouble)).toInt
+      val sup = cent.filter(col("cell") < nsuper)
+        .select(col("cell").as("sup"), col("cv").as("scv"))
+      // centroid -> super tag: ncells rows x nsuper supers, one
+      // broadcast join + partial-aggregatable min_by
+      val ctag = cent.join(broadcast(sup))
+        .withColumn("d", Vec.sqDist(col("cv"), col("scv")))
+        .groupBy(col("cell"))
+        .agg(min_by(struct(col("sup"), col("cv")),
+          struct(col("d"), col("sup"))).as("m"))
+        .select(col("m.sup").as("sup"), col("cell"), col("m.cv").as("cv"))
+      // vector -> super route (N x nsuper distances)
+      val routed = e.join(broadcast(sup))
+        .withColumn("d", Vec.sqDist(col("v"), col("scv")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("sup"), col("v")),
+          struct(col("d"), col("sup"))).as("m"))
+        .select(col("id"), col("m.sup").as("sup"), col("m.v").as("v"))
+      // refine within the routed super's members only (equi-join on
+      // the super key — broadcastable here, shuffle-joinable beyond)
+      routed.join(broadcast(ctag), "sup")
+        .withColumn("d", Vec.sqDist(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cell"), col("v")),
+          struct(col("d"), col("cell"))).as("m"))
+        .select(col("id"), col("m.cell").as("cell"), col("m.v").as("v"))
+    }
   }
 
   /** Lloyd-trained IVF cell assignment over int8 CODES — real IVF

@@ -107,6 +107,14 @@ object Winnow {
     * statement stays self-consistent. Output is pair-level — bounded
     * by real overlap density, a diagnostic like d2/d14 at viral
     * densities (SCALE_r12).
+    *
+    * Cache lifecycle: the pruned fingerprint table is cached (three
+    * consumers in the returned lazy plan — both join sides and the
+    * size table), and CALLERS own its lifetime, the [[graft.dedup
+    * .Dedup.signedSets]] convention: Verify/Bench clear the cache per
+    * query; long-lived sessions should `spark.sharedState.cacheManager
+    * .clearCache()` (or uncache selectively) once the result is
+    * materialized.
     */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,

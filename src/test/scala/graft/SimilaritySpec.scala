@@ -87,6 +87,49 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.select("id").distinct().count() === emb.count())
   }
 
+  test("two-level assignment above the gate matches the routed brute-force formula") {
+    import org.apache.spark.sql.functions.col
+    val ncells = 80 // > TwoLevelGate=64 -> the two-level path
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    // the engine's IEEE sequence: sequential left-fold dot products,
+    // |a|^2 + |b|^2 - 2ab
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def sqd(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    def argmin(v: Array[Double], among: Seq[(Long, Array[Double])]): Long =
+      among.map { case (id, c) => (sqd(v, c), id) }
+        .minBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering,
+          Ordering.Long))._2
+    val cent = vecs.filter(_._1 < ncells).toSeq
+    val nsuper = math.ceil(math.sqrt(ncells.toDouble)).toInt
+    val sup = cent.filter(_._1 < nsuper)
+    val ctag = cent.map { case (cell, cv) => cell -> argmin(cv, sup) }.toMap
+    val expected = vecs.map { case (id, v) =>
+      val s = argmin(v, sup)
+      val members = cent.filter { case (cell, _) => ctag(cell) == s }
+      id -> argmin(v, members)
+    }.toMap
+    val got = Similarity.assignCells(emb, "vec_id", "embedding", ncells)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === vecs.length)
+    assert(got === expected)
+    // the two-level result is a real routing (not the flat argmin):
+    // at least one vector must land off its globally-nearest centroid,
+    // or this test would pass vacuously against a flat implementation
+    val flat = vecs.map { case (id, v) => id -> argmin(v, cent) }.toMap
+    assert(vecs.exists { case (id, _) => got(id) != flat(id) },
+      "expected the routed assignment to differ from flat argmin somewhere")
+  }
+
   test("batched ANN: a corpus-sized query table takes the sort-merge path, identical output") {
     import org.apache.spark.sql.functions.col
     // the whole corpus as the query table — the corpus-coupled shape
