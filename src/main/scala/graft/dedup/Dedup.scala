@@ -63,6 +63,20 @@ final class ConvergenceException(val sweeps: Int, msg: String,
     val resumeDir: Option[String] = None)
   extends RuntimeException(msg)
 
+/** Thrown by the exact pair-report family ([[Dedup.ngramJaccardPairs]],
+  * [[Dedup.containmentPairs]] and their degree forms) when the
+  * pre-flight candidate-volume estimate exceeds the caller's
+  * `maxCandidatePairs` bound — the clean refusal that replaces a
+  * disk-full abort at viral duplicate density (SCALE_r12: the exact
+  * pair GRAPH grows with the SQUARE of duplicate-family sizes, so any
+  * statement that materializes candidate pairs with their shingle
+  * arrays is intermediate-volume-bound by construction). The message
+  * names the scale-safe statements; callers that accept the cost
+  * raise the bound explicitly.
+  */
+final class PairVolumeException(val estimatedPairs: Long,
+    val bound: Long, msg: String) extends RuntimeException(msg)
+
 /** Corpus deduplication operators for training-data pipelines: exact
   * (hash groupBy), n-gram Jaccard (shared-shingle blocked self-join),
   * MinHash+LSH (shingle -> minhash signature -> band bucket join ->
@@ -181,10 +195,62 @@ object Dedup {
     *    bound, so it filtered nothing.)
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      maxCandidatePairs: Long = 1L << 28): DataFrame = {
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds frequency ranking, candidate join, and verification
-    ngramJaccardCore(sets, threshold)
+    ngramJaccardCore(sets, threshold, pairGuard(df, idCol, textCol),
+      maxCandidatePairs)
+  }
+
+  /** Whether the pair-report pre-flight machinery engages: the
+    * candidate-volume estimate job and the shuffled-hash verification
+    * build both only pay off above a corpus-size floor, and below it
+    * the estimate job would tax every oracle/bench-scale invocation
+    * while the planner's broadcast verification is already optimal.
+    * Gated on the SCAN-derived size of the two input columns (the
+    * post-kernel set table's estimate passes through a UDF project
+    * and is unreliable).
+    */
+  private def pairGuard(df: DataFrame, idCol: String,
+      textCol: String): Boolean =
+    !df.isStreaming &&
+      df.select(col(idCol), col(textCol))
+        .queryExecution.optimizedPlan.stats.sizeInBytes >= (1L << 25)
+
+  /** Pre-flight candidate-volume refusal (VERDICT r12 #2): an upper
+    * bound of the candidate join's output from per-gram group sizes —
+    * sum over g of C(pc(g), 2) for the self-join form, sum of
+    * pc(g) * ec(g) for the one-sided containment form — one cheap
+    * aggregate over tables the operator builds anyway, run BEFORE any
+    * pair is materialized. Above `bound`, throw
+    * [[PairVolumeException]] naming the scale-safe statements instead
+    * of letting the verification joins spill the disk full.
+    */
+  private[graft] def refuseIfViral(pref: DataFrame, ex: Option[DataFrame],
+      bound: Long, op: String): Unit = {
+    val pc = pref.groupBy(col("g")).agg(count(lit(1)).as("pc"))
+    val est = ex match {
+      case None =>
+        // SQL `/` is true division; halve the long sum driver-side
+        pc.agg(coalesce(sum(col("pc") * (col("pc") - 1)), lit(0L)))
+          .head().getLong(0) / 2
+      case Some(e) =>
+        pc.join(e.groupBy(col("g")).agg(count(lit(1)).as("ec")), "g")
+          .agg(coalesce(sum(col("pc") * col("ec")), lit(0L)))
+          .head().getLong(0)
+    }
+    if (est > bound)
+      throw new PairVolumeException(est, bound,
+        s"$op: estimated candidate pair volume ~$est exceeds " +
+          s"maxCandidatePairs=$bound — the exact pair statement is " +
+          "intermediate-volume-bound at this duplicate density (the " +
+          "pair graph grows with the square of family sizes). " +
+          "Scale-safe statements: minhashLshClusterSummary (per-cluster " +
+          "summary), dedupPipeline/incrementalDedup (survivors + " +
+          "closure), minhashLshTopK / Winnow.overlapTopK (bounded " +
+          "per-doc top-k reports). Raise maxCandidatePairs to force " +
+          "this run anyway.")
   }
 
   /** The (id, sh: sorted array<long>, nsh) base relation of the
@@ -231,9 +297,13 @@ object Dedup {
     * relation — shared with [[nearDupPairs]], where `sets` derives from
     * one [[shingleSets]] materialization instead of a private cache.
     */
-  private def ngramJaccardCore(sets: DataFrame, threshold: Double): DataFrame = {
+  private def ngramJaccardCore(sets: DataFrame, threshold: Double,
+      guard: Boolean = false,
+      maxCandidatePairs: Long = Long.MaxValue): DataFrame = {
     val pref = rarityPrefix(sets, threshold)._2
       .cache() // both sides of the candidate self-join
+    if (guard && maxCandidatePairs < Long.MaxValue)
+      refuseIfViral(pref, None, maxCandidatePairs, "ngramJaccardPairs")
     // inside the join: size-compatibility (jac >= t forces
     // min size >= t * max size) and the positional overlap upper bound
     val minOverlap = (col("a.nsh") + col("b.nsh")) * (threshold / (1.0 + threshold))
@@ -245,23 +315,34 @@ object Dedup {
             minOverlap)
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(first(col("a.nsh")).as("n1"), first(col("b.nsh")).as("n2"))
-    verifyJaccardHashed(cand, sets, threshold)
+    verifyJaccardHashed(cand, sets, threshold, guard)
   }
 
   /** Exact-Jaccard verification over SORTED hashed shingle sets
     * (linear-merge intersection; candidate rows already carry both set
-    * sizes, so the two set joins fetch only the long arrays).
+    * sizes, so the two set joins fetch only the long arrays). Above
+    * the [[pairGuard]] floor the bounded SETS side is pinned as a
+    * shuffled-hash BUILD: the default sort-merge would SORT the
+    * streamed side — the unbounded candidate-pair stream, arrays
+    * attached on the second hop — which is the sf10 sort-spill
+    * failure mode; the hash build sorts nothing and streams the pair
+    * side through. Below the floor no hint is applied and the
+    * planner's broadcast join stands (no exchange of the pair stream
+    * at all).
     */
   private def verifyJaccardHashed(cand: DataFrame, sets: DataFrame,
-      threshold: Double): DataFrame =
+      threshold: Double, hashBuild: Boolean = false): DataFrame = {
+    def build(s: DataFrame): DataFrame =
+      if (hashBuild) s.hint("shuffle_hash") else s
     cand
-      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(build(sets.select(col("id").as("d1"), col("sh").as("sh1"))), "d1")
+      .join(build(sets.select(col("id").as("d2"), col("sh").as("sh2"))), "d2")
       .withColumn("inter",
         org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+  }
 
   /** All ordered pairs with n-gram CONTAINMENT
     * `|S(d1) ∩ S(d2)| / |S(d1)| >= threshold` — the ASYMMETRIC near-dup
@@ -289,12 +370,18 @@ object Dedup {
     * independently when both qualify.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame = {
+      threshold: Double, n: Int = 3,
+      maxCandidatePairs: Long = 1L << 28): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
+    val guard = pairGuard(df, idCol, textCol)
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds ranking, the index side, and verification
     val (ex, pref) = rarityPrefix(sets, threshold)
+    if (guard && maxCandidatePairs < Long.MaxValue)
+      refuseIfViral(pref, Some(ex), maxCandidatePairs, "containmentPairs")
+    def build(s: DataFrame): DataFrame =
+      if (guard) s.hint("shuffle_hash") else s
     val cand = pref.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.id") =!= col("b.id") &&
           col("b.nsh") >= col("a.nsh") * threshold &&
@@ -302,8 +389,8 @@ object Dedup {
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(first(col("a.nsh")).as("n1"))
     cand
-      .join(sets.select(col("id").as("d1"), col("sh").as("sh1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("sh").as("sh2")), "d2")
+      .join(build(sets.select(col("id").as("d1"), col("sh").as("sh1"))), "d1")
+      .join(build(sets.select(col("id").as("d2"), col("sh").as("sh2"))), "d2")
       .withColumn("inter",
         org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
       .withColumn("containment", col("inter").cast("double") / col("n1"))
@@ -901,8 +988,9 @@ object Dedup {
     * join is the cheaper candidate generator at equal threshold.
     */
   def containmentDegree(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame =
-    containmentPairs(df, idCol, textCol, threshold, n)
+      threshold: Double, n: Int = 3,
+      maxCandidatePairs: Long = 1L << 28): DataFrame =
+    containmentPairs(df, idCol, textCol, threshold, n, maxCandidatePairs)
       .groupBy(col("d1").as("doc_id"))
       .agg(count(lit(1)).as("n_containers"),
         max(col("containment")).as("max_containment"))
@@ -914,15 +1002,48 @@ object Dedup {
     * qualifying partner emit nothing (mirroring the pair report).
     */
   def ngramJaccardDegree(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3): DataFrame =
+      threshold: Double, n: Int = 3,
+      maxCandidatePairs: Long = 1L << 28): DataFrame =
     // symmetrize with a per-row explode, not a self-union: the union
     // form reads the verified join twice (or forces a cache)
-    ngramJaccardPairs(df, idCol, textCol, threshold, n)
+    ngramJaccardPairs(df, idCol, textCol, threshold, n, maxCandidatePairs)
       .select(explode(array(
         struct(col("d1").as("doc_id"), col("jac")),
         struct(col("d2").as("doc_id"), col("jac")))).as("e"))
       .groupBy(col("e.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_neighbors"), max(col("e.jac")).as("max_jac"))
+
+  /** Bounded-output near-dup REPORT — each doc's top-k verified
+    * partners by exact Jaccard over the MinHash-LSH candidate relation
+    * ([[minhashLshPairs]]' graph, symmetrized): the pair-level answer
+    * a user still gets at viral duplicate density, where the FULL pair
+    * report is refused ([[PairVolumeException]]) or dies by
+    * construction. Output is <= k rows per doc regardless of family
+    * sizes, and the ranking runs through the bounded per-group heap
+    * operator ([[org.apache.spark.sql.graft.TopKPerGroup]]) — one
+    * exchange of slim (doc, partner, jac) rows, no partition-sized
+    * sort buffer, nothing pair-volume shuffles after verification.
+    * The LSH front-end is why this completes where d2's exact prefix
+    * join cannot: band collisions at high thresholds prune
+    * sub-threshold candidates structurally (SCALE_r12: d3 25.9 s at
+    * sf10 where d2 aborted).
+    *
+    * Ordering is total per group — ties on jac break to the lower
+    * partner id (the TopKPerGroup tie discipline).
+    */
+  def minhashLshTopK(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int, numHashes: Int = 12,
+      rowsPerBand: Int = 3, n: Int = 3): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold,
+      numHashes, rowsPerBand, n)
+    val sym = pairs.select(explode(array(
+        struct(col("d1").as("doc_id"), col("d2").as("partner"), col("jac")),
+        struct(col("d2").as("doc_id"), col("d1").as("partner"), col("jac")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.partner").as("partner"),
+        col("e.jac").as("jac"))
+    org.apache.spark.sql.graft.TopKPerGroup(sym, k, Seq(col("doc_id")),
+      Seq(col("jac").desc, col("partner").asc))
+  }
 
   /** 60-bit SimHash of one text: majority vote per bit over token
     * hashes, token multiplicity counted; the token hash is the same

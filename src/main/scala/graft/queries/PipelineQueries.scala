@@ -76,6 +76,25 @@ object PipelineQueries extends QueryPack {
         minShared = 6, maxDf = 32)
       .orderBy("d1", "d2")
 
+  // d19: BOUNDED near-dup report — each doc's top-3 verified partners
+  // by exact Jaccard over d3's LSH candidate relation. The pair-level
+  // answer that stays <= k rows per doc at viral duplicate density,
+  // where the full pair reports (d2/d14) refuse via
+  // PairVolumeException; ranked through the TopKPerGroup bounded heap
+  // (no pair-volume sort after verification).
+  private def d19LshTopK(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshTopK(docs(s, dir), "doc_id", "text", 0.7, 3)
+      .orderBy("doc_id", "partner")
+
+  // d20: BOUNDED span-overlap report — each doc's top-3 winnow-overlap
+  // partners (d18's constants: minShared=6, maxDf=32), same TopKPerGroup
+  // bounded-heap ranking. Ties on (overlap, n_shared) break to the
+  // lower partner id.
+  private def d20OverlapTopK(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.overlapTopK(docs(s, dir), "doc_id", "text",
+        topK = 3, minShared = 6, maxDf = 32)
+      .orderBy("doc_id", "partner")
+
   private def d4Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text", Seq("lang"))
       .orderBy("doc_id")
@@ -639,6 +658,8 @@ object PipelineQueries extends QueryPack {
     "d16_containment_degree" -> (d16ContainmentDegree _),
     "d17_jaccard_degree" -> (d17JaccardDegree _),
     "d18_winnow_overlap" -> (d18WinnowOverlap _),
+    "d19_lsh_topk" -> (d19LshTopK _),
+    "d20_overlap_topk" -> (d20OverlapTopK _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -686,6 +707,76 @@ object PipelineQueries extends QueryPack {
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
       |  WHERE len(ts) >= 3),
       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)""".stripMargin
+
+  // The d3 verified-pair chain (shingles -> MD5 minhash signatures ->
+  // band buckets -> exact-Jaccard verification), ending in
+  // lshv(d1, d2, jac) — shared by d3 and its bounded top-k sibling d19.
+  private val LSH_PAIR_CTES =
+    s"""$SH_CTE,
+       |mh AS (
+       |  SELECT doc_id, sd.seed,
+       |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed // 2, ':', g)),
+       |             1 + 16 * (sd.seed % 2), 15)) AS BIGINT)) AS v
+       |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) sd
+       |  GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, bb.b,
+       |         md5(concat(sig[3*bb.b+1], ',', sig[3*bb.b+2], ',', sig[3*bb.b+3], ',', bb.b)) AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS i
+       |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.g = y.g
+       |  GROUP BY 1, 2),
+       |lshv AS (
+       |  SELECT d1, d2, CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) AS jac
+       |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |  WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7)""".stripMargin
+
+  // The d18 winnow-overlap pair chain (t5's fingerprint reconstruction
+  // — 61-bit Mersenne rolling hash in HUGEINT, rightmost-min winnow —
+  // per-doc DISTINCT fingerprint sets, the maxDf=32 boilerplate prune,
+  // the minShared=6 pair join), ending in wv(d1, d2, n_shared, overlap)
+  // — shared by d18 and its bounded top-k sibling d20.
+  private val WINNOW_PAIR_CTES =
+    """g AS (
+      |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+      |    CAST((((CAST(ord(substr(text, CAST(i.i AS INT), 1)) AS HUGEINT) * 257
+      |      + ord(substr(text, CAST(i.i + 1 AS INT), 1))) * 257
+      |      + ord(substr(text, CAST(i.i + 2 AS INT), 1))) * 257
+      |      + ord(substr(text, CAST(i.i + 3 AS INT), 1))) * 257
+      |      + ord(substr(text, CAST(i.i + 4 AS INT), 1)) AS BIGINT)
+      |      % 2305843009213693951 AS hash
+      |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) i
+      |  WHERE length(text) >= 5),
+      |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id, a.i AS win, b.hash, b.i AS j
+      |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
+      |  JOIN n ON n.doc_id = a.doc_id
+      |  WHERE a.i <= n.ng - 3
+      |  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.i
+      |                             ORDER BY b.hash ASC, b.i DESC) = 1),
+      |small AS (
+      |  SELECT g.doc_id, min(hash) AS min_fp
+      |  FROM g JOIN n ON n.doc_id = g.doc_id WHERE n.ng BETWEEN 1 AND 3 GROUP BY 1),
+      |fps AS (SELECT DISTINCT doc_id, hash FROM (
+      |  SELECT doc_id, hash FROM p
+      |  UNION ALL SELECT doc_id, min_fp AS hash FROM small) u),
+      |keep AS (SELECT hash FROM fps GROUP BY 1 HAVING count(*) <= 32),
+      |pf AS (SELECT f.doc_id, f.hash FROM fps f JOIN keep USING (hash)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM pf GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      |       FROM pf a JOIN pf b ON a.hash = b.hash AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 6),
+      |wv AS (
+      |  SELECT pr.d1, pr.d2, CAST(pr.n_shared AS BIGINT) AS n_shared,
+      |         CAST(pr.n_shared AS DOUBLE) / least(s1.n, s2.n) AS overlap
+      |  FROM pr JOIN sz s1 ON s1.doc_id = pr.d1
+      |  JOIN sz s2 ON s2.doc_id = pr.d2)""".stripMargin
 
   // Shared by d7 (gate/broadcast path) and d12 (bloom-pruned path):
   // both compute the same exact contamination report, so one oracle
@@ -739,29 +830,20 @@ object PipelineQueries extends QueryPack {
          |WHERE CAST(inter AS DOUBLE)/s1.nsh >= 0.7
          |ORDER BY d1, d2""".stripMargin,
     "d3_dedup_minhash_lsh" ->
-      s"""WITH $SH_CTE,
-         |mh AS (
-         |  SELECT doc_id, sd.seed,
-         |         MIN(CAST(concat('0x', substr(md5(concat(sd.seed // 2, ':', g)),
-         |             1 + 16 * (sd.seed % 2), 15)) AS BIGINT)) AS v
-         |  FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed) sd
-         |  GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, list(v ORDER BY seed) AS sig FROM mh GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, bb.b,
-         |         md5(concat(sig[3*bb.b+1], ',', sig[3*bb.b+2], ',', sig[3*bb.b+3], ',', bb.b)) AS key
-         |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.d1, c.d2, count(*) AS i
-         |  FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND x.g = y.g
-         |  GROUP BY 1, 2)
-         |SELECT d1, d2, CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) AS jac
-         |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         |WHERE CAST(i AS DOUBLE)/(s1.nsh + s2.nsh - i) >= 0.7
+      s"""WITH $LSH_PAIR_CTES
+         |SELECT d1, d2, jac FROM lshv
          |ORDER BY d1, d2""".stripMargin,
+    // d19: the d3 verified pair set symmetrized, top-3 per doc by
+    // (jac DESC, partner ASC) — the bounded sibling's oracle.
+    "d19_lsh_topk" ->
+      s"""WITH $LSH_PAIR_CTES,
+         |sym AS (SELECT d1 AS doc_id, d2 AS partner, jac FROM lshv
+         |        UNION ALL SELECT d2, d1, jac FROM lshv)
+         |SELECT doc_id, partner, jac FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jac DESC, partner ASC) AS rk FROM sym)
+         |WHERE rk <= 3
+         |ORDER BY doc_id, partner""".stripMargin,
     // d15: the closure of d3's verified pair set (recursive CTE, the
     // d9 pattern), then one summary row per component — the logical
     // statement of the bucket-forest engine (connectivity equivalence
@@ -833,41 +915,21 @@ object PipelineQueries extends QueryPack {
     // extended to the per-doc DISTINCT fingerprint set, the maxDf=32
     // boilerplate prune, and the shared-count pair join.
     "d18_winnow_overlap" ->
-      """WITH g AS (
-        |  SELECT doc_id, CAST(i.i AS BIGINT) AS i,
-        |    CAST((((CAST(ord(substr(text, CAST(i.i AS INT), 1)) AS HUGEINT) * 257
-        |      + ord(substr(text, CAST(i.i + 1 AS INT), 1))) * 257
-        |      + ord(substr(text, CAST(i.i + 2 AS INT), 1))) * 257
-        |      + ord(substr(text, CAST(i.i + 3 AS INT), 1))) * 257
-        |      + ord(substr(text, CAST(i.i + 4 AS INT), 1)) AS BIGINT)
-        |      % 2305843009213693951 AS hash
-        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) i
-        |  WHERE length(text) >= 5),
-        |n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
-        |p AS (
-        |  SELECT a.doc_id, a.i AS win, b.hash, b.i AS j
-        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i BETWEEN a.i AND a.i + 3
-        |  JOIN n ON n.doc_id = a.doc_id
-        |  WHERE a.i <= n.ng - 3
-        |  QUALIFY row_number() OVER (PARTITION BY a.doc_id, a.i
-        |                             ORDER BY b.hash ASC, b.i DESC) = 1),
-        |small AS (
-        |  SELECT g.doc_id, min(hash) AS min_fp
-        |  FROM g JOIN n ON n.doc_id = g.doc_id WHERE n.ng BETWEEN 1 AND 3 GROUP BY 1),
-        |fps AS (SELECT DISTINCT doc_id, hash FROM (
-        |  SELECT doc_id, hash FROM p
-        |  UNION ALL SELECT doc_id, min_fp AS hash FROM small) u),
-        |keep AS (SELECT hash FROM fps GROUP BY 1 HAVING count(*) <= 32),
-        |pf AS (SELECT f.doc_id, f.hash FROM fps f JOIN keep USING (hash)),
-        |sz AS (SELECT doc_id, count(*) AS n FROM pf GROUP BY 1),
-        |pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
-        |       FROM pf a JOIN pf b ON a.hash = b.hash AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2 HAVING count(*) >= 6)
-        |SELECT pr.d1, pr.d2, CAST(pr.n_shared AS BIGINT) AS n_shared,
-        |       CAST(pr.n_shared AS DOUBLE) / least(s1.n, s2.n) AS overlap
-        |FROM pr JOIN sz s1 ON s1.doc_id = pr.d1
-        |JOIN sz s2 ON s2.doc_id = pr.d2
-        |ORDER BY d1, d2""".stripMargin,
+      s"""WITH $WINNOW_PAIR_CTES
+         |SELECT d1, d2, n_shared, overlap FROM wv
+         |ORDER BY d1, d2""".stripMargin,
+    // d20: the d18 overlap pair set symmetrized, top-3 per doc by
+    // (overlap DESC, n_shared DESC, partner ASC) — the bounded
+    // sibling's oracle.
+    "d20_overlap_topk" ->
+      s"""WITH $WINNOW_PAIR_CTES,
+         |sym AS (SELECT d1 AS doc_id, d2 AS partner, n_shared, overlap FROM wv
+         |        UNION ALL SELECT d2, d1, n_shared, overlap FROM wv)
+         |SELECT doc_id, partner, n_shared, overlap FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY overlap DESC, n_shared DESC, partner ASC) AS rk FROM sym)
+         |WHERE rk <= 3
+         |ORDER BY doc_id, partner""".stripMargin,
     "d4_simhash" -> simhashSql(),
     // d5: bucket-local verified components as star edges. Mirrors the
     // engine's forest exactly: 5 bands x 12 bits (maxHamming=4), the

@@ -584,4 +584,67 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
   }
+
+  test("minhashLshTopK equals the ranked symmetrized pair report") {
+    val docs = Tables.t(spark, sf, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = pairs.flatMap { case (d1, d2, j) =>
+      Seq((d1, d2, j), (d2, d1, j))
+    }.groupBy(_._1).values.flatMap(es =>
+      es.sortBy(e => (-e._3, e._2)).take(3)).toSet
+    val got = Dedup.minhashLshTopK(docs, "doc_id", "text", 0.7, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
+  test("pair-volume pre-flight: estimate bounds candidates, refusal names alternates") {
+    import spark.implicits._
+    // a planted 6-copy family: every prefix gram of the family is
+    // shared 6 ways -> the self-join estimate must be >= the real
+    // candidate count C(6,2) = 15 and the containment estimate higher
+    val fam = (0 until 6).map(i => i.toLong -> "a b c d e f g h")
+    val docs = (fam :+ (99L -> "z y x w v u")).toDF("doc_id", "text")
+    // reach into the operator's own scaffolding for the estimate input
+    val sets = docs.select(col("doc_id").as("id"),
+        graft.dedup.Dedup.hashedShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val ex = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val pref = ex.join(freq, "g")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("cnt"), col("g"))))
+      .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * 0.5) + 1) &&
+        col("cnt") >= 2)
+      .select(col("id"), col("nsh"), col("g"), col("rn"))
+    // generous bound: no refusal
+    Dedup.refuseIfViral(pref, None, 1L << 20, "test")
+    // tight bound: refusal carries the estimate and names the alternates
+    val e = intercept[graft.dedup.PairVolumeException] {
+      Dedup.refuseIfViral(pref, None, 3L, "test")
+    }
+    assert(e.estimatedPairs >= 15L)
+    assert(e.getMessage.contains("minhashLshClusterSummary"))
+    assert(e.getMessage.contains("minhashLshTopK"))
+    val e2 = intercept[graft.dedup.PairVolumeException] {
+      Dedup.refuseIfViral(pref, Some(ex), 3L, "test")
+    }
+    assert(e2.estimatedPairs >= e.estimatedPairs)
+  }
+
+  test("raising maxCandidatePairs is the explicit escape hatch (results unchanged)") {
+    // oracle-scale corpora sit below the pairGuard size floor, so the
+    // default run never pays the estimate job; this pins that passing
+    // an explicit bound leaves results identical on the normal path
+    val docs = Tables.t(spark, sf, "documents")
+    val a = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5,
+        maxCandidatePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
 }

@@ -52,6 +52,33 @@ class WinnowFinkClassSpec extends SparkSpec {
     // would fail, so its absence also witnesses the df computation
   }
 
+  test("overlapTopK equals the ranked symmetrized overlap report") {
+    import spark.implicits._
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (0L, s"prefix text $span suffix one"),
+      (1L, s"other start $span different end"),
+      (2L, s"third host carrying $span inside it"),
+      (3L, s"fourth body with $span and extra words"),
+      (4L, "completely unrelated content with no overlap at all here"))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Winnow.overlapPairs(df, "doc_id", "text",
+        minShared = 2, maxDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = pairs.flatMap { case (d1, d2, ns, ov) =>
+      Seq((d1, d2, ns, ov), (d2, d1, ns, ov))
+    }.groupBy(_._1).values.flatMap(es =>
+      es.sortBy(e => (-e._4, -e._3, e._2)).take(2)).toSet
+    val got = Winnow.overlapTopK(df, "doc_id", "text", topK = 2,
+        minShared = 2, maxDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+    // the span-sharing docs each have 3 qualifying partners, so the
+    // top-2 cut must actually bind somewhere
+    assert(pairs.length * 2 > got.size, "cut never bound — weak test data")
+  }
+
   test("winnowing is deterministic and position-robust") {
     val t = "some document text for fingerprinting purposes"
     assert(Winnow.fingerprints(t).toSeq === Winnow.fingerprints(t).toSeq)
