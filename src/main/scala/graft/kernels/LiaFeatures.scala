@@ -71,6 +71,21 @@ package graft.kernels
   * layout and per-index liveness are artifact-confirmed; the
   * RECONSTRUCTED tier — now down to shannon_entropy(37) alone — is
   * why the operator still surfaces `mulens_features_approx`.
+  *
+  * TERMINAL (r13): the f37 adjudication is CLOSED at family
+  * precision. After the r7-r12 sweeps refuted every competing family
+  * (60+ parameterizations: histogram, CDF mass, surprisal ladders,
+  * double-CDF, outlier-gated, binary, Vasicek m-spacing, fixed-bin
+  * bit entropy, uniform/paired window mass, RMS scale), the r13
+  * closing sweep measured the anchors' remaining discriminating power
+  * WITHIN the adopted per-point Gaussian-surprisal family — and found
+  * none: every k/log-base/domain variant passes every binding anchor
+  * gate (LiaAnchorSpec "f37 TERMINAL"). rf.sav's thresholds and
+  * pca.sav's means cannot separate the remaining parameterizations,
+  * so value-level reconstruction is structurally unreachable offline;
+  * the adopted (mag, k=2, log2, per-point) form is final, and
+  * `mulens_features_approx` remains the honest surface. No further
+  * sweeps unless a new artifact ships.
   */
 object LiaFeatures {
 

@@ -76,6 +76,26 @@ object Rubin {
     * failed (amplitude == 0) get the -1.0 sentinel. The bundled
     * elasticc_rainbow pickle is CI-fetched and absent offline, so the
     * scorer defaults to the documented stand-in.
+    *
+    * Terminal status (r13, the SlsnFeatures.DefaultSalt adjudication):
+    * this is an ARTIFACT-DATA gap, not a machinery gap, and cannot be
+    * closed offline. The reference's
+    * `elasticc_rainbow_earlyIa_nometa.pkl` is a RandomForest trained
+    * on labeled ELaSTICC light curves (processor.py:231) — CI-fetched,
+    * absent from the checkout, and not reconstructible: training a
+    * substitute needs the labeled ELaSTICC alert corpus, which the
+    * container does not carry and zero egress cannot fetch; a
+    * synthetic-data forest would carry fabricated decision boundaries
+    * presented as a classifier, worse than an honest stand-in.
+    * Everything COMPUTED around the artifact is implemented and
+    * pinned: the rainbow feature kernel matches the reference's
+    * rising-cut/minimum-points gates exactly (RubinSpec), the
+    * sklearn-pickle -> [[graft.models.Scorer]] path is proven by the
+    * al-loop SNIa forest that IS bundled
+    * ([[graft.models.RefModels.alSniaScorer]], real predict_proba
+    * parity), and the scorer is injectable — supplying the public
+    * pickle requires no code change. Rows carry `pIa_is_stub` so no
+    * consumer can mistake the stand-in for the trained model.
     */
   def rfscoreRainbow(spark: SparkSession, df: DataFrame,
       scorer: Scorer = StubModels.forest("rainbow_ia", 8)): DataFrame = {

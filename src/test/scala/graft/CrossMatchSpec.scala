@@ -33,11 +33,35 @@ class CrossMatchSpec extends SparkSpec {
     assert(got === Map("1" -> "Unknown", "2" -> "RR", "3" -> "Unknown", "4" -> "Unknown"))
   }
 
-  test("vsx crossmatch matches the reference doctest") {
-    // the VSX catalog is fetched by the reference's CI, not bundled;
-    // run the golden only when present
-    assume(new java.io.File(s"$catalogDir/vsx").exists())
-    val got = run(Catalogs.vsx(spark, s"$catalogDir/vsx"), 1.5)
+  test("vsx crossmatch matches the reference doctest (fixture offline)") {
+    // the VSX catalog is fetched by the reference's CI, not bundled.
+    // When present, the real content golden runs; offline, a
+    // SYNTHESIZED fixture in the public AAVSO VSX column layout
+    // (OID/Name/V/Type/RAdeg/DEdeg/Period — the columns
+    // Catalogs.vsx maps) is written to parquet and read through the
+    // same loader, with Types placed at the doctest alert positions so
+    // the expected labels are the doctest's own. This pins the loader
+    // column mapping and the crossmatch DAG offline (VERDICT r12 #9 —
+    // previously the one auto-canceled test); only the real catalog's
+    // CONTENT remains CI-gated.
+    val real = new java.io.File(s"$catalogDir/vsx")
+    val path =
+      if (real.exists()) real.getPath
+      else {
+        import spark.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("vsx_fixture")
+          .resolve("vsx").toString
+        Seq(
+          // within 1.5" of doctest alerts 1 and 2
+          (900001L, "FIXTURE V0001", 0, "MISC", 26.8566983, -26.9677112, 0.55),
+          (900002L, "FIXTURE V0002", 0, "RRAB", 101.3520545, 24.5421872, 0.47),
+          // a decoy ~3" from alert 3: must NOT match at radius 1.5"
+          (900003L, "FIXTURE V0003", 0, "EW", 0.3126, 47.6859 + 3.0 / 3600.0, 0.31))
+          .toDF("OID", "Name", "V", "Type", "RAdeg", "DEdeg", "Period")
+          .coalesce(1).write.parquet(dir)
+        dir
+      }
+    val got = run(Catalogs.vsx(spark, path), 1.5)
     assert(got === Map("1" -> "MISC", "2" -> "RRAB", "3" -> "Unknown", "4" -> "Unknown"))
   }
 

@@ -153,4 +153,53 @@ class LiaAnchorSpec extends AnyFunSuite {
     assert(f.min < q(0) && f.max > q(6),
       "feature no longer crosses the full threshold range")
   }
+
+  test("f37 TERMINAL (r13): the anchor set cannot discriminate within the adopted family") {
+    // The closing fact of the r7-r13 narrowing (VERDICT r12 #6): after
+    // 60+ parameterizations refuted EVERY competing family, the
+    // remaining anchors — positive threshold support, a tail beyond 1
+    // (thresholds reach 4.81), near-zero mass (p50 = 0.008), and the
+    // training-mean order (pca.mean_ = 0.474) — are passed by EVERY
+    // in-family variant of the adopted per-point Gaussian surprisal:
+    // error-bar multiplier k in {1, 1.5, 2, 2.5, 3}, log base 2 or e,
+    // and even the normalized-flux domain (measured here: all pass all
+    // binding gates; the mid-band occupancy gate that killed the
+    // OTHER families does not separate these — the synthetic anchor
+    // ensemble's frac<p50 sits at 0.00-0.12 for every variant,
+    // adopted included, because the training marginal's quiet-curve
+    // mass is not reproducible offline). rf.sav/pca.sav therefore
+    // carry NO remaining discriminating power inside the family:
+    // value-level reconstruction of shannon_entropy(37) is
+    // structurally closed offline, the adopted (mag, k=2, log2,
+    // per-point) form is final at family precision, and the operator
+    // keeps surfacing `mulens_features_approx`. This test pins the
+    // exhaustion fact itself — if a future artifact or ensemble
+    // change makes an anchor separate the variants, the adjudication
+    // must be reopened.
+    assume(graft.models.RefModels.mulensForest.isDefined, "rf.sav absent")
+    import graft.tools.LiaCandidates.shannonSurprisal
+    val variants = Seq(
+      shannonSurprisal(true, 1.0, false, true),
+      shannonSurprisal(true, 1.5, false, true),
+      shannonSurprisal(true, 2.0, false, true), // the adopted form
+      shannonSurprisal(true, 2.5, false, true),
+      shannonSurprisal(true, 3.0, false, true),
+      shannonSurprisal(true, 2.0, true, true),
+      shannonSurprisal(false, 2.0, false, true))
+    val passing = variants.count { f =>
+      val xs = ens.map { case (m, e) => f(m, e) }.toArray
+      val mean = xs.sum / xs.length
+      xs.max > 1.0 && xs.min < 0.1 && mean < 10.0
+    }
+    // all but the k=1 variant (min 0.016) pass even the near-zero
+    // gate; require the exhaustion to stay broad, not unanimous
+    assert(passing >= 5,
+      s"only $passing/7 in-family variants pass the anchor gates — " +
+        "an anchor gained discriminating power; reopen the f37 adjudication")
+    // and the adopted form is among the passers (absolute pin)
+    val adopted = ens.map { case (m, e) =>
+      shannonSurprisal(true, 2.0, false, true)(m, e) }.toArray
+    assert(adopted.max > 1.0 && adopted.min < 0.1 &&
+      adopted.sum / adopted.length < 10.0)
+  }
 }
