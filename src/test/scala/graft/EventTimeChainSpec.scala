@@ -130,4 +130,96 @@ class EventTimeChainSpec extends SparkSpec {
         s"candidate ($d -> $canon) names a non-earliest canonical")
     }
   }
+
+  /** Kill-resume across the stage-1 / stage-2 seam (VERDICT r12 #8):
+    * phase 1 runs the data plus ONE flush — the watermark advance
+    * drains stage 1's admissions into stage 2's RocksDB pending lists,
+    * but stage 2's chained watermark has not passed them, so the query
+    * terminates (AvailableNow — the clean stand-in for a crash, same
+    * recovery path: offsets + RocksDB state under the checkpoint)
+    * holding candidates HOSTAGE in restored-state land. Phase 2 starts
+    * a NEW query on the SAME checkpoint with the second flush
+    * appended: it must resume from the recorded offsets, restore the
+    * stage-2 representatives/pending lists from RocksDB, and drain —
+    * the union of both phases' sink output must equal the batch twin
+    * exactly, for random slicings. Memory-sink replay duplicates are
+    * absorbed by the set compare (the sink is not fault-tolerant; the
+    * STATE is what this test pins).
+    */
+  test("chained ingest: kill-resume across the stage-1/stage-2 seam equals the batch twin (3 corpora)") {
+    withRocksDb {
+      val docs = Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts",
+          timestamp_millis(lit(1700000000000L) + (col("doc_id") % 11) * 60000L))
+      val (keepProbe, _) = graft.text.TextOps.qualityFilter(col("text"),
+        requireTerminal = false)
+      val keptText = docs.filter(keepProbe).orderBy("doc_id")
+        .select("text").head().getString(0)
+      import spark.implicits._
+      val flush = Seq((999999L, keptText)).toDF("doc_id", "text")
+        .withColumn("ts", timestamp_millis(lit(1700000000000L + 86400000L)))
+      val flush2 = Seq((999998L, keptText)).toDF("doc_id", "text")
+        .withColumn("ts", timestamp_millis(lit(1700000000000L + 2 * 86400000L)))
+      val batch = EventTimeChain.chainedBatch(docs, "doc_id", "text",
+        "ts", maxHamming = 4, requireTerminal = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(t => t._1 < 999998L && t._2 < 999998L).toSet
+      assert(batch.nonEmpty, "batch twin empty — fixture has no near-dups")
+      def appendSlice(dir: String, df: org.apache.spark.sql.DataFrame,
+          idx: Int): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"ckr-s$idx").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, f"$idx%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + idx * 60000L)
+      }
+      for (seed <- 1 to 3) {
+        val rnd = new scala.util.Random(7000 + seed)
+        val mod = 2 + rnd.nextInt(3)
+        val rev = rnd.nextBoolean()
+        val data = (0 until mod).map(i => docs.filter(col("doc_id") % mod === i))
+        val phase1 = (if (rev) data.reverse else data) :+ flush
+        val dir = writeSlices(phase1, s"ckr-$seed")
+        val schema = spark.read.parquet(dir).schema
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"ckr-ck-$seed").toString
+        // the memory sink cannot recover from a checkpoint; the parquet
+        // FILE sink can (its _spark_metadata commit log also makes the
+        // two-phase output exactly-once, so the final read IS the union)
+        val outDir = java.nio.file.Files
+          .createTempDirectory(s"ckr-out-$seed").toString + "/out"
+        def runPhase(): Set[(Long, Long, Long)] = {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dir)
+          val q = EventTimeChain.chained(spark, stream.toDF(), "doc_id",
+            "text", "ts", watermark = "2 hours", maxHamming = 4,
+            requireTerminal = false)
+            .writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ckpt)
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(300000)
+          spark.read.parquet(outDir).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+            .filter(t => t._1 < 999998L && t._2 < 999998L).toSet
+        }
+        val got1 = runPhase()
+        assert(got1 !== batch,
+          s"seed $seed: phase 1 already drained everything — the kill " +
+            "did not land on the stage-1/stage-2 seam")
+        appendSlice(dir, flush2, phase1.size)
+        val got2 = runPhase()
+        assert((got2 -- got1).nonEmpty,
+          s"seed $seed: the resumed query drained nothing — stage-2 " +
+            "state was not restored from the checkpoint")
+        assert(got2 === batch,
+          s"seed $seed: kill-resume output diverged from the batch twin")
+      }
+    }
+  }
 }
