@@ -16,7 +16,15 @@ import graft.text.{Decontaminate, Repetition, TextOps, TfIdf}
   */
 object PipelineQueries extends QueryPack {
 
-  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  // The documents scan is spread across cores when the file arrives
+  // under-split (a single-row-group parquet file pins every map-side
+  // kernel to ONE task regardless of session width — the measured
+  // cause of SCALE_r12's t-family ~10x-per-decade band); gated no-op
+  // below 4 MB and whenever the scan already carries enough splits.
+  // The embeddings scan stays bare: the similarity/dedup operators
+  // spread their own compute-heavy passes internally.
+  private def docs(s: SparkSession, dir: String) =
+    TextOps.spread(t(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
   // ---- dedup family ----

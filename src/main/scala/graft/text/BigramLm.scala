@@ -37,7 +37,9 @@ object BigramLm {
 
   private def positions(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs
+    // spread an under-split scan before the tokenize + position
+    // explode (TextOps.spread; no-op on well-split corpora)
+    TextOps.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         split(lower(coalesce(col(textCol), lit(""))), " ").as("ts"))
       .select(col("doc_id"), size(col("ts")).as("nt"),

@@ -63,9 +63,13 @@ object HeavyHitters {
       depth: Int = 4, width: Int = 256, ratio: Int = 64): DataFrame = {
     // null-total tokenization (the t17 convention): null text becomes
     // one empty token on BOTH engines (Spark's explode would silently
-    // drop a null array where DuckDB's unnest keeps [''])
-    val toks = docs.select(
-      explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+    // drop a null array where DuckDB's unnest keeps ['']). The scan is
+    // spread first (TextOps.spread): the tokenize + explode + partial
+    // CMS/count aggregation all run map-side, and an under-split file
+    // would pin them to one task.
+    val toks = TextOps.spread(docs.select(col(textCol)))
+      .select(
+        explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("tok"))
     val sketch = toks
       .select(bucketIndices(col("tok"), depth, width).as("bk"))
       .agg(CmsSketch(col("bk"), depth, width).as("cms"),

@@ -42,10 +42,14 @@ object Repetition {
     *     more than once, over the document's char length.
     */
   def signals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      length(col(textCol)).cast("long").as("n_chars_t"),
-      split(lower(col(textCol)), " ").as("toks"))
+    // spread an under-split scan before the per-doc tokenize + gram
+    // explode (TextOps.spread: a single-row-group file otherwise pins
+    // this whole map side to one task)
+    val base = TextOps.spread(docs.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars_t"),
+        split(lower(col(textCol)), " ").as("toks"))
 
     val g2 = base
       .select(col("doc_id"), explode(grams(col("toks"), 2)).as("g"))

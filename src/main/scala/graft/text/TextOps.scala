@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Spread a narrow document scan across the session's cores before
+    * map-heavy per-document kernels (tokenize/regex/fingerprint) — the
+    * `Dedup.parallelized` treatment for the text family. A
+    * single-file corpus written by the common pandas/pyarrow path
+    * arrives as ONE parquet row group, and Spark's byte-range file
+    * splits assign a row group to exactly one task — so every
+    * downstream per-doc kernel serializes on one core no matter how
+    * wide the session is (SCALE_r12's t-family "constant-factor band"
+    * was exactly this: linear compute pinned to a single task, ~10x
+    * wall per data decade at fixed cores). No-op, and no shuffle,
+    * when the scan already carries enough partitions — the
+    * real-corpus case — or below `floorBytes` (default 4 MB: one-shot
+    * map kernels win from the exchange well below the 16 MB floor the
+    * iterative dedup/Lloyd operators measured, but a tiny corpus
+    * still fits one task cheaper than an exchange).
+    */
+  def spread(df: org.apache.spark.sql.DataFrame,
+      floorBytes: Long = 1L << 22): org.apache.spark.sql.DataFrame = {
+    if (df.isStreaming) return df // micro-batches size themselves
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (bytes >= floorBytes && df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** Whitespace tokenizer (single-space; the corpus normal form). */
   def tokens(text: Column): Column = split(lower(text), " ")
 

@@ -26,8 +26,11 @@ object TfIdf {
     */
   def topTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     topTermFromTokens(
-      docs.select(col(idCol).as("doc_id"),
-        split(lower(col(textCol)), " ").as("toks")),
+      // spread an under-split scan before the tokenize + explode
+      // (TextOps.spread; no-op on well-split corpora)
+      TextOps.spread(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc_id"),
+          split(lower(col(textCol)), " ").as("toks")),
       docs.agg(count(lit(1)).as("nd")))
 
   /** The t8 engine over a pre-tokenized (doc_id, toks) relation —

@@ -31,8 +31,11 @@ object UnigramLm {
   /** (doc_id, nt, mean_surprisal) per document. */
   def surprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     surprisalFromTokens(
-      docs.select(col(idCol).as("doc_id"),
-        split(lower(col(textCol)), " ").as("toks")))
+      // spread an under-split scan before the tokenize + explode
+      // (TextOps.spread; no-op on well-split corpora)
+      TextOps.spread(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc_id"),
+          split(lower(col(textCol)), " ").as("toks")))
 
   /** The engine over a pre-tokenized (doc_id, toks) relation, the
     * [[TextFamily]]-compatible entry point.
