@@ -210,13 +210,20 @@ object Dedup {
     * while the planner's broadcast verification is already optimal.
     * Gated on the SCAN-derived size of the two input columns (the
     * post-kernel set table's estimate passes through a UDF project
-    * and is unreliable).
+    * and is unreliable). The 8 MB floor is denominated in the
+    * OPTIMIZER'S estimate, which undercounts real text bytes ~2.5x
+    * (default 20-byte string width) — measured: the 500k-doc scale
+    * whose pair volume must be refused estimates ~25 MB, the 50k-doc
+    * scale that completes comfortably estimates ~2.5 MB. (An earlier
+    * 32 MB floor silently never fired — the sf10 run went straight to
+    * the candidate join and filled 67 GB of disk, exactly the failure
+    * the estimate exists to prevent.)
     */
   private def pairGuard(df: DataFrame, idCol: String,
       textCol: String): Boolean =
     !df.isStreaming &&
       df.select(col(idCol), col(textCol))
-        .queryExecution.optimizedPlan.stats.sizeInBytes >= (1L << 25)
+        .queryExecution.optimizedPlan.stats.sizeInBytes >= (1L << 23)
 
   /** Pre-flight candidate-volume refusal (VERDICT r12 #2): an upper
     * bound of the candidate join's output from per-gram group sizes —
@@ -516,17 +523,22 @@ object Dedup {
     * (measured 9.1 s -> 4.3 s at the 50k-doc stress scale). No-op, and
     * no shuffle, when the scan already carries enough splits — the
     * corpus-scale case, where a blind repartition would be a full
-    * shuffle of the text column — AND below a 16 MB size estimate
-    * (the [[graft.sim.Similarity.parallelized]] gate, ADVICE r12): on
-    * a corpus that small the serial kernel pass is cheaper than the
-    * exchange plus the per-stage task overhead the extra partitions
-    * add to every downstream stage.
+    * shuffle of the text column — AND below a 2 MB size ESTIMATE
+    * (ADVICE r12): on a corpus that small the serial kernel pass is
+    * cheaper than the exchange plus the per-stage task overhead the
+    * extra partitions add to every downstream stage. The floor is
+    * denominated in the OPTIMIZER'S estimate of the (id, text)
+    * projection, which undercounts real text bytes ~2.5x (Catalyst's
+    * default 20-byte string width) — measured: the oracle scales
+    * where the exchange measurably hurt estimate at <= 255 KB, the
+    * 50k-doc scale where it pays estimates 2.5 MB, so 2 MB separates
+    * them with margin on both sides.
     */
   private def parallelized(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (bytes >= (1L << 24) && df.rdd.getNumPartitions < target)
+    if (bytes >= (1L << 21) && df.rdd.getNumPartitions < target)
       df.repartition(target)
     else df
   }
@@ -733,7 +745,7 @@ object Dedup {
     */
   private[graft] def closeComponents(pairs: DataFrame, maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local,
-      edgeGate: Long = 1L << 22, knownCount: Option[Long] = None): DataFrame = {
+      edgeGate: Long = 1L << 24, knownCount: Option[Long] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val p = pairs.select(col("d1").cast("long").as("d1"),
@@ -742,14 +754,24 @@ object Dedup {
     val n = knownCount.getOrElse(counted.count())
     val out =
       if (n <= edgeGate) {
-        // specialized Tuple2[Long, Long] collect (primitive fields) +
-        // the open-addressed union-find below: the transient driver
-        // footprint is ~4 primitive arrays over <= 2n nodes, not a
-        // boxed java HashMap over tens of millions of entries
-        // (ADVICE r12; the gate default also drops 1<<24 -> 1<<22 —
-        // every measured star forest is orders of magnitude under it)
-        val edges = counted.as[(Long, Long)].collect()
-        broadcast(spark.createDataset(driverComponentLabels(edges))
+        // the ADVICE r12 finding, resolved by making the collect cheap
+        // rather than shrinking the gate (lowering it to 1<<22 pushed
+        // d13's 9.6M-edge sf10 closure onto the distributed sweeps:
+        // +25% wall): the endpoints come down as TWO primitive
+        // Array[Long] collects (16 bytes/edge, ~270 MB at the full
+        // gate — no Row or Tuple2 objects), and the union-find below
+        // sizes its open-addressed table to the ACTUAL node count by
+        // doubling, not to the 2n worst case. The two collects read
+        // the same materialized blocks: `counted` is cached here when
+        // the count is unknown, and both knownCount callers pass a
+        // caller-cached edge table (minhashLshClusterSummary's forest).
+        val local = if (knownCount.isEmpty) counted else counted.cache()
+        val src = local.select(col("d1")).as[Long].collect()
+        val dst = local.select(col("d2")).as[Long].collect()
+        if (knownCount.nonEmpty) local.unpersist()
+        broadcast(spark.createDataset(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              driverComponentLabels(src, dst)))
           .toDF("id", "label"))
       } else {
         log.warn(s"closeComponents: $n edges exceed edgeGate=$edgeGate " +
@@ -769,27 +791,50 @@ object Dedup {
     * costs exceed the whole computation at this size.
     */
   private[graft] def driverComponentLabels(
-      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+      src: Array[Long], dst: Array[Long]): Array[(Long, Long)] = {
+    require(src.length == dst.length,
+      s"edge endpoint arrays differ: ${src.length} vs ${dst.length}")
     // open-addressed long -> slot index (linear probing, power-of-two
-    // capacity, load <= 0.5): nodes <= 2 * edges, so the whole
-    // structure is four primitive arrays — no boxing, no per-entry
-    // object headers (ADVICE r12: the boxed HashMap form was a
-    // multi-GB transient near the edge gate)
-    val maxNodes = math.max(2 * edges.length, 1)
-    var cap = 4
-    while (cap < 2 * maxNodes) cap <<= 1
-    val keys = new Array[Long](cap)
-    val slotOf = new Array[Int](cap) // -1 = empty
+    // capacity, load <= 0.5, GROWN by doubling): the table is sized to
+    // the ACTUAL distinct-node count — near-dup edge lists are
+    // clique-ish, so nodes ~ edges, far under the 2 * edges worst case
+    // — and the whole structure is four primitive arrays: no boxing,
+    // no per-entry object headers (ADVICE r12: the boxed HashMap form
+    // was a multi-GB transient near the edge gate)
+    var cap = 1 << 10
+    var keys = new Array[Long](cap)
+    var slotOf = new Array[Int](cap) // -1 = empty
     java.util.Arrays.fill(slotOf, -1)
-    val ids = new Array[Long](maxNodes)
-    val parent = new Array[Int](maxNodes)
+    var ids = new Array[Long](cap / 2)
+    var parent = new Array[Int](cap / 2)
     var nNodes = 0
-    val mask = cap - 1
-    def node(v: Long): Int = {
+    def hashIdx(v: Long, mask: Int): Int = {
       // finalizer mix so sequential ids spread across the table
       var h = (v ^ (v >>> 33)) * 0xff51afd7ed558ccdL
       h ^= h >>> 33
-      var i = (h & mask).toInt
+      (h & mask).toInt
+    }
+    def grow(): Unit = {
+      cap <<= 1
+      val nk = new Array[Long](cap)
+      val ns = new Array[Int](cap)
+      java.util.Arrays.fill(ns, -1)
+      val mask = cap - 1
+      var i = 0
+      while (i < nNodes) {
+        var j = hashIdx(ids(i), mask)
+        while (ns(j) != -1) j = (j + 1) & mask
+        nk(j) = ids(i); ns(j) = i
+        i += 1
+      }
+      keys = nk; slotOf = ns
+      ids = java.util.Arrays.copyOf(ids, cap / 2)
+      parent = java.util.Arrays.copyOf(parent, cap / 2)
+    }
+    def node(v: Long): Int = {
+      if (2 * nNodes >= cap) grow()
+      val mask = cap - 1
+      var i = hashIdx(v, mask)
       while (true) {
         val s = slotOf(i)
         if (s == -1) {
@@ -812,9 +857,11 @@ object Dedup {
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    edges.foreach { case (a, b) =>
-      val ra = find(node(a)); val rb = find(node(b))
+    var e = 0
+    while (e < src.length) {
+      val ra = find(node(src(e))); val rb = find(node(dst(e)))
       if (ra != rb) parent(rb) = ra
+      e += 1
     }
     // min id per component root (slot-indexed primitive array)
     val rootMin = Array.fill(nNodes)(Long.MaxValue)

@@ -16,14 +16,20 @@ import graft.text.{Decontaminate, Repetition, TextOps, TfIdf}
   */
 object PipelineQueries extends QueryPack {
 
-  // The documents scan is spread across cores when the file arrives
-  // under-split (a single-row-group parquet file pins every map-side
-  // kernel to ONE task regardless of session width — the measured
-  // cause of SCALE_r12's t-family ~10x-per-decade band); gated no-op
-  // below 4 MB and whenever the scan already carries enough splits.
-  // The embeddings scan stays bare: the similarity/dedup operators
-  // spread their own compute-heavy passes internally.
-  private def docs(s: SparkSession, dir: String) =
+  private def docs(s: SparkSession, dir: String) = t(s, dir, "documents")
+  // The SPREAD documents scan for queries whose heavy work is
+  // Column-composed map-side kernels (regex batteries, tokenize +
+  // explode, byte histograms): a single-row-group parquet file pins
+  // those kernels to ONE task regardless of session width — the
+  // measured cause of SCALE_r12's t-family ~10x-per-decade band
+  // (t9 97 -> 9.6 s, t19 129 -> 10.5 s at sf10). Operator-backed
+  // queries (the d/p dedup chains, UnigramLm/BigramLm/TfIdf/
+  // Repetition consumers) keep the bare scan: they spread their own
+  // compute-heavy passes internally, usually AFTER a row-reducing
+  // stage, and an unconditional upstream exchange measurably hurts
+  // them (p5 at sf10: 19-25 s bare vs 36 s spread — the chain pays a
+  // full-width text exchange its internal spread placement avoids).
+  private def sdocs(s: SparkSession, dir: String) =
     TextOps.spread(t(s, dir, "documents"))
   private def emb(s: SparkSession, dir: String) = t(s, dir, "embeddings")
 
@@ -234,20 +240,20 @@ object PipelineQueries extends QueryPack {
   // ---- text analysis ----
 
   private def t1LangId(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    sdocs(s, dir)
       .groupBy(col("lang"), TextOps.langId(col("text")).as("lang_guess"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
   private def t2Quality(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
+    sdocs(s, dir).select(
       col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
       TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
   private def t3TokenStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("source"))
       .agg(
@@ -257,7 +263,7 @@ object PipelineQueries extends QueryPack {
       .orderBy("source")
 
   private def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -268,7 +274,7 @@ object PipelineQueries extends QueryPack {
   private def t5Winnow(s: SparkSession, dir: String): DataFrame = {
     val fp = udf((t: String) => graft.text.Winnow.fingerprints(
       if (t == null) "" else t))
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("doc_id"), fp(col("text")).as("fps"))
       // try_element_at: a doc shorter than the k-gram has no
       // fingerprints -> NULL min_fp (ANSI element_at would throw)
@@ -280,7 +286,7 @@ object PipelineQueries extends QueryPack {
   // t6: regex token analysis (BPE-ish subword counting via pattern
   // classes; [a-z]+ semantics agree between Java and RE2 regex engines).
   private def t6RegexTokens(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("doc_id"),
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha"),
         regexp_count(col("text"), lit("[aeiou]{2}")).cast("long").as("n_double_vowel"),
@@ -339,7 +345,7 @@ object PipelineQueries extends QueryPack {
   // all rules integer/length-based so both engines agree exactly.
   private def t9FilterCascade(s: SparkSession, dir: String): DataFrame = {
     val (keep, reason) = graft.text.TextOps.qualityFilter(col("text"))
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("doc_id"), keep.as("keep"), reason.as("reason"))
       .orderBy("doc_id")
   }
@@ -485,7 +491,7 @@ object PipelineQueries extends QueryPack {
   // disagree across engines by construction). The exact distinct
   // count rides along so the sketch error is visible in the output.
   private def t17KmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("lang"),
+    val toks = sdocs(s, dir).select(col("lang"),
       explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
     toks
       .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
@@ -504,7 +510,7 @@ object PipelineQueries extends QueryPack {
   // sketch path touches each corpus ONCE however many pairs are
   // compared — the point of sketch composition at 100 TB.
   private def t18VocabOverlap(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("lang"),
+    val toks = sdocs(s, dir).select(col("lang"),
       explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
     val sk = toks
       .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
@@ -575,7 +581,7 @@ object PipelineQueries extends QueryPack {
       lit("MiXeD CaSe HeAdEr\t "),
       lit("e\u0301 "), coalesce(col("text"), lit("")),
       lit("  \u0007  tail   "))
-    docs(s, dir)
+    sdocs(s, dir)
       .select(col("doc_id"),
         octet_length(messy).cast("long").as("n_bytes_in"),
         graft.text.Normalize.normalizeText(messy).as("norm"))
@@ -596,7 +602,7 @@ object PipelineQueries extends QueryPack {
       lit(" from 10.2."), (col("doc_id") % 200).cast("string"), lit(".7 end"))
     val counts = graft.text.Redact.piiCounts(messy)
       .map { case (n, c) => c.as(n) }
-    docs(s, dir)
+    sdocs(s, dir)
       .select(Seq(col("doc_id"),
         graft.text.Redact.redactText(messy).as("redacted")) ++ counts: _*)
       .orderBy("doc_id")
@@ -609,18 +615,18 @@ object PipelineQueries extends QueryPack {
   // take the pixel-domain imageAHash — fixture-spec'd). The `simhash`
   // output drops straight into the d5/d8 Hamming-LSH machinery.
   private def m4PerceptualHash(s: SparkSession, dir: String): DataFrame =
-    Multimodal.perceptualHash(s, Multimodal.packDocuments(docs(s, dir)))
+    Multimodal.perceptualHash(s, Multimodal.packDocuments(sdocs(s, dir)))
       .orderBy("id")
 
   private def m1MediaMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.packDocuments(docs(s, dir))
+    Multimodal.packDocuments(sdocs(s, dir))
       .select(col("id"),
         octet_length(col("payload")).cast("long").as("n_bytes"),
         col("width"), col("height"), md5(col("payload")).as("fp"))
       .orderBy("id")
 
   private def m2MediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(s, Multimodal.packDocuments(docs(s, dir)))
+    Multimodal.extractFeatures(s, Multimodal.packDocuments(sdocs(s, dir)))
       .toDF().orderBy("id")
 
   // m3: uniform frame sampling over byte-block "frames" (the video
@@ -635,7 +641,7 @@ object PipelineQueries extends QueryPack {
   private def m3FrameSample(s: SparkSession, dir: String): DataFrame = {
     val k = udf((payload: Array[Byte]) =>
       graft.multimodal.MediaKernel.frameSample(payload, 64, 4))
-    Multimodal.packDocuments(docs(s, dir))
+    Multimodal.packDocuments(sdocs(s, dir))
       .select(col("id"), k(col("payload")).as("fs"))
       .select(col("id"),
         size(col("fs._1")).cast("long").as("n_sampled"),

@@ -24,13 +24,17 @@ object TextOps {
     * was exactly this: linear compute pinned to a single task, ~10x
     * wall per data decade at fixed cores). No-op, and no shuffle,
     * when the scan already carries enough partitions — the
-    * real-corpus case — or below `floorBytes` (default 4 MB: one-shot
-    * map kernels win from the exchange well below the 16 MB floor the
+    * real-corpus case — or below `floorBytes` (default 2 MB: one-shot
+    * map kernels win from the exchange well below the floors the
     * iterative dedup/Lloyd operators measured, but a tiny corpus
-    * still fits one task cheaper than an exchange).
+    * still fits one task cheaper than an exchange). The floor is
+    * denominated in the OPTIMIZER'S estimate, which undercounts real
+    * text bytes ~2.5x (default 20-byte string width); 2 MB admits the
+    * 50k-doc scale (estimate 2.5 MB) and skips the oracle scales
+    * (<= 255 KB).
     */
   def spread(df: org.apache.spark.sql.DataFrame,
-      floorBytes: Long = 1L << 22): org.apache.spark.sql.DataFrame = {
+      floorBytes: Long = 1L << 21): org.apache.spark.sql.DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -34,8 +34,9 @@ object ProfileD15 {
     println(s"[profile] forest edges = $edges")
     // stage 4a: driver union-find closure (the d15 default path)
     time("driver union-find closure") {
-      val e = forest.collect().map(r => (r.getLong(0), r.getLong(1)))
-      graft.dedup.Dedup.driverComponentLabels(e).size
+      val e = forest.collect()
+      graft.dedup.Dedup.driverComponentLabels(
+        e.map(_.getLong(0)), e.map(_.getLong(1))).size
     }
     // stage 4b: the distributed sweep loop it replaced
     time("connectedComponents sweeps") {
