@@ -1915,35 +1915,126 @@ object Dedup {
       .select(col("a.id").as("d1"), col("b.id").as("d2"), col("cos"))
   }
 
+  /** Per-cell STAR FOREST over the IVF-cell cosine graph — the
+    * embedding-side twin of [[minhashForestFromSets]] (r13, found at
+    * the sf100 decade): [[embeddingDupPairs]] emits EVERY within-cell
+    * pair over the threshold, which is Omega(family^2) edges for a
+    * near-dup family — 96M edges at the sf100 probe, blowing the
+    * closure past the driver gate onto 25 distributed sweeps. A
+    * connectivity CONSUMER ([[semanticDedup]]) needs components, not
+    * the pair report, so each cell's verified graph is resolved by a
+    * per-cell lazy union-find — the exact cosine (same IEEE sequence
+    * as the join form: sequential-fold dot over raw vectors, one
+    * division by the norm product) runs only for pairs not already
+    * connected, so a clique family costs c-1 verifications — and each
+    * component emits (component-min id, member) stars: O(vectors)
+    * edges with connectivity IDENTICAL to the full verified pair set
+    * (every verified pair is within one cell, where the union-find
+    * either verified it or had already connected both sides).
+    */
+  private[graft] def embeddingStarForest(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, ncells: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells =
+      if (ncells > 0) ncells
+      else graft.sim.Similarity.autoCells(df, idCol)
+    graft.sim.Similarity.assignCells(df, idCol, vecCol, cells)
+      .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0.0) // no defined cosine (see embeddingDupPairs)
+      .select(col("cell"), col("id").cast("long").as("id"), col("v"),
+        col("nrm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups((_: Long,
+          it: Iterator[(Long, Long, Array[Double], Double)]) =>
+        cellStars(it, threshold))
+      .toDF("d1", "d2")
+  }
+
+  /** Per-cell kernel of [[embeddingStarForest]]: lazy-verified
+    * union-find over the cell's members, then one star per nontrivial
+    * component rooted at its min member id. Buffered state is the
+    * cell's vectors — bounded by the autoCells occupancy target
+    * (~4096) under hash-like dispersion; a pathologically dense
+    * region concentrates its own near-dup family in one cell, which
+    * is exactly the clique case the lazy verification makes linear.
+    */
+  private[graft] def cellStars(
+      it: Iterator[(Long, Long, Array[Double], Double)],
+      threshold: Double): Iterator[(Long, Long)] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val nrms = scala.collection.mutable.ArrayBuffer.empty[Double]
+    it.foreach { case (_, id, v, nrm) =>
+      ids += id; vecs += v; nrms += nrm
+    }
+    val m = ids.length
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def verified(i: Int, j: Int): Boolean = {
+      // the join form's exact IEEE sequence: sequential-fold dot,
+      // ONE division by the norm product, >= compare
+      val a = vecs(i); val b = vecs(j)
+      var s = 0.0
+      var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }
+      s / (nrms(i) * nrms(j)) >= threshold
+    }
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        if (find(i) != find(j) && verified(i, j))
+          parent(find(j)) = find(i)
+        j += 1
+      }
+      i += 1
+    }
+    val compMin = new java.util.HashMap[Int, Long]()
+    i = 0
+    while (i < m) {
+      val r = find(i)
+      if (!compMin.containsKey(r) || ids(i) < compMin.get(r))
+        compMin.put(r, ids(i))
+      i += 1
+    }
+    (0 until m).iterator.flatMap { k =>
+      val root = compMin.get(find(k))
+      if (ids(k) != root) Iterator.single((root, ids(k))) else Iterator.empty
+    }
+  }
+
   /** SEMANTIC dedup — the embedding-space complement of the lexical
     * [[dedupPipeline]] (the SemDeDup recipe: cluster the embedding
     * space, drop all but one of each within-cluster near-identical
-    * group): [[embeddingDupPairs]] generates candidate pairs inside
-    * IVF cells only (never all-pairs — the cell count scales with the
-    * corpus so the per-cell pair space stays bounded),
-    * [[connectedComponents]] resolves transitive near-dup groups with
-    * the same sweep-materialized min-label loop every other dedup
-    * chain uses, and each group keeps its min-id representative as the
-    * cluster label.
+    * group): [[embeddingStarForest]] resolves each IVF cell's verified
+    * cosine graph into per-cell stars (linear edge volume — the
+    * all-pairs emission of [[embeddingDupPairs]] is Omega(family^2)
+    * and measured 96M edges at the sf100 probe, see its scaladoc),
+    * [[closeComponents]] closes across cells (O(vectors) star edges
+    * sit comfortably under the driver gate at any measured scale, with
+    * the distributed sweeps unchanged above it), and each group keeps
+    * its min-id representative as the cluster label. Components are
+    * IDENTICAL to the closure over the full verified pair set — the
+    * star-forest connectivity argument of [[minhashLshClusterSummary]].
     *
     * Output `(id, cluster)` is TOTAL over the input: vectors that pair
     * with nothing — including zero-norm vectors, which have no defined
     * cosine and are excluded from pairing — are their own cluster.
     * Downstream keep-set selection is `filter(col(idCol) ===
     * col("cluster"))`, the d10 convention.
-    *
-    * Scale: candidate generation is cell-bucketed, components are
-    * diameter-bounded sweeps over pairs (tiny for near-dup cliques),
-    * and the final restore join is on the component table — sized by
-    * DUPLICATED docs only, far below corpus size at realistic dup
-    * rates. `sweep` picks the per-sweep materialization medium for
-    * cluster runs ([[SweepCheckpoint]]).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, ncells: Int = 0, maxIter: Int = 25,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
-    val pairs = embeddingDupPairs(df, idCol, vecCol, threshold, ncells)
-      .select(col("d1"), col("d2"))
+    val pairs = embeddingStarForest(df, idCol, vecCol, threshold, ncells)
     // private names: a caller's idCol may collide with the component
     // table's output columns (the dedupPipeline convention)
     val comps = closeComponents(pairs, maxIter, sweep)

@@ -585,6 +585,29 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("embedding star forest: components equal closure over the full pair set") {
+    // the r13 scale fix for d13 (embeddingDupPairs emits Omega(family^2)
+    // edges; the star forest is O(vectors)) must be connectivity-EXACT:
+    // union-find over the stars == union-find over all verified pairs
+    val emb = Tables.t(spark, sf, "embeddings")
+    val pairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val stars = Dedup.embeddingStarForest(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(stars.length <= pairs.length,
+      "star forest must never carry more edges than the pair report")
+    assert(unionFind(pairs.toSeq) === unionFind(stars.toSeq))
+    // and the composed operator agrees with the pair-closure definition
+    val viaPairs = {
+      val uf = unionFind(pairs.toSeq)
+      emb.select(org.apache.spark.sql.functions.col("vec_id")).collect()
+        .map(_.getLong(0)).map(id => id -> uf.getOrElse(id, id)).toMap
+    }
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === viaPairs)
+  }
+
   test("minhashLshTopK equals the ranked symmetrized pair report") {
     val docs = Tables.t(spark, sf, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)
