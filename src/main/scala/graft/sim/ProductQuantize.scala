@@ -230,7 +230,7 @@ object ProductQuantize {
     val fits = nq <= maxBroadcastQueries
     val probeSide = if (fits) broadcast(qprobe) else qprobe.hint("merge")
     val dtSide = if (fits) broadcast(dt) else dt.hint("merge")
-    corpusCells.join(probeSide, "icell")
+    val scored = corpusCells.join(probeSide, "icell")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
       .join(codeTab, "id")
@@ -241,10 +241,13 @@ object ProductQuantize {
         p => p.getField("d")).as("ds"))
       .withColumn("adist",
         (1 to nsub).map(i => element_at(col("ds"), i)).reduce(_ + _))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("id").asc)))
-      .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("adist"))
+    // per-query top-k through the bounded per-group heap instead of a
+    // window row_number (the Similarity.ivfTopKAll rationale: no sort
+    // of each query's whole candidate run; ordering total on
+    // (adist, id) so the set equals the rank filter's)
+    org.apache.spark.sql.graft.TopKPerGroup(scored, k, Seq(col("qid")),
+      Seq(col("adist").asc, col("id").asc))
   }
 
   /** ADC-then-exact re-rank (the refinement stage of Jégou et al.'s

@@ -410,16 +410,21 @@ object Similarity {
         maxBroadcastQueryFloats, knownQueryCount, knownQueryDim))
         broadcast(qcells)
       else qcells.hint("merge")
-    assignCells(emb, idCol, vecCol, cells)
+    val cand = assignCells(emb, idCol, vecCol, cells)
       .filter(nonZero(col("v")))
       .join(probeSide, "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("cell"), col("cos"))
+    // per-query top-k through the bounded per-group heap instead of a
+    // window row_number: the window SORTS every query's whole
+    // candidate run (~corpus x nprobe / ncells rows per query) where
+    // the heap streams it in one pass holding k rows per query —
+    // same exchange, no sort buffer (the s10 sf100 probe named this
+    // sort as the family's residual constant). Ordering is total
+    // ((cos, id)), so the result set is identical to the rank filter.
+    org.apache.spark.sql.graft.TopKPerGroup(cand, k, Seq(col("qid")),
+      Seq(col("cos").desc, col("id").asc))
   }
 
   /** Batched SRP search: top-k per query-table row. Better than a
@@ -483,15 +488,14 @@ object Similarity {
         maxBroadcastQueryFloats, knownQueryCount, knownQueryDim))
         broadcast(probes)
       else probes.hint("merge")
-    bucketed
+    val cand = bucketed
       .join(probeSide, "bucket")
       .filter(col("id") =!= col("qid"))
       .withColumn("cos", Vec.cosine(col("v"), col("qv")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("cos").desc, col("id").asc)))
-      .filter(col("rk") <= k)
       .select(col("qid"), col("id"), col("bucket"), col("cos"))
+    // bounded per-group heap instead of a window sort (see ivfTopKAll)
+    org.apache.spark.sql.graft.TopKPerGroup(cand, k, Seq(col("qid")),
+      Seq(col("cos").desc, col("id").asc))
   }
 
   /** IVF search: probe the `nprobe` cells closest to the query vector,
