@@ -193,13 +193,21 @@ object Dedup {
     *    a rank-prefix of the shared sequence, and the last match's
     *    1 + min(n1-ra, n2-rb) >= minOverlap implies the aggregate
     *    bound, so it filtered nothing.)
+    *
+    * '''Eager pre-flight (ADVICE r13):''' above the [[pairGuard]]
+    * corpus-size floor this method runs the candidate-volume estimate
+    * job at CONSTRUCTION time (before the lazy plan is returned) and
+    * may throw [[PairVolumeException]] — callers that build plans
+    * without executing them still pay the one aggregate and can still
+    * see the refusal. Below the floor (all oracle/bench scales) the
+    * call stays fully lazy.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame = {
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds frequency ranking, candidate join, and verification
-    ngramJaccardCore(sets, threshold, pairGuard(df, idCol, textCol),
+    ngramJaccardCore(sets, threshold, pairGuard(df),
       maxCandidatePairs)
   }
 
@@ -208,22 +216,18 @@ object Dedup {
     * build both only pay off above a corpus-size floor, and below it
     * the estimate job would tax every oracle/bench-scale invocation
     * while the planner's broadcast verification is already optimal.
-    * Gated on the SCAN-derived size of the two input columns (the
-    * post-kernel set table's estimate passes through a UDF project
-    * and is unreliable). The 8 MB floor is denominated in the
-    * OPTIMIZER'S estimate, which undercounts real text bytes ~2.5x
-    * (default 20-byte string width) — measured: the 500k-doc scale
-    * whose pair volume must be refused estimates ~25 MB, the 50k-doc
-    * scale that completes comfortably estimates ~2.5 MB. (An earlier
-    * 32 MB floor silently never fired — the sf10 run went straight to
-    * the candidate join and filled 67 GB of disk, exactly the failure
-    * the estimate exists to prevent.)
+    * The floor is denominated in ACTUAL scan bytes
+    * ([[graft.ScanBytes]], VERDICT r13 #2 — the optimizer-estimate
+    * form needed one recalibration per surprise: an earlier 32 MB
+    * estimate floor silently never fired, and the sf10 run went
+    * straight to the candidate join and filled 67 GB of disk, exactly
+    * the failure the estimate exists to prevent). Measured: the
+    * 500k-doc scale whose pair volume must be refused is ~60 MB on
+    * disk, the 50k-doc scale that completes comfortably is ~6 MB —
+    * 16 MB is the geometric midpoint with ~3x margin to both sides.
     */
-  private def pairGuard(df: DataFrame, idCol: String,
-      textCol: String): Boolean =
-    !df.isStreaming &&
-      df.select(col(idCol), col(textCol))
-        .queryExecution.optimizedPlan.stats.sizeInBytes >= (1L << 23)
+  private def pairGuard(df: DataFrame): Boolean =
+    !df.isStreaming && graft.ScanBytes.of(df) >= (1L << 24)
 
   /** Pre-flight candidate-volume refusal (VERDICT r12 #2): an upper
     * bound of the candidate join's output from per-gram group sizes —
@@ -237,17 +241,26 @@ object Dedup {
   private[graft] def refuseIfViral(pref: DataFrame, ex: Option[DataFrame],
       bound: Long, op: String): Unit = {
     val pc = pref.groupBy(col("g")).agg(count(lit(1)).as("pc"))
-    val est = ex match {
+    // the estimate is computed in DOUBLE, not long (ADVICE r13): in
+    // non-ANSI mode long multiply-sum wraps silently, so at extreme
+    // densities the estimate could go negative and the guard would
+    // pass exactly when it most needs to refuse. It is an upper
+    // bound, so double precision loss is harmless; a wrapped/NaN
+    // value (est < 0 or non-finite) also refuses.
+    val estD = ex match {
       case None =>
-        // SQL `/` is true division; halve the long sum driver-side
-        pc.agg(coalesce(sum(col("pc") * (col("pc") - 1)), lit(0L)))
-          .head().getLong(0) / 2
+        pc.agg(coalesce(sum(col("pc").cast("double") *
+            (col("pc") - 1).cast("double")), lit(0.0d)))
+          .head().getDouble(0) / 2
       case Some(e) =>
         pc.join(e.groupBy(col("g")).agg(count(lit(1)).as("ec")), "g")
-          .agg(coalesce(sum(col("pc") * col("ec")), lit(0L)))
-          .head().getLong(0)
+          .agg(coalesce(sum(col("pc").cast("double") *
+            col("ec").cast("double")), lit(0.0d)))
+          .head().getDouble(0)
     }
-    if (est > bound)
+    if (estD > bound || estD < 0 || !java.lang.Double.isFinite(estD)) {
+      val est = if (java.lang.Double.isFinite(estD) && estD >= 0 &&
+          estD <= Long.MaxValue.toDouble) estD.toLong else Long.MaxValue
       throw new PairVolumeException(est, bound,
         s"$op: estimated candidate pair volume ~$est exceeds " +
           s"maxCandidatePairs=$bound — the exact pair statement is " +
@@ -258,6 +271,40 @@ object Dedup {
           "closure), minhashLshTopK / Winnow.overlapTopK (bounded " +
           "per-doc top-k reports). Raise maxCandidatePairs to force " +
           "this run anyway.")
+    }
+  }
+
+  /** Pre-flight refusal for the EMBEDDING pair report (VERDICT r13
+    * #1, the [[refuseIfViral]] twin): the statistic is the WORST
+    * cell's C(n,2) over the IVF cell-assignment counts — total
+    * within-cell volume is linear in the corpus by IVF design, so the
+    * only viral signature is a family-concentrated mega-cell, which
+    * is simultaneously the single-task straggler and the
+    * Omega(family^2) output. Double arithmetic throughout (the
+    * [[refuseIfViral]] overflow treatment); a wrapped or non-finite
+    * estimate also refuses.
+    */
+  private[graft] def refuseIfViralCells(assigned: DataFrame, bound: Long,
+      op: String): Unit = {
+    val worstD = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(coalesce(max(col("n") * (col("n") - 1) / 2), lit(0.0d)))
+      .head().getDouble(0)
+    if (worstD > bound || worstD < 0 || !java.lang.Double.isFinite(worstD)) {
+      val est = if (java.lang.Double.isFinite(worstD) && worstD >= 0 &&
+          worstD <= Long.MaxValue.toDouble) worstD.toLong else Long.MaxValue
+      throw new PairVolumeException(est, bound,
+        s"$op: worst IVF cell implies ~$est candidate pairs, over " +
+          s"maxCandidatePairs=$bound — a near-identical embedding " +
+          "family concentrates in one cell (identical vectors share " +
+          "a nearest centroid), so its C(n,2) join is one unbounded " +
+          "task and the exact pair statement is output-volume-bound " +
+          "at this duplicate density. Scale-safe statements: " +
+          "semanticDedup (star-forest closure, O(vectors) edges), " +
+          "Similarity.ivfTopKAll / ProductQuantize.ivfPqTopKAll " +
+          "(bounded per-query reports). Raise maxCandidatePairs to " +
+          "force this run anyway.")
+    }
   }
 
   /** The (id, sh: sorted array<long>, nsh) base relation of the
@@ -375,13 +422,21 @@ object Dedup {
     * Globally-unique grams are pruned from the prefix (they cannot
     * match — recall unaffected); both directions of a pair are emitted
     * independently when both qualify.
+    *
+    * '''Eager pre-flight (ADVICE r13):''' above the [[pairGuard]]
+    * corpus-size floor this method runs the candidate-volume estimate
+    * job at CONSTRUCTION time (before the lazy plan is returned) and
+    * may throw [[PairVolumeException]] — callers that build plans
+    * without executing them still pay the one aggregate and can still
+    * see the refusal. Below the floor (all oracle/bench scales) the
+    * call stays fully lazy.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
-    val guard = pairGuard(df, idCol, textCol)
+    val guard = pairGuard(df)
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds ranking, the index side, and verification
     val (ex, pref) = rarityPrefix(sets, threshold)
@@ -523,20 +578,19 @@ object Dedup {
     * (measured 9.1 s -> 4.3 s at the 50k-doc stress scale). No-op, and
     * no shuffle, when the scan already carries enough splits — the
     * corpus-scale case, where a blind repartition would be a full
-    * shuffle of the text column — AND below a 2 MB size ESTIMATE
-    * (ADVICE r12): on a corpus that small the serial kernel pass is
-    * cheaper than the exchange plus the per-stage task overhead the
-    * extra partitions add to every downstream stage. The floor is
-    * denominated in the OPTIMIZER'S estimate of the (id, text)
-    * projection, which undercounts real text bytes ~2.5x (Catalyst's
-    * default 20-byte string width) — measured: the oracle scales
-    * where the exchange measurably hurt estimate at <= 255 KB, the
-    * 50k-doc scale where it pays estimates 2.5 MB, so 2 MB separates
-    * them with margin on both sides.
+    * shuffle of the text column — AND below a 2 MB floor (ADVICE
+    * r12): on a corpus that small the serial kernel pass is cheaper
+    * than the exchange plus the per-stage task overhead the extra
+    * partitions add to every downstream stage. The floor is
+    * denominated in ACTUAL scan bytes ([[graft.ScanBytes]], VERDICT
+    * r13 #2) — measured: the oracle scales where the exchange hurt
+    * are <= 0.6 MB on disk, the 50k-doc scale where it pays is
+    * 6.0 MB, so 2 MB is the geometric midpoint with ~3x margin to
+    * both sides.
     */
   private def parallelized(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = graft.ScanBytes.of(df)
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= (1L << 21) && df.rdd.getNumPartitions < target)
       df.repartition(target)
@@ -754,21 +808,42 @@ object Dedup {
     val n = knownCount.getOrElse(counted.count())
     val out =
       if (n <= edgeGate) {
-        // the ADVICE r12 finding, resolved by making the collect cheap
-        // rather than shrinking the gate (lowering it to 1<<22 pushed
-        // d13's 9.6M-edge sf10 closure onto the distributed sweeps:
-        // +25% wall): the endpoints come down as TWO primitive
-        // Array[Long] collects (16 bytes/edge, ~270 MB at the full
-        // gate — no Row or Tuple2 objects), and the union-find below
-        // sizes its open-addressed table to the ACTUAL node count by
-        // doubling, not to the 2n worst case. The two collects read
-        // the same materialized blocks: `counted` is cached here when
-        // the count is unknown, and both knownCount callers pass a
-        // caller-cached edge table (minhashLshClusterSummary's forest).
-        val local = if (knownCount.isEmpty) counted else counted.cache()
-        val src = local.select(col("d1")).as[Long].collect()
-        val dst = local.select(col("d2")).as[Long].collect()
-        if (knownCount.nonEmpty) local.unpersist()
+        // the ADVICE r12 finding (driver transient), resolved by making
+        // the collect cheap rather than shrinking the gate (lowering it
+        // to 1<<22 pushed d13's 9.6M-edge sf10 closure onto the
+        // distributed sweeps: +25% wall); then the ADVICE r13 finding
+        // (correctness): collecting d1 and d2 as two SEPARATE jobs and
+        // zipping by index silently mispairs endpoints if a cached
+        // block is lost and recomputed through a shuffle whose
+        // within-partition order is non-deterministic. Both endpoints
+        // now come down in ONE job as per-partition interleaved
+        // primitive Array[Long]s (16 bytes/edge on the wire, no Row or
+        // Tuple2 objects) — each edge's endpoints travel together, so
+        // no cross-job ordering assumption exists to violate, and no
+        // cache is needed for consistency.
+        val chunks: Array[Array[Long]] = counted
+          .queryExecution.toRdd.mapPartitions { it =>
+            val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+            while (it.hasNext) {
+              val r = it.next()
+              buf += r.getLong(0); buf += r.getLong(1)
+            }
+            Iterator.single(buf.result())
+          }.collect()
+        val nEdges = chunks.foldLeft(0L)(_ + _.length / 2)
+        require(nEdges <= Int.MaxValue.toLong,
+          s"edge count $nEdges exceeds driver union-find addressability")
+        val src = new Array[Long](nEdges.toInt)
+        val dst = new Array[Long](nEdges.toInt)
+        var o = 0
+        var ci = 0
+        while (ci < chunks.length) {
+          val c = chunks(ci)
+          var i = 0
+          while (i < c.length) { src(o) = c(i); dst(o) = c(i + 1); i += 2; o += 1 }
+          chunks(ci) = null // free each interleaved chunk as it's unpacked
+          ci += 1
+        }
         broadcast(spark.createDataset(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(
               driverComponentLabels(src, dst)))
@@ -1882,9 +1957,26 @@ object Dedup {
     * blocking on a low-cardinality attribute. The dot product is a
     * sequential left fold in double precision (bit-stable, matches
     * DuckDB's list_dot_product).
+    *
+    * '''Viral-density refusal (VERDICT r13 #1):''' under healthy
+    * dispersion the within-cell candidate volume is ~occupancy*N/2 —
+    * linear in the corpus, the operator's design envelope. The one
+    * way it departs is SKEW: a viral near-identical family maps to
+    * ONE cell (identical vectors share a nearest centroid), whose
+    * C(n,2) join is a single unbounded task AND an Omega(family^2)
+    * output. Above the [[pairGuard]] corpus-size floor this method
+    * pre-flights the worst cell's C(n,2) from the cell-assignment
+    * counts (one aggregate over a table the join reads anyway, run at
+    * CONSTRUCTION time — the eager-pre-flight caveat of
+    * [[ngramJaccardPairs]] applies) and throws
+    * [[PairVolumeException]] naming the scale-safe statements
+    * ([[semanticDedup]]'s star-forest closure, the bounded per-query
+    * ANN reports) instead of letting the mega-cell join run. Below
+    * the floor (all oracle/bench scales) the call stays fully lazy.
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, ncells: Int = 0): DataFrame = {
+      threshold: Double, ncells: Int = 0,
+      maxCandidatePairs: Long = 1L << 28): DataFrame = {
     // ncells <= 0 = AUTO (Similarity.autoCells, the default): size the
     // cell count from the corpus so per-cell occupancy stays ~bounded
     // (the IVF property this operator's scale story rests on —
@@ -1908,6 +2000,8 @@ object Dedup {
       // degenerate-embedding fuzz corpora
       .filter(col("nrm") > 0.0)
       .cache()
+    if (pairGuard(df))
+      refuseIfViralCells(assigned, maxCandidatePairs, "embeddingDupPairs")
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -209,6 +209,28 @@ object ExtendedClassifiers {
     * NaN features both zero like get_probabilities (classifier.py:64).
     * The SLSN_rainbow joblib classifier is CI-fetched and absent
     * offline, so scoring defaults to the stand-in.
+    *
+    * Terminal status (r14, the rfscoreRainbow/DefaultSalt
+    * adjudication): this is an ARTIFACT-DATA gap, not a machinery
+    * gap, and cannot be closed offline. The reference's
+    * `SLSN_rainbow.joblib` is a classifier trained on a labeled
+    * Rubin/ELaSTICC SLSN corpus (processor.py:26-92) — CI-fetched,
+    * absent from the checkout, and not reconstructible: training a
+    * substitute needs the labeled corpus, which the container does
+    * not carry and zero egress cannot fetch; a synthetic-data model
+    * would carry fabricated decision boundaries presented as a
+    * classifier, worse than an honest stand-in. Everything COMPUTED
+    * around the artifact is implemented and pinned: the linexp
+    * bolometric fit is exact (RainbowFit.fitLinexp, solver-level
+    * deviation documented there), the 23-feature parametrise layout
+    * and its sentinels are spec-pinned
+    * (ExtendedClassifiersSpec "slsn scorer contract"), the
+    * sklearn/joblib -> [[graft.models.Scorer]] path is proven by the
+    * al-loop forest that IS bundled
+    * ([[graft.models.RefModels.alSniaScorer]], real predict_proba
+    * parity), and the scorer is injectable — supplying the public
+    * joblib requires no code change. Rows carry `slsn_score_is_stub`
+    * so no consumer can mistake the stand-in for the trained model.
     */
   def slsnRubin(spark: SparkSession, df: DataFrame,
       scorer: Scorer = StubModels.forest("slsn", 23),

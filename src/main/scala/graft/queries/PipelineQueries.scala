@@ -194,6 +194,18 @@ object PipelineQueries extends QueryPack {
       .orderBy("qid", "vec_id")
   }
 
+  // s11: the two-level coarse-quantizer route exercised UNFORCED
+  // (VERDICT r13 #6) — an explicit ncells=125 > TwoLevelGate keeps the
+  // super-centroid assignment permanently oracle-covered without the
+  // GRAFT_CELL_DIVISOR test knob; the result is the per-cell census of
+  // the routed assignment (cell occupancy + min member), so any drift
+  // in routing, refinement, or tie-breaks moves rows.
+  private def s11TwoLevelCells(s: SparkSession, dir: String): DataFrame =
+    Similarity.assignCells(emb(s, dir), "vec_id", "embedding", 125)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("id")).as("min_vec"))
+      .orderBy("cell")
+
   // s9: ADC-then-exact re-rank (IVFADC+R refinement) — the ADC pass
   // nominates a 3x short list from codes alone; only those 30 vectors
   // are re-scored exactly (candidate ids broadcast onto the corpus as
@@ -684,6 +696,7 @@ object PipelineQueries extends QueryPack {
     "s8_pq_adc" -> (s8PqAdc _),
     "s9_pq_rerank" -> (s9PqRerank _),
     "s10_ivfpq_batch" -> (s10IvfPqBatch _),
+    "s11_twolevel_cells" -> (s11TwoLevelCells _),
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2Quality _),
     "t3_token_stats" -> (t3TokenStats _),
@@ -1218,6 +1231,14 @@ object PipelineQueries extends QueryPack {
     "s8_pq_adc" -> s8PqSql(4, 8, 2, 10),
     "s9_pq_rerank" -> s9PqRerankSql(4, 8, 2, 10, 30),
     "s10_ivfpq_batch" -> s10IvfPqSql(4, 8, 2, 5, 2),
+    // s11: the two-level chain with k FIXED at 125 (> gate), so the
+    // super-route is exercised unforced at the oracle scales
+    "s11_twolevel_cells" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${cellAssignCtes("e", fixedK = "125")}
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+         |       MIN(vec_id) AS min_vec
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_lang_id" -> langIdSql(),
     "t2_quality_score" ->
       """WITH f AS (
@@ -1963,10 +1984,13 @@ object PipelineQueries extends QueryPack {
     * `asg(vec_id, cell, v)` and `cent(cell, cv)`, reading vectors
     * from CTE `src`(vec_id, v).
     */
-  private def cellAssignCtes(src: String): String = {
+  private def cellAssignCtes(src: String, fixedK: String = null): String = {
     val div = graft.sim.Similarity.cellDivisor
     val gate = graft.sim.Similarity.TwoLevelGate
-    s"""nc0 AS (SELECT greatest(8, count(*) // $div) AS k FROM $src),
+    val kCte =
+      if (fixedK == null) s"SELECT greatest(8, count(*) // $div) AS k FROM $src"
+      else s"SELECT CAST($fixedK AS BIGINT) AS k" // explicit-ncells callers
+    s"""nc0 AS ($kCte),
        |nc AS (SELECT k, CASE WHEN k > $gate
        |         THEN CAST(ceil(sqrt(k)) AS BIGINT) ELSE k END AS ns FROM nc0),
        |cent AS (SELECT vec_id AS cell, v AS cv FROM $src, nc WHERE vec_id < nc.k),

@@ -55,20 +55,25 @@ object Similarity {
     * would serialize on as many cores (the `Dedup.parallelized`
     * treatment — measured 23.6 s -> ~3 s for the sf10 cell-assignment
     * pass). No-op at real scale where scans carry enough splits, AND
-    * below a 16 MB size estimate: on a corpus that small the serial
-    * pass is cheaper than the exchange plus the per-stage task
-    * overhead the extra partitions add to every downstream stage
-    * (measured: an ungated repartition cost the Lloyd-loop operators
-    * +0.6..1.7 s per query at the oracle scales while the corpus fit
-    * in one task anyway). `gate` overrides the frame whose size
-    * estimate decides — pass the pre-explode base when `df` contains
-    * a Generate, whose estimate is not scan-derived.
+    * below a 16 MB floor: on a corpus that small the serial pass is
+    * cheaper than the exchange plus the per-stage task overhead the
+    * extra partitions add to every downstream stage (measured: an
+    * ungated repartition cost the Lloyd-loop operators +0.6..1.7 s
+    * per query at the oracle scales while the corpus fit in one task
+    * anyway). The floor is denominated in ACTUAL scan bytes
+    * ([[graft.ScanBytes]], VERDICT r13 #2): the embeddings table is
+    * ~8 MB on disk at the 20k-vector scale where the exchange is a
+    * wash and ~80 MB at the 200k-vector scale where it pays 8x, so
+    * 16 MB keeps the measured behavior with margin on both sides.
+    * `gate` overrides the frame whose size decides — pass the
+    * pre-explode base when `df` contains a Generate, whose size is
+    * not scan-derived.
     */
   private[sim] def parallelized(df: DataFrame,
       gate: DataFrame = null): DataFrame = {
     if (df.isStreaming) return df
     val g = if (gate == null) df else gate
-    val bytes = g.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = graft.ScanBytes.of(g)
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= (1L << 24) && df.rdd.getNumPartitions < target)
       df.repartition(target)
@@ -80,10 +85,22 @@ object Similarity {
     * scale factor pushes the derived cell count over [[TwoLevelGate]],
     * so the two-level assignment path can be exercised end-to-end
     * against the DuckDB oracle without generating a 300k-vector
-    * corpus. Production and the driver's gate never set it.
+    * corpus. Production and the driver's gate never set it — and
+    * because a stray env var would silently change cell counts (and
+    * the oracle CTEs interpolate the same value, so the parity
+    * harness would NOT catch the drift), a non-default setting is
+    * loudly logged at init (ADVICE r13).
     */
-  private[graft] val cellDivisor: Long =
-    sys.env.get("GRAFT_CELL_DIVISOR").map(_.toLong).getOrElse(4096L)
+  private[graft] val cellDivisor: Long = {
+    val v = sys.env.get("GRAFT_CELL_DIVISOR").map(_.toLong)
+    v.filter(_ != 4096L).foreach { d =>
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"GRAFT_CELL_DIVISOR=$d overrides the 4096 IVF occupancy " +
+          "target — TEST-ONLY knob; cell counts (and the mirrored " +
+          "oracle CTEs) are non-standard for this session")
+    }
+    v.getOrElse(4096L)
+  }
 
   /** AUTO cell count for the IVF family: sized from the corpus so
     * per-cell occupancy stays near a fixed target (~4096 vectors),

@@ -66,13 +66,13 @@ object HeavyHitters {
     // drop a null array where DuckDB's unnest keeps ['']). The scan is
     // spread first (TextOps.spread): the tokenize + explode + partial
     // CMS/count aggregation all run map-side, and an under-split file
-    // would pin them to one task. The floor is halved vs the default
-    // because this gate sees a TEXT-ONLY projection (no id column):
-    // the same 50k-doc corpus that estimates 2.5 MB as (id, text)
-    // estimates ~1.5 MB here, and the default floor left the sf1
-    // scale single-task (quiet r13: t19 13.4 s at sf1 vs 8.4 s at
-    // sf10, the inversion that exposed this).
-    val toks = TextOps.spread(docs.select(col(textCol)), 1L << 20)
+    // would pin them to one task. r13 carried a halved floor here
+    // because the optimizer-estimate denomination saw a TEXT-ONLY
+    // projection shrink below the default floor at sf1 (the t19
+    // sf1-slower-than-sf10 inversion); the scan-bytes denomination
+    // (VERDICT r13 #2) is projection-independent, so the default
+    // floor applies unmodified.
+    val toks = TextOps.spread(docs.select(col(textCol)))
       .select(
         explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("tok"))
     val sketch = toks

@@ -28,15 +28,17 @@ object TextOps {
     * map kernels win from the exchange well below the floors the
     * iterative dedup/Lloyd operators measured, but a tiny corpus
     * still fits one task cheaper than an exchange). The floor is
-    * denominated in the OPTIMIZER'S estimate, which undercounts real
-    * text bytes ~2.5x (default 20-byte string width); 2 MB admits the
-    * 50k-doc scale (estimate 2.5 MB) and skips the oracle scales
-    * (<= 255 KB).
+    * denominated in ACTUAL scan bytes ([[graft.ScanBytes]], VERDICT
+    * r13 #2 — the optimizer's 20-byte string width undercut real text
+    * ~2.5x and forced per-site tuned constants): the exchange
+    * measurably pays at the 50k-doc scale (6.0 MB on disk) and hurts
+    * at the oracle scales (<= 0.6 MB), so 2 MB is the geometric
+    * midpoint with ~3x margin to both measured sides.
     */
   def spread(df: org.apache.spark.sql.DataFrame,
       floorBytes: Long = 1L << 21): org.apache.spark.sql.DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = graft.ScanBytes.of(df)
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (bytes >= floorBytes && df.rdd.getNumPartitions < target)
       df.repartition(target)

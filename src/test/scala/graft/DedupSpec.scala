@@ -500,6 +500,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => cells(r.getLong(0)) == cells(r.getLong(1))))
   }
 
+  test("embedding viral-cell pre-flight: worst-cell estimate refuses, names alternates") {
+    import spark.implicits._
+    // a planted 9-copy viral family: identical vectors share a nearest
+    // centroid, so ALL land in one IVF cell -> worst-cell C(9,2) = 36
+    val fam = (0 until 9).map(i => (i.toLong, Array(1.0, 0.0), 1.0))
+    val lone = Seq((99L, Array(0.0, 1.0), 1.0))
+    val assigned = (fam.map(v => (0L, v._1, v._2, v._3)) ++
+        lone.map(v => (7L, v._1, v._2, v._3)))
+      .toDF("cell", "id", "v", "nrm")
+    // generous bound: no refusal
+    Dedup.refuseIfViralCells(assigned, 1L << 20, "test")
+    // tight bound: the refusal carries the worst-cell estimate and
+    // names the scale-safe alternates
+    val e = intercept[graft.dedup.PairVolumeException] {
+      Dedup.refuseIfViralCells(assigned, 10L, "test")
+    }
+    assert(e.estimatedPairs === 36L)
+    assert(e.getMessage.contains("semanticDedup"))
+    assert(e.getMessage.contains("ivfTopKAll"))
+    assert(e.getMessage.contains("maxCandidatePairs"))
+    // the oracle-scale operator result is unchanged by the guard path
+    // (below the pairGuard floor the call stays fully lazy), and the
+    // explicit-bound escape hatch leaves results identical
+    val emb = Tables.t(spark, sf, "embeddings")
+    val a = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.3,
+        maxCandidatePairs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+
   test("incrementalDedup classifies a crafted increment against index tables only") {
     import spark.implicits._
     val baseText = (1 to 40).map(i => s"tok$i").mkString(" ")

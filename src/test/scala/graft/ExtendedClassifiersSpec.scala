@@ -77,4 +77,54 @@ class ExtendedClassifiersSpec extends SparkSpec {
     assert(badSlsn === 0)
     assert(out.filter(col("slsn_score") =!= -1.0).count() > 0, "slsn never computed")
   }
+
+  /** Terminal artifact-gap pin (r14, the rfscoreRainbow treatment):
+    * the SLSN_rainbow joblib is the DATA gap — CI-fetched, absent, and
+    * a substitute cannot be trained offline (no labeled Rubin SLSN
+    * corpus in-container). This test pins the CONTRACT around the gap
+    * so supplying the artifact is a drop-in: the vector fed to any
+    * injected Scorer is the 23-feature parametrise layout
+    * (feature_extraction.py:105-161 — peak flux, 7 linexp-rainbow
+    * params, 6x(std, snr) per band, ra, dec, n_points, inf/NaN
+    * zeroed), curves under MINIMUM_POINTS sentinel to -1.0 without
+    * consulting the scorer, and `slsn_score_is_stub` flags exactly
+    * whether a stand-in scored the rows.
+    */
+  test("slsn scorer contract: injectable, sentinel bypasses scorer, stub flagged") {
+    import spark.implicits._
+    val n = 24
+    val bands = Array("u", "g", "r", "i", "z", "y")
+    val t = Array.tabulate(n)(i => 60000.0 + i)
+    val b = Array.tabulate(n)(i => bands(i % 6))
+    // rising-then-falling curve; peak 900 at i=10
+    val f = Array.tabulate(n)(i => 900.0 - 8.0 * math.abs(i - 10))
+    val e = Array.fill(n)(5.0)
+    def box(xs: Array[Double]) = xs.map(Double.box).toSeq
+    val ok = (box(t), box(f), box(e), b.toSeq)
+    val bad = (box(t.take(5)), box(f.take(5)), box(e.take(5)),
+      b.take(5).toSeq) // < 7 points -> -1.0 sentinel, scorer untouched
+    val df = Seq(ok, bad)
+      .toDF("cmidpointMjdTai", "cpsfFlux", "cpsfFluxErr", "cband")
+    val probe = new graft.models.Scorer {
+      override def score(x: Array[Double]): Double = {
+        assert(x.length === 23, s"feature layout drifted: ${x.length}")
+        assert(x(0) === 900.0)  // raw peak flux leads
+        assert(x(20) === 10.0)  // ra
+        assert(x(21) === -5.0)  // dec
+        assert(x(22) === 24.0)  // n valid points closes the vector
+        0.75
+      }
+    }
+    val out = ExtendedClassifiers.slsnRubin(spark, df, probe,
+        raCol = lit(10.0), decCol = lit(-5.0))
+      .select("slsn_score", "slsn_score_is_stub").collect()
+    assert(out.map(_.getDouble(0)).sorted.toSeq === Seq(-1.0, 0.75))
+    assert(out.forall(!_.getBoolean(1)),
+      "an injected real scorer must not be flagged as a stub")
+    val stubbed = ExtendedClassifiers.slsnRubin(spark, df,
+        raCol = lit(10.0), decCol = lit(-5.0))
+      .select("slsn_score_is_stub").collect()
+    assert(stubbed.forall(_.getBoolean(0)),
+      "the default stand-in must surface slsn_score_is_stub = true")
+  }
 }

@@ -172,6 +172,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s11 two-level cells: the super-centroid route is in the plan, unforced") {
+    // VERDICT r13 #6: ncells=125 > TwoLevelGate keeps the two-level
+    // branch permanently exercised without the GRAFT_CELL_DIVISOR
+    // knob. Its signature: THREE broadcast hash aggregate+join rounds
+    // (centroid->super tag, vector->super route, within-super refine)
+    // instead of the single-level plan's one join + one aggregate.
+    val p = plan("s11_twolevel_cells")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // two broadcast-products against the tiny super table (centroid
+    // tag + vector route) and one HASH equi-join on the super key
+    // (the refinement — the join that must stay keyed, because it is
+    // the one that degrades to a shuffle join beyond broadcast size)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
+      "route/tag broadcast passes missing")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("sup#")), "refinement is not an equi-join on the super key")
+    // the single-level form of the same corpus has no keyed join at all
+    val single = graft.sim.Similarity.assignCells(
+        graft.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", 8)
+      .queryExecution.executedPlan.toString
+    assert(!single.contains("BroadcastHashJoin"))
+    assert(single.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1)
+  }
+
   test("s7 kmeans: per-iteration materialization keeps the final plan one pass") {
     // training materializes each (tiny) centroid table eagerly, so the
     // RETURNED assignment plan must be a single corpus pass against a

@@ -69,5 +69,37 @@ def main(src, dst):
     print(f"wrote sf100 (documents/embeddings/events, {R}x sf10) to {dst}")
 
 
+def relational(src, dst):
+    """r14 (VERDICT r13 #3): the q/x relational tables for the sf100
+    probe of q5/q20 (lineitem/orders; the x/q19/q22 queries read
+    events, already written by main). Same offset discipline: sf10
+    orderkeys span ~[0, 1e10) so each sf100 replica shifts by 1e10."""
+    import shutil
+    off = {"orderkey": 10_000_000_000, "custkey": 1_000_000_000,
+           "partkey": 1_000_000_000, "suppkey": 100_000_000}
+    for t in ["region", "nation", "supplier", "part", "customer"]:
+        # dims and small tables: q5/q20 don't join them at sf100, and
+        # replicating customer/part would only grow tables the probe
+        # never reads — copy through for schema completeness
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    def fo(d, r):
+        d["o_orderkey"] += r * off["orderkey"]
+        d["o_custkey"] += r * off["custkey"]
+        return d
+    rep_to_parquet(f"{src}/orders.parquet", f"{dst}/orders.parquet", fo)
+
+    def fl(d, r):
+        d["l_orderkey"] += r * off["orderkey"]
+        d["l_partkey"] += r * off["partkey"]
+        d["l_suppkey"] += r * off["suppkey"]
+        return d
+    rep_to_parquet(f"{src}/lineitem.parquet", f"{dst}/lineitem.parquet", fl)
+    print(f"wrote sf100 relational (orders/lineitem {R}x sf10, dims copied)")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    if "--relational" in sys.argv:  # additive: extend an existing sf100
+        relational(sys.argv[1], sys.argv[2])
+    else:
+        main(sys.argv[1], sys.argv[2])
