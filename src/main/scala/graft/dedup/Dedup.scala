@@ -833,8 +833,8 @@ object Dedup {
         val nEdges = chunks.foldLeft(0L)(_ + _.length / 2)
         require(nEdges <= Int.MaxValue.toLong,
           s"edge count $nEdges exceeds driver union-find addressability")
-        val src = new Array[Long](nEdges.toInt)
-        val dst = new Array[Long](nEdges.toInt)
+        var src = new Array[Long](nEdges.toInt)
+        var dst = new Array[Long](nEdges.toInt)
         var o = 0
         var ci = 0
         while (ci < chunks.length) {
@@ -844,9 +844,25 @@ object Dedup {
           chunks(ci) = null // free each interleaved chunk as it's unpacked
           ci += 1
         }
-        broadcast(spark.createDataset(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(
-              driverComponentLabels(src, dst)))
+        val (nodeIds, nodeLabels) = driverComponentLabels(src, dst)
+        src = null; dst = null // the union-find no longer needs the edges
+        // the label table leaves the driver as a BROADCAST of the two
+        // primitive arrays read per-partition by index — r14's gate
+        // headroom probe (tools/GateHeadroom) showed the former boxed
+        // Array[(Long, Long)] + LocalRelation conversion OOMing the 8 g
+        // default heap at the 2^24 boundary under the worst-case node
+        // count (2 nodes/edge): ~1.9 GB of tuple boxing plus a second
+        // InternalRow copy, both avoided here (rows materialize per
+        // partition, transiently)
+        val sc = spark.sparkContext
+        val bcIds = sc.broadcast(nodeIds)
+        val bcLabels = sc.broadcast(nodeLabels)
+        val nNodes = nodeIds.length
+        broadcast(spark.range(nNodes.toLong)
+          .mapPartitions { it =>
+            val ids = bcIds.value; val labels = bcLabels.value
+            it.map { k => (ids(k.toInt), labels(k.toInt)) }
+          }
           .toDF("id", "label"))
       } else {
         log.warn(s"closeComponents: $n edges exceed edgeGate=$edgeGate " +
@@ -863,10 +879,13 @@ object Dedup {
     * edge volume is structurally bounded (linear in distinct docs for
     * the star forest), so a single collect + path-compressing
     * union-find replaces an iterative join loop whose per-sweep fixed
-    * costs exceed the whole computation at this size.
+    * costs exceed the whole computation at this size. Returns the
+    * parallel primitive arrays (node ids, component labels) — no
+    * per-node boxing (r14 gate-headroom evidence: the boxed tuple
+    * array alone was ~1.9 GB at the 2^24 boundary).
     */
   private[graft] def driverComponentLabels(
-      src: Array[Long], dst: Array[Long]): Array[(Long, Long)] = {
+      src: Array[Long], dst: Array[Long]): (Array[Long], Array[Long]) = {
     require(src.length == dst.length,
       s"edge endpoint arrays differ: ${src.length} vs ${dst.length}")
     // open-addressed long -> slot index (linear probing, power-of-two
@@ -938,6 +957,7 @@ object Dedup {
       if (ra != rb) parent(rb) = ra
       e += 1
     }
+    keys = null; slotOf = null // lookup table dead past the edge loop
     // min id per component root (slot-indexed primitive array)
     val rootMin = Array.fill(nNodes)(Long.MaxValue)
     var i = 0
@@ -946,7 +966,11 @@ object Dedup {
       if (ids(i) < rootMin(r)) rootMin(r) = ids(i)
       i += 1
     }
-    Array.tabulate(nNodes)(k => ids(k) -> rootMin(find(k)))
+    val outIds = java.util.Arrays.copyOf(ids, nNodes)
+    val labels = new Array[Long](nNodes)
+    i = 0
+    while (i < nNodes) { labels(i) = rootMin(find(i)); i += 1 }
+    (outIds, labels)
   }
 
   /** Per-bucket star forest over the LSH band buckets of a

@@ -39,6 +39,42 @@ object CrossMatch {
   private def zoneId(dec: Column, zoneHeightDeg: Double): Column =
     floor((dec + 90.0) / zoneHeightDeg).cast("long")
 
+  /** Per-zone RA bucket geometry (r14 — SCALE_r14's x1 finding): a
+    * dec-only zone key leaves every alert scanning ALL catalog rows in
+    * its zone — ~constant per alert, so the crossmatch is linear, but
+    * with a large constant (sf100 probe: 438 s, every alert paying
+    * ~10^2 haversines). Bucketing RA as a SECOND join key cuts the
+    * candidate set to the rows within one bucket width.
+    *
+    * Width derivation (exact, from the haversine): for a pair within
+    * radius r, sin^2(sep/2) >= cos(d1) cos(d2) sin^2(dra/2), so the
+    * true (cyclic) RA difference obeys
+    * dra <= 2 asin(sin(r/2) / sqrt(cos d1 cos d2)). With `edge` the
+    * pole-nearest |dec| reachable by a pair whose ALERT sits in the
+    * zone (zone span plus one zone-height margin for the catalog
+    * side), cos(edge) lower-bounds each cosine, giving the per-zone
+    * width `w = 2 asin(min(1, sin(r/2)/cos(edge)))` — near the poles
+    * the arg clamps and the zone degrades gracefully to 1-2 buckets
+    * (dec-only behavior). Buckets are MODULAR (`nb = ceil(360/w)`,
+    * probe b-1/b/b+1 mod nb) so the 0/360 seam pairs stay co-located;
+    * nb*w >= 360 makes cyclic adjacency == bucket adjacency. Both
+    * sides evaluate the SAME column expression of the zone id, so the
+    * key doubles agree bit-for-bit. The 1.05 slack absorbs double
+    * rounding; candidates stay O(1) per alert either way.
+    */
+  private def raBucketGeom(zone: Column, zoneHeightDeg: Double,
+      radiusArcsec: Double): (Column, Column) = {
+    val rHalfSin = math.sin(math.toRadians(radiusArcsec / 3600.0) / 2.0)
+    val lo = zone * zoneHeightDeg - 90.0 - zoneHeightDeg
+    val hi = (zone + 1) * zoneHeightDeg - 90.0 + zoneHeightDeg
+    val edge = least(lit(90.0), greatest(abs(lo), abs(hi)))
+    val arg = least(lit(1.0),
+      lit(rHalfSin) / greatest(cos(radians(edge)), lit(1e-12)))
+    val w = least(lit(360.0), degrees(asin(arg)) * 2.0 * 1.05)
+    val nb = greatest(lit(1L), ceil(lit(360.0) / w).cast("long"))
+    (w, nb)
+  }
+
   /** Append the payload of the closest catalog row within `radiusArcsec`
     * of each alert (defaults where unmatched).
     *
@@ -52,18 +88,36 @@ object CrossMatch {
       catRa: String, catDec: String, payload: Seq[String],
       defaults: Map[String, Column]): DataFrame = {
     val zh = math.max(radiusArcsec / 3600.0, 1e-4)
-    val catZoned = catalog.select(
+    // catalog: dec-replicated into both neighbor zones (x3), then ONE
+    // ra bucket per replica, computed with the replica ZONE's geometry
+    // (the alert side probes the same zone's geometry — identical
+    // expression, identical doubles)
+    val catZoned0 = catalog.select(
       (explode(array(lit(-1L), lit(0L), lit(1L))).as("__dz")) +:
         col(catRa).as("__cra") +: col(catDec).as("__cdec") +:
         payload.map(c => col(c).as(s"__p_$c")): _*)
       .withColumn("__zone", zoneId(col("__cdec"), zh) + col("__dz"))
       .drop("__dz")
+    val (cw, cnb) = raBucketGeom(col("__zone"), zh, radiusArcsec)
+    val catZoned = catZoned0
+      .withColumn("__rb", pmod(floor(col("__cra") / cw).cast("long"), cnb))
 
-    val left = alerts.withColumn("__zone", zoneId(col(decCol), zh))
+    // alerts: probe the (<=3 distinct) cyclic neighbor buckets — the
+    // fact side carries the replication because tripling map-side probe
+    // rows is cheaper at scale than tripling the broadcast build
+    val left0 = alerts.withColumn("__zone", zoneId(col(decCol), zh))
+    val (aw, anb) = raBucketGeom(col("__zone"), zh, radiusArcsec)
+    val left = left0
+      .withColumn("__rb0", floor(col(raCol) / aw).cast("long"))
+      .withColumn("__rb", explode(array_distinct(array(
+        pmod(col("__rb0") - 1, anb), pmod(col("__rb0"), anb),
+        pmod(col("__rb0") + 1, anb)))))
+      .drop("__rb0")
     val sep = angularSepArcsec(col(raCol), col(decCol), col("__cra"), col("__cdec"))
 
     val joined = left.join(broadcast(catZoned),
-        left("__zone") === catZoned("__zone") && sep < radiusArcsec, "left")
+        left("__zone") === catZoned("__zone") &&
+          left("__rb") === catZoned("__rb") && sep < radiusArcsec, "left")
       .withColumn("__sep", sep)
 
     // one row per alert: min_by with ordering (sep, catalog position) —

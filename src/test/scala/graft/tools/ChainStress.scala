@@ -1,0 +1,88 @@
+// dev scratch (SCALE_r14, VERDICT r13 #7): the chained two-stage
+// event-time ingest at a realistic decade — sf10 documents (500k)
+// through the transformWithState chain with RocksDB state, measuring
+// drain wall, per-stage output, checkpoint/state-store size, and
+// batch-twin agreement on the candidate count.
+// Usage: runMain graft.tools.ChainStress [sfDir] [slices]
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+object ChainStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf10")
+    val slices = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def du(path: String): Long = {
+      val root = new java.io.File(path)
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+    // event time derived deterministically from doc_id: one day of
+    // data, ~5.8k docs/second-bucket at sf10 — well inside the 2h
+    // watermark, so admission order is data-defined, not file-defined
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        timestamp_millis(lit(1700000000000L) +
+          (col("doc_id") % 86400L) * 1000L).as("ts"))
+    val inDir = java.nio.file.Files.createTempDirectory("chain-sf10-in").toString
+    // slice by id stripe (arrival disorder vs event time), plus two
+    // flush files a day apart to advance the two-stage watermark
+    (0 until slices).foreach { i =>
+      docs.filter(col("doc_id") % slices === i)
+        .coalesce(4).write.parquet(s"$inDir/s$i")
+    }
+    val keptText = "the corpus flush sentinel document is long enough ."
+    Seq((999999999L, keptText, 1700000000000L + 86400000L),
+        (999999998L, keptText, 1700000000000L + 2 * 86400000L))
+      .zipWithIndex.foreach { case ((id, tx, ms), i) =>
+        spark.range(1).select(lit(id).as("doc_id"), lit(tx).as("text"),
+          timestamp_millis(lit(ms)).as("ts"))
+          .write.parquet(s"$inDir/zz$i")
+      }
+    val schema = spark.read.parquet(s"$inDir/s0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(s"$inDir/*")
+    val ckpt = java.nio.file.Files.createTempDirectory("chain-sf10-ck").toString
+    val t0 = System.nanoTime()
+    val q = graft.streaming.EventTimeChain.chained(spark, stream.toDF(),
+        "doc_id", "text", "ts", watermark = "2 hours", maxHamming = 4,
+        requireTerminal = false)
+      .writeStream.format("memory").queryName("chain_sf10")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(3600000)
+    val wall = (System.nanoTime() - t0) / 1e9
+    val got = spark.table("chain_sf10")
+      .filter(col("doc_id") < 999999998L && col("canonical") < 999999998L)
+    val nGot = got.count()
+    println(f"[c] stream drain: $wall%.1f s, candidates = $nGot, " +
+      s"checkpoint = ${du(ckpt) / (1 << 20)} MB (state = " +
+      s"${du(s"$ckpt/state") / (1 << 20)} MB)")
+    val t1 = System.nanoTime()
+    val batch = graft.streaming.EventTimeChain.chainedBatch(docs,
+        "doc_id", "text", "ts", maxHamming = 4, requireTerminal = false)
+      .filter(col("doc_id") < 999999998L && col("canonical") < 999999998L)
+    val nBatch = batch.count()
+    println(f"[c] batch twin: ${(System.nanoTime() - t1) / 1e9}%.1f s, " +
+      s"candidates = $nBatch")
+    val diff = got.select("doc_id", "canonical", "ham")
+      .exceptAll(batch.select("doc_id", "canonical", "ham")).count() +
+      batch.select("doc_id", "canonical", "ham")
+        .exceptAll(got.select("doc_id", "canonical", "ham")).count()
+    println(s"[c] stream/batch symmetric diff rows = $diff" +
+      (if (diff == 0) " (EXACT AGREEMENT)" else " (MISMATCH)"))
+    spark.stop()
+  }
+}

@@ -36,7 +36,7 @@ object ProfileD15 {
     time("driver union-find closure") {
       val e = forest.collect()
       graft.dedup.Dedup.driverComponentLabels(
-        e.map(_.getLong(0)), e.map(_.getLong(1))).size
+        e.map(_.getLong(0)), e.map(_.getLong(1)))._1.length
     }
     // stage 4b: the distributed sweep loop it replaced
     time("connectedComponents sweeps") {
