@@ -36,6 +36,12 @@ object Bench {
         // 2..n warm cached data via the CacheManager's plan-keyed lookup,
         // turning the median into a warm-cache number — evict first
         spark.sharedState.cacheManager.clearCache()
+        // shuffle FILES outlive the query: they are freed only when the
+        // ContextCleaner GCs the ShuffleDependency, so a multi-query
+        // stress session accumulates every prior query's shuffle on
+        // disk (SCALE_r14: sf100 d15+d19+d3 in one session filled 60 GB
+        // and killed d3, which completes alone) — nudge the cleaner
+        System.gc()
         val t0 = System.nanoTime()
         // Materialize EVERY column: count() lets Catalyst prune unreferenced
         // projections, which under-measures projection-heavy queries. toRdd

@@ -643,37 +643,153 @@ object Dedup {
   /** d3's engine over a pre-built [[signedSets]] relation (a legacy
     * [[shingleSets]] relation also works: when no `sig` column is
     * present, signatures are computed from the string shingles).
+    *
+    * r14 plan (SCALE_r14: the r13-shaped candidate join re-joined the
+    * sets table TWICE to fetch shingle payloads, shuffling two ~350 B
+    * arrays per CANDIDATE row — ~200 GB of spill at the sf100 decade,
+    * where the one-box probe died on disk): verification now runs
+    * INSIDE the band buckets. Each doc's band rows carry (nsh, shd,
+    * sig) once — one groupByKey exchange of O(docs x bands) rows —
+    * and the per-bucket kernel merge-verifies in place. Each
+    * qualifying pair is emitted by its FIRST truly-shared band only
+    * (elementwise signature-slice equality, computed per pair), so:
+    * (a) no pair is verified or emitted twice — the global
+    * candidate-distinct shuffle of the old plan disappears outright;
+    * (b) bucket membership may be grouped by a 64-bit band-key hash,
+    * but emission requires EXACT slice equality at some band, so the
+    * pair set is bit-for-bit the raw-triple-equality semantics the
+    * oracle encodes — a key collision only co-locates rows, it can
+    * never admit a pair. Buckets over `bucketCap` keep the spilling
+    * self-join (the [[minhashForestParts]] skew discipline) with the
+    * same ownership predicate in Column form, so the two paths
+    * partition the pair set exactly.
     */
   def minhashLshPairsFromSets(sets: DataFrame, threshold: Double,
-      numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame = {
+      numHashes: Int = 12, rowsPerBand: Int = 3,
+      bucketCap: Int = 1 << 16): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
     val bandsN = numHashes / rowsPerBand
     val sigs =
       if (sets.columns.contains("sig")) sets
       else sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // band rows join on the raw signature triple — equality of the
-    // triple IS the bucket key, so hashing it (the previous md5) only
-    // added per-row digests without changing the candidate set
-    val bandStructs = (0 until bandsN).map { b =>
-      struct((lit(b).as("band") +: (0 until rowsPerBand).map(r =>
-        col("sig")(b * rowsPerBand + r).as(s"k$r"))): _*)
+    val bandKeys = (0 until bandsN).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        col("sig")(b * rowsPerBand + r))): _*)
     }
-    val bands = sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.*"))
-      .cache() // both sides of the bucket self-join
-    val keys = Seq("band") ++ (0 until rowsPerBand).map(r => s"k$r")
-    val cand = bands.as("a").join(bands.as("b"),
-        keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("d1"), col("b.id").as("d2")).distinct()
-    cand
-      .join(sets.select(col("id").as("d1"), col("shd").as("sh1"), col("nsh").as("n1")), "d1")
-      .join(sets.select(col("id").as("d2"), col("shd").as("sh2"), col("nsh").as("n2")), "d2")
-      .filter(least(col("n1"), col("n2")) >= greatest(col("n1"), col("n2")) * threshold)
-      .withColumn("inter",
-        org.apache.spark.sql.graft.SortedIntersectCount(col("sh1"), col("sh2")))
-      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), col("jac"))
+    val bandStructs = (0 until bandsN).map { b =>
+      struct(lit(b).as("band"), bandKeys(b).as("bkey"))
+    }
+    val banded = sigs
+      .select(col("id").cast("long").as("id"), col("nsh"), col("shd"),
+        col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.bkey").as("bkey"), col("bb.band").as("band"),
+        col("id"), col("nsh"), col("shd"), col("sig"))
+    // eager NARROW skew pass off the cached set table (bkey longs
+    // only) — bounded by bandRows/bucketCap, the Selection counter-map
+    // pattern; empty on every realistic corpus
+    val bigKeys: Array[Long] = sigs
+      .select(explode(array(bandKeys: _*)).as("bkey"))
+      .groupBy(col("bkey")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > bucketCap)
+      .select(col("bkey")).as[Long].collect()
+    val smallB =
+      if (bigKeys.isEmpty) banded
+      else banded.filter(!col("bkey").isInCollection(bigKeys))
+    val small = smallB
+      .as[(Long, Int, Long, Int, Array[Long], Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups((_: Long,
+          it: Iterator[(Long, Int, Long, Int, Array[Long], Array[Long])]) =>
+        lshBucketPairs(it, threshold, rowsPerBand))
+      .toDF("d1", "d2", "jac")
+    if (bigKeys.isEmpty) small
+    else {
+      val largeB = banded.filter(col("bkey").isInCollection(bigKeys))
+      // first truly-shared band of the pair, as a when-chain checked
+      // in band order — the same ownership rule as the kernel
+      val shared = (0 until bandsN).map { b =>
+        (0 until rowsPerBand).map(rr =>
+          col("a.sig")(b * rowsPerBand + rr) ===
+            col("b.sig")(b * rowsPerBand + rr)).reduce(_ && _)
+      }
+      val firstShared = shared.zipWithIndex.foldRight(lit(-1)) {
+        case ((c, b), acc) => when(c, lit(b)).otherwise(acc)
+      }
+      val large = largeB.as("a").join(largeB.as("b"),
+          col("a.bkey") === col("b.bkey") && col("a.band") === col("b.band") &&
+            col("a.id") < col("b.id") &&
+            least(col("a.nsh"), col("b.nsh")) >=
+              greatest(col("a.nsh"), col("b.nsh")) * threshold)
+        .filter(firstShared === col("a.band"))
+        .withColumn("inter", org.apache.spark.sql.graft.SortedIntersectCount(
+          col("a.shd"), col("b.shd")))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("a.nsh") + col("b.nsh") - col("inter")))
+        .filter(col("jac") >= threshold)
+        .select(col("a.id").as("d1"), col("b.id").as("d2"), col("jac"))
+      small.union(large)
+    }
+  }
+
+  /** Per-bucket kernel of [[minhashLshPairsFromSets]]: pairwise exact
+    * sorted-merge Jaccard over the bucket's members, emitting
+    * `(d1, d2, jac)` with `d1 < d2` for pairs at or above the
+    * threshold whose FIRST truly-shared band is this bucket's band —
+    * the ownership rule that makes global emissions exactly-once with
+    * no distinct, and restores exact raw-triple bucket semantics
+    * under the hashed grouping key (a collision-mixed pair shares no
+    * slice at this band and is skipped). Buffered state is bounded by
+    * `bucketCap` members' (shd, sig) arrays.
+    */
+  private[graft] def lshBucketPairs(
+      it: Iterator[(Long, Int, Long, Int, Array[Long], Array[Long])],
+      threshold: Double, rowsPerBand: Int): Iterator[(Long, Long, Double)] = {
+    val bands = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val szs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val sigsB = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    it.foreach { case (_, band, id, nsh, shd, sig) =>
+      bands += band; ids += id; szs += nsh; sets += shd; sigsB += sig
+    }
+    def firstSharedBand(s1: Array[Long], s2: Array[Long]): Int = {
+      var b = 0
+      while (b * rowsPerBand < s1.length) {
+        var k = 0; var eq = true
+        while (k < rowsPerBand && eq) {
+          eq = s1(b * rowsPerBand + k) == s2(b * rowsPerBand + k); k += 1
+        }
+        if (eq) return b
+        b += 1
+      }
+      -1
+    }
+    val m = ids.length
+    // LAZY pair stream — a near-dup family bucket emits C(k,2) pairs,
+    // which must stream out of flatMapGroups, not buffer in the task
+    // (a 10k-copy viral family is 50M output tuples)
+    (0 until m).iterator.flatMap { i =>
+      (i + 1 until m).iterator.flatMap { j =>
+        if (bands(i) == bands(j) &&
+            firstSharedBand(sigsB(i), sigsB(j)) == bands(i)) {
+          val n1 = szs(i); val n2 = szs(j)
+          if (math.min(n1, n2) >= math.max(n1, n2) * threshold) {
+            val a = sets(i); val b = sets(j)
+            var x = 0; var y = 0; var inter = 0
+            while (x < a.length && y < b.length) {
+              if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+              else if (a(x) < b(y)) x += 1 else y += 1
+            }
+            val jac = inter.toDouble / (n1 + n2 - inter)
+            if (jac >= threshold) {
+              if (ids(i) < ids(j)) Iterator.single((ids(i), ids(j), jac))
+              else Iterator.single((ids(j), ids(i), jac))
+            } else Iterator.empty
+          } else Iterator.empty
+        } else Iterator.empty
+      }
+    }
   }
 
   /** Linear-output CLUSTER SUMMARY over the MinHash-LSH verified

@@ -173,10 +173,18 @@ object EventTimeChain {
     override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
         tv: TimerValues): Iterator[ChainCandidate] = {
       var minTs = Long.MaxValue
+      // ONE appendList per (key, batch), not one appendValue per row:
+      // each RocksDB list merge pays a native metrics read of the
+      // accumulated value, so per-row appends into a HOT bucket (a
+      // replication-heavy corpus concentrates simhashes) cost
+      // O(pending^2) bytes read per batch — the sf10 chain probe
+      // measured one such task at ~20 min CPU before this batching
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Member]
       rows.foreach { r =>
-        pending.appendValue(Member(r.ts_ms, r.doc_id, r.simhash))
+        buf += Member(r.ts_ms, r.doc_id, r.simhash)
         if (r.ts_ms < minTs) minTs = r.ts_ms
       }
+      if (buf.nonEmpty) pending.appendList(buf.toArray)
       if (minTs != Long.MaxValue)
         // earliest pending entry governs the next drain point; an
         // entry already behind the watermark drains on the next advance

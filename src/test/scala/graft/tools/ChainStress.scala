@@ -34,23 +34,38 @@ object ChainStress {
         timestamp_millis(lit(1700000000000L) +
           (col("doc_id") % 86400L) * 1000L).as("ts"))
     val inDir = java.nio.file.Files.createTempDirectory("chain-sf10-in").toString
-    // slice by id stripe (arrival disorder vs event time), plus two
-    // flush files a day apart to advance the two-stage watermark
+    // slice by TIME BAND (86400/slices seconds each, written in band
+    // order so the file source's modification-time ordering replays
+    // them in band order): within-band disorder (72 min at 20 slices)
+    // stays under the 2 h watermark bound the chain is contracted
+    // for — id-stripe slicing would put the whole day in every slice,
+    // drop most rows as late, and diverge from the batch twin by
+    // DESIGN, not by bug. The flush files below then advance the
+    // two-stage watermark past the last band.
+    val bandSec = 86400L / slices
     (0 until slices).foreach { i =>
-      docs.filter(col("doc_id") % slices === i)
-        .coalesce(4).write.parquet(s"$inDir/s$i")
+      docs.filter(floor((col("doc_id") % 86400L) / bandSec) === i)
+        .coalesce(1).write.parquet(f"$inDir/s$i%03d")
     }
+    // THREE flushes a day apart: each stateful stage trails the source
+    // watermark by one advance AND its drain horizon by the 2 h delay,
+    // so a finite AvailableNow drain of a full-day span needs flush k+1
+    // for stage-2 entries stranded in the last (delay) window of flush
+    // k's horizon (first run: two flushes left the [20h, 24h) original-
+    // ts tail undrained — 9,879 of 121,990 pairs missing; a continuous
+    // stream has no such cliff, its watermark keeps advancing)
     val keptText = "the corpus flush sentinel document is long enough ."
     Seq((999999999L, keptText, 1700000000000L + 86400000L),
-        (999999998L, keptText, 1700000000000L + 2 * 86400000L))
+        (999999998L, keptText, 1700000000000L + 2 * 86400000L),
+        (999999997L, keptText, 1700000000000L + 3 * 86400000L))
       .zipWithIndex.foreach { case ((id, tx, ms), i) =>
         spark.range(1).select(lit(id).as("doc_id"), lit(tx).as("text"),
           timestamp_millis(lit(ms)).as("ts"))
           .write.parquet(s"$inDir/zz$i")
       }
-    val schema = spark.read.parquet(s"$inDir/s0").schema
+    val schema = spark.read.parquet(s"$inDir/s000").schema
     val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "8")
+      .option("maxFilesPerTrigger", "1")
       .parquet(s"$inDir/*")
     val ckpt = java.nio.file.Files.createTempDirectory("chain-sf10-ck").toString
     val t0 = System.nanoTime()
@@ -64,8 +79,15 @@ object ChainStress {
       .start()
     q.awaitTermination(3600000)
     val wall = (System.nanoTime() - t0) / 1e9
+    q.recentProgress.foreach { p =>
+      println(s"[c.batch] id=${p.batchId} rows=${p.numInputRows} " +
+        s"wm=${Option(p.eventTime).map(_.get("watermark")).orNull} " +
+        s"state=${p.stateOperators.map(s =>
+          s"${s.operatorName}:rows=${s.numRowsTotal},upd=${s.numRowsUpdated}").mkString(" | ")}")
+    }
+    println(s"[c] raw memory-sink rows = ${spark.table("chain_sf10").count()}")
     val got = spark.table("chain_sf10")
-      .filter(col("doc_id") < 999999998L && col("canonical") < 999999998L)
+      .filter(col("doc_id") < 999999997L && col("canonical") < 999999997L)
     val nGot = got.count()
     println(f"[c] stream drain: $wall%.1f s, candidates = $nGot, " +
       s"checkpoint = ${du(ckpt) / (1 << 20)} MB (state = " +
@@ -73,14 +95,21 @@ object ChainStress {
     val t1 = System.nanoTime()
     val batch = graft.streaming.EventTimeChain.chainedBatch(docs,
         "doc_id", "text", "ts", maxHamming = 4, requireTerminal = false)
-      .filter(col("doc_id") < 999999998L && col("canonical") < 999999998L)
+      .filter(col("doc_id") < 999999997L && col("canonical") < 999999997L)
     val nBatch = batch.count()
     println(f"[c] batch twin: ${(System.nanoTime() - t1) / 1e9}%.1f s, " +
       s"candidates = $nBatch")
-    val diff = got.select("doc_id", "canonical", "ham")
-      .exceptAll(batch.select("doc_id", "canonical", "ham")).count() +
-      batch.select("doc_id", "canonical", "ham")
-        .exceptAll(got.select("doc_id", "canonical", "ham")).count()
+    // SET compare (the spec's convention): the stream legitimately
+    // surfaces the same pair from two band buckets; chainedBatch ends
+    // in a distinct for the same reason
+    val gotD = got.select("doc_id", "canonical", "ham").distinct()
+    val batchD = batch.select("doc_id", "canonical", "ham").distinct()
+    val so = gotD.exceptAll(batchD).count()
+    val bo = batchD.exceptAll(gotD).count()
+    println(s"[c] stream-only=$so batch-only=$bo")
+    gotD.write.mode("overwrite").parquet("/tmp/chain_diag/stream")
+    batchD.write.mode("overwrite").parquet("/tmp/chain_diag/batch")
+    val diff = so + bo
     println(s"[c] stream/batch symmetric diff rows = $diff" +
       (if (diff == 0) " (EXACT AGREEMENT)" else " (MISMATCH)"))
     spark.stop()
