@@ -40,8 +40,13 @@ object Bench {
         // ContextCleaner GCs the ShuffleDependency, so a multi-query
         // stress session accumulates every prior query's shuffle on
         // disk (SCALE_r14: sf100 d15+d19+d3 in one session filled 60 GB
-        // and killed d3, which completes alone) — nudge the cleaner
-        System.gc()
+        // and killed d3, which completes alone). Nudged ONLY on the
+        // reps=1 stress protocol: the cleaner's concurrent file
+        // deletion bleeds ~0.3 s into the next timed query, which is
+        // noise against stress-scale numbers but a uniform +0.3 s/query
+        // distortion of the multi-rep quiet blocks, whose oracle-scale
+        // shuffles are too small to accumulate meaningfully anyway
+        if (reps == 1) System.gc()
         val t0 = System.nanoTime()
         // Materialize EVERY column: count() lets Catalyst prune unreferenced
         // projections, which under-measures projection-heavy queries. toRdd
