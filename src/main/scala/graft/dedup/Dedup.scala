@@ -680,6 +680,14 @@ object Dedup {
     val bandStructs = (0 until bandsN).map { b =>
       struct(lit(b).as("band"), bandKeys(b).as("bkey"))
     }
+    // long-id contract (the whole dedup closure family's convention —
+    // closeComponents/minhashLshTopK already cast ids to long): fail
+    // loudly on a non-integral id column rather than let the cast
+    // null out and surface as a cryptic encoder error
+    require(Seq("long", "int", "short", "byte", "integer")
+        .contains(sigs.schema("id").dataType.typeName),
+      s"minhashLshPairsFromSets requires an integral id column; got " +
+        sigs.schema("id").dataType.typeName)
     val banded = sigs
       .select(col("id").cast("long").as("id"), col("nsh"), col("shd"),
         col("sig"), explode(array(bandStructs: _*)).as("bb"))
@@ -755,7 +763,10 @@ object Dedup {
     }
     def firstSharedBand(s1: Array[Long], s2: Array[Long]): Int = {
       var b = 0
-      while (b * rowsPerBand < s1.length) {
+      // full bands only: numHashes % rowsPerBand trailing hashes are
+      // not a band (r14 review catch — `b*r < len` walked a partial
+      // trailing band past the array end when r does not divide len)
+      while ((b + 1) * rowsPerBand <= s1.length) {
         var k = 0; var eq = true
         while (k < rowsPerBand && eq) {
           eq = s1(b * rowsPerBand + k) == s2(b * rowsPerBand + k); k += 1

@@ -55,9 +55,13 @@ object CrossMatch {
     * side), cos(edge) lower-bounds each cosine, giving the per-zone
     * width `w = 2 asin(min(1, sin(r/2)/cos(edge)))` — near the poles
     * the arg clamps and the zone degrades gracefully to 1-2 buckets
-    * (dec-only behavior). Buckets are MODULAR (`nb = ceil(360/w)`,
-    * probe b-1/b/b+1 mod nb) so the 0/360 seam pairs stay co-located;
-    * nb*w >= 360 makes cyclic adjacency == bucket adjacency. Both
+    * (dec-only behavior). Buckets are MODULAR and tile the circle in
+    * EQUAL widths: `nb = max(1, floor(360/w))`, actual width
+    * `W = 360/nb >= w`, probe b-1/b/b+1 mod nb — the equal tiling is
+    * what makes cyclic adjacency == bucket adjacency (r14 review
+    * catch: a ceil-derived count leaves a NARROWER overhang bucket at
+    * the 0/360 seam that sits within w of bucket 0 without being its
+    * modular neighbor, silently dropping true seam matches). Both
     * sides evaluate the SAME column expression of the zone id, so the
     * key doubles agree bit-for-bit. The 1.05 slack absorbs double
     * rounding; candidates stay O(1) per alert either way.
@@ -71,8 +75,8 @@ object CrossMatch {
     val arg = least(lit(1.0),
       lit(rHalfSin) / greatest(cos(radians(edge)), lit(1e-12)))
     val w = least(lit(360.0), degrees(asin(arg)) * 2.0 * 1.05)
-    val nb = greatest(lit(1L), ceil(lit(360.0) / w).cast("long"))
-    (w, nb)
+    val nb = greatest(lit(1L), floor(lit(360.0) / w).cast("long"))
+    (lit(360.0) / nb, nb)
   }
 
   /** Append the payload of the closest catalog row within `radiusArcsec`

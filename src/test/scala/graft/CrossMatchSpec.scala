@@ -91,6 +91,27 @@ class CrossMatchSpec extends SparkSpec {
     assert(got === "X")
   }
 
+  test("ra bucket seam: 0/360-wrap pairs match; overhang slivers are covered") {
+    import spark.implicits._
+    // (a) a pair straddling the 0/360 seam within radius — the cyclic
+    // modular neighbor probe must co-locate them
+    val alerts = Seq(("W", 0.0002, 10.0)).toDF("id", "ra", "dec")
+    val cat = Seq((359.9998, 10.0, "SEAM")).toDF("cra", "cdec", "lab")
+    val got = CrossMatch.label(alerts, cat, 2.0, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out").select("out").head().getString(0)
+    assert(got === "SEAM")
+    // (b) the r14 review catch: with a LARGE radius (wide buckets,
+    // 360/w far from integral) a ceil-derived bucket count left a
+    // narrower overhang bucket near 360 that was within w of bucket 0
+    // but not its modular neighbor — equal-width tiling must match a
+    // pair with the catalog side deep in the last bucket
+    val a2 = Seq(("V", 0.2, 0.5)).toDF("id", "ra", "dec")
+    val c2 = Seq((359.3, 0.5, "OVERHANG")).toDF("cra", "cdec", "lab")
+    val got2 = CrossMatch.label(a2, c2, 3600.0, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out").select("out").head().getString(0)
+    assert(got2 === "OVERHANG")
+  }
+
   test("angular separation is exact for known pairs") {
     import spark.implicits._
     // 1 arcsec offset in dec at the equator

@@ -640,6 +640,31 @@ class DedupSpec extends SparkSpec {
     assert(got === viaPairs)
   }
 
+  test("lsh pairs: non-divisible numHashes ignores the partial trailing band") {
+    import spark.implicits._
+    // r14 review catch: firstSharedBand walked a PARTIAL trailing band
+    // past the signature array when rowsPerBand does not divide
+    // numHashes (the old join form and the Column-form ownership both
+    // ignore trailing hashes). 10 hashes / 3 rows = 3 full bands.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different text about something else entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5,
+        numHashes = 10, rowsPerBand = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.5))
+    assert(pairs.map(p => (p._1, p._2)).toSet.contains((1L, 2L)),
+      "planted near-dup pair not found under 3-full-band config")
+    // the long-id contract fails loudly, not with an encoder error
+    val bad = Seq(("a", "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(bad, "doc_id", "text", 0.5)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("minhashLshTopK equals the ranked symmetrized pair report") {
     val docs = Tables.t(spark, sf, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7)

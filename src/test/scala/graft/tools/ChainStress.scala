@@ -44,7 +44,11 @@ object ChainStress {
     // two-stage watermark past the last band.
     val bandSec = 86400L / slices
     (0 until slices).foreach { i =>
-      docs.filter(floor((col("doc_id") % 86400L) / bandSec) === i)
+      // last band open-ended: when slices does not divide 86400 the
+      // truncated bandSec would strand the day's tail in a band index
+      // no writer iteration matches (review catch)
+      val band = floor((col("doc_id") % 86400L) / bandSec)
+      docs.filter(if (i == slices - 1) band >= i else band === i)
         .coalesce(1).write.parquet(f"$inDir/s$i%03d")
     }
     // THREE flushes a day apart: each stateful stage trails the source

@@ -99,7 +99,8 @@ def relational(src, dst):
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--relational"]
     if "--relational" in sys.argv:  # additive: extend an existing sf100
-        relational(sys.argv[1], sys.argv[2])
+        relational(args[0], args[1])
     else:
-        main(sys.argv[1], sys.argv[2])
+        main(args[0], args[1])
