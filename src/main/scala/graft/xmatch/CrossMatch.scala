@@ -7,26 +7,41 @@ import org.apache.spark.sql.functions._
   * reference: ztf/xmatch/utils.py:32-82 (astropy KD-tree inside a pandas
   * UDF) and ztf/xmatch/processor.py:439-598.
   *
-  * Spark-first design (SURVEY.md §4 "custom Catalyst work"):
+  * Spark-first design (SURVEY.md §4 "custom Catalyst work"; plan shape
+  * r15, VERDICT r14 #1):
   *
-  * 1. Both sides get a declination *zone id* (zone height = match
-  *    radius), and the small catalog is replicated into its zone and both
-  *    neighbors, so every within-radius pair shares a zone key.
-  * 2. A broadcast-hash equi-join on the zone key + the exact angular
-  *    separation predicate yields candidate pairs — the fact table never
-  *    shuffles, and the per-row candidate set is only the local zone's.
-  * 3. Closest-match dedup is `min(struct(sep, tiebreak, payload))` under
-  *    a groupBy on the alert key — a partial-aggregatable (map-side
-  *    combined) aggregation, deliberately NOT a window sort: at 100 TB a
-  *    window over the fact table would shuffle + sort everything, while
-  *    this plan's only wide exchange is the final hash aggregate.
-  * 4. Left semantics: unmatched alerts keep a default payload
+  * 1. The small catalog is packed ONCE on the driver into a broadcast
+  *    `(dec zone, RA bucket) -> candidate` CSR index
+  *    ([[org.apache.spark.sql.graft.CatalogIndex]] — zone height = match
+  *    radius, rows replicated into both neighbor zones, per-zone modular
+  *    equal-width RA tiling derived from the exact haversine bound).
+  * 2. Each alert row evaluates ONE deterministic scalar expression
+  *    ([[org.apache.spark.sql.graft.ClosestCatalogProbe]]) that scans its
+  *    <=3 cyclic neighbor buckets and picks the exact-haversine closest
+  *    candidate under the (sep, cra, cdec) tie order — the Spark-native
+  *    form of the reference's KD-tree-inside-a-partition. The alert side
+  *    NEVER exchanges: no join, no aggregation, no window — the previous
+  *    plan's closest-match `groupBy(id).agg(min_by)` shipped the full
+  *    alert struct over the wire once per row, a full pass of the
+  *    dataset at 100 TB.
+  * 3. Left semantics: unmatched alerts keep a default payload
   *    (`Unknown` label convention, processor.py:593-595).
   *
-  * The declination-band catalog pre-filter of the Rubin variants
-  * (rubin/xmatch/processor.py:455-467) falls out of zoning for free.
+  * The catalog is collected + broadcast at plan-construction time (one
+  * small job) — the same driver-size contract as the broadcast join it
+  * replaces, now failed fast by an explicit row cap instead of an
+  * executor OOM. The declination-band catalog pre-filter of the Rubin
+  * variants (rubin/xmatch/processor.py:455-467) falls out of zoning for
+  * free.
   */
 object CrossMatch {
+  import org.apache.spark.sql.graft.{CatalogIndex, ClosestCatalogProbe}
+  import org.apache.spark.sql.types.StructType
+
+  /** Hard ceiling on broadcast catalog rows (fail fast on a misuse that
+    * would have OOMed the old broadcast join just as surely).
+    */
+  val MaxCatalogRows: Int = 1 << 26
 
   /** Exact angular separation (haversine; degrees in, arcsec out). */
   def angularSepArcsec(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
@@ -36,54 +51,14 @@ object CrossMatch {
     asin(sqrt(h)) * lit(2.0 * 180.0 / math.Pi * 3600.0)
   }
 
-  private def zoneId(dec: Column, zoneHeightDeg: Double): Column =
-    floor((dec + 90.0) / zoneHeightDeg).cast("long")
-
-  /** Per-zone RA bucket geometry (r14 — SCALE_r14's x1 finding): a
-    * dec-only zone key leaves every alert scanning ALL catalog rows in
-    * its zone — ~constant per alert, so the crossmatch is linear, but
-    * with a large constant (sf100 probe: 438 s, every alert paying
-    * ~10^2 haversines). Bucketing RA as a SECOND join key cuts the
-    * candidate set to the rows within one bucket width.
-    *
-    * Width derivation (exact, from the haversine): for a pair within
-    * radius r, sin^2(sep/2) >= cos(d1) cos(d2) sin^2(dra/2), so the
-    * true (cyclic) RA difference obeys
-    * dra <= 2 asin(sin(r/2) / sqrt(cos d1 cos d2)). With `edge` the
-    * pole-nearest |dec| reachable by a pair whose ALERT sits in the
-    * zone (zone span plus one zone-height margin for the catalog
-    * side), cos(edge) lower-bounds each cosine, giving the per-zone
-    * width `w = 2 asin(min(1, sin(r/2)/cos(edge)))` — near the poles
-    * the arg clamps and the zone degrades gracefully to 1-2 buckets
-    * (dec-only behavior). Buckets are MODULAR and tile the circle in
-    * EQUAL widths: `nb = max(1, floor(360/w))`, actual width
-    * `W = 360/nb >= w`, probe b-1/b/b+1 mod nb — the equal tiling is
-    * what makes cyclic adjacency == bucket adjacency (r14 review
-    * catch: a ceil-derived count leaves a NARROWER overhang bucket at
-    * the 0/360 seam that sits within w of bucket 0 without being its
-    * modular neighbor, silently dropping true seam matches). Both
-    * sides evaluate the SAME column expression of the zone id, so the
-    * key doubles agree bit-for-bit. The 1.05 slack absorbs double
-    * rounding; candidates stay O(1) per alert either way.
-    */
-  private def raBucketGeom(zone: Column, zoneHeightDeg: Double,
-      radiusArcsec: Double): (Column, Column) = {
-    val rHalfSin = math.sin(math.toRadians(radiusArcsec / 3600.0) / 2.0)
-    val lo = zone * zoneHeightDeg - 90.0 - zoneHeightDeg
-    val hi = (zone + 1) * zoneHeightDeg - 90.0 + zoneHeightDeg
-    val edge = least(lit(90.0), greatest(abs(lo), abs(hi)))
-    val arg = least(lit(1.0),
-      lit(rHalfSin) / greatest(cos(radians(edge)), lit(1e-12)))
-    val w = least(lit(360.0), degrees(asin(arg)) * 2.0 * 1.05)
-    val nb = greatest(lit(1L), floor(lit(360.0) / w).cast("long"))
-    (lit(360.0) / nb, nb)
-  }
-
   /** Append the payload of the closest catalog row within `radiusArcsec`
-    * of each alert (defaults where unmatched).
+    * of each alert (defaults where unmatched). One output row per alert
+    * ROW (per-row probe, left semantics).
     *
-    * @param alerts     large side; must contain `idCol`, `raCol`, `decCol`
-    * @param catalog    small side with columns (ra, dec, payload...)
+    * @param alerts     large side; must contain `raCol`, `decCol`
+    * @param catalog    small (broadcast-size) side with (ra, dec, payload...)
+    * @param idCol      retained for API parity — the per-row probe needs
+    *                   no grouping key
     * @param payload    catalog payload columns to append
     * @param defaults   per-payload-column default for unmatched alerts
     */
@@ -92,56 +67,42 @@ object CrossMatch {
       catRa: String, catDec: String, payload: Seq[String],
       defaults: Map[String, Column]): DataFrame = {
     val zh = math.max(radiusArcsec / 3600.0, 1e-4)
-    // catalog: dec-replicated into both neighbor zones (x3), then ONE
-    // ra bucket per replica, computed with the replica ZONE's geometry
-    // (the alert side probes the same zone's geometry — identical
-    // expression, identical doubles)
-    val catZoned0 = catalog.select(
-      (explode(array(lit(-1L), lit(0L), lit(1L))).as("__dz")) +:
-        col(catRa).as("__cra") +: col(catDec).as("__cdec") +:
-        payload.map(c => col(c).as(s"__p_$c")): _*)
-      .withColumn("__zone", zoneId(col("__cdec"), zh) + col("__dz"))
-      .drop("__dz")
-    val (cw, cnb) = raBucketGeom(col("__zone"), zh, radiusArcsec)
-    val catZoned = catZoned0
-      .withColumn("__rb", pmod(floor(col("__cra") / cw).cast("long"), cnb))
-
-    // alerts: probe the (<=3 distinct) cyclic neighbor buckets — the
-    // fact side carries the replication because tripling map-side probe
-    // rows is cheaper at scale than tripling the broadcast build
-    val left0 = alerts.withColumn("__zone", zoneId(col(decCol), zh))
-    val (aw, anb) = raBucketGeom(col("__zone"), zh, radiusArcsec)
-    val left = left0
-      .withColumn("__rb0", floor(col(raCol) / aw).cast("long"))
-      .withColumn("__rb", explode(array_distinct(array(
-        pmod(col("__rb0") - 1, anb), pmod(col("__rb0"), anb),
-        pmod(col("__rb0") + 1, anb)))))
-      .drop("__rb0")
-    val sep = angularSepArcsec(col(raCol), col(decCol), col("__cra"), col("__cdec"))
-
-    val joined = left.join(broadcast(catZoned),
-        left("__zone") === catZoned("__zone") &&
-          left("__rb") === catZoned("__rb") && sep < radiusArcsec, "left")
-      .withColumn("__sep", sep)
-
-    // one row per alert: min_by with ordering (sep, catalog position) —
-    // deterministic under ties, partial-aggregatable map-side, and the
-    // payload stays OUT of the ordering so non-orderable payload types
-    // (maps, like mangrove's) work. Unmatched rows have a null ordering
-    // and are ignored by min_by; all-unmatched groups yield null.
-    val alertStruct = struct(alerts.columns.map(c => left(c)): _*)
-    val best = joined
-      .groupBy(col(idCol))
-      .agg(
-        first(alertStruct).as("__alert"),
-        min_by(
-          struct(payload.map(c => col(s"__p_$c")): _*),
-          when(col("__sep").isNotNull,
-            struct(col("__sep"), col("__cra"), col("__cdec")))).as("__m"))
-
-    val outCols = alerts.columns.map(c => col(s"__alert.$c").as(c)) ++
-      payload.map(c => coalesce(col(s"__m.__p_$c"), defaults(c)).as(c))
-    best.select(outCols: _*)
+    // collect the catalog as catalyst rows: (cra double, cdec double,
+    // payload struct) — payload values stay in catalyst form so the
+    // probe can return them directly
+    val catDf = catalog.select(
+      col(catRa).cast("double").as("__cra"),
+      col(catDec).cast("double").as("__cdec"),
+      struct(payload.map(c => col(c).as(c)): _*).as("__p"))
+    val payloadType = catDf.schema("__p").dataType.asInstanceOf[StructType]
+    val nP = payloadType.fields.length
+    val rows = catDf.queryExecution.toRdd.map(_.copy()).collect()
+    require(rows.length <= MaxCatalogRows,
+      s"crossmatch catalog has ${rows.length} rows — beyond the broadcast " +
+        s"contract ($MaxCatalogRows); crossmatch the other way around or " +
+        "pre-filter the catalog (decBandFilter)")
+    val craB = Array.newBuilder[Double]
+    val cdecB = Array.newBuilder[Double]
+    val payB = Array.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+    rows.foreach { r =>
+      // null/NaN catalog coordinates can never match (the old zone join
+      // dropped them via a null key) — skip them at build
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val cr = r.getDouble(0)
+        val cd = r.getDouble(1)
+        if (!cr.isNaN && !cd.isNaN) {
+          craB += cr; cdecB += cd; payB += r.getStruct(2, nP).copy()
+        }
+      }
+    }
+    val index = CatalogIndex.build(zh, radiusArcsec, craB.result(),
+      cdecB.result(), payB.result())
+    val bc = alerts.sparkSession.sparkContext.broadcast(index)
+    val probe = ClosestCatalogProbe(
+      col(raCol).cast("double"), col(decCol).cast("double"), bc, payloadType)
+    val outCols = alerts.columns.map(col) ++
+      payload.map(c => coalesce(col("__m")(c), defaults(c)).as(c))
+    alerts.withColumn("__m", probe).select(outCols: _*)
   }
 
   /** Label-style crossmatch: closest catalog `labelCol` within radius,

@@ -24,14 +24,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("x1 crossmatch: one zone broadcast join, no sort-merge, no window sort") {
+  test("x1 crossmatch: per-row broadcast-index probe — no join, no agg, " +
+      "only the protocol sort exchanges") {
     val p = plan("x1_crossmatch")
-    assert(p.contains("BroadcastHashJoin"), "zone join must broadcast")
-    assert(!p.contains("SortMergeJoin"))
-    assert(!p.contains("RunningWindowFunction") && !p.contains("Window "),
-      "closest-match must be an aggregation, not a window sort")
-    assert(p.contains("min_by") || p.contains("minBy") || p.contains("partial_min_by")
-      || p.contains("partial"), "expect partial aggregation")
+    assert(p.contains("closest_catalog_probe"), "expect the broadcast-index probe")
+    assert(!p.contains("Join"), "crossmatch must be join-free (r15)")
+    assert(!p.contains("HashAggregate"),
+      "closest-match must not exchange the alert payload (r15)")
+    assert(!p.contains("Window "), "closest-match must not window-sort")
+    // the ONLY exchange is the output orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no hash exchange above the scan")
   }
 
   test("q1: aggregation is partially applied map-side") {
@@ -44,11 +47,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(300))
   }
 
-  test("x2 map-payload crossmatch: broadcast zone join, min_by aggregation") {
+  test("x2 map-payload crossmatch: per-row probe, join- and agg-free") {
     val p = plan("x2_mangrove_payload")
-    assert(p.contains("BroadcastHashJoin"), "zone join must broadcast")
-    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("closest_catalog_probe"), "expect the broadcast-index probe")
+    assert(!p.contains("Join"), "crossmatch must be join-free (r15)")
+    assert(!p.contains("HashAggregate"))
     assert(!p.contains("Window "), "payload pick must not window-sort")
+  }
+
+  test("crossmatch without the protocol sort: ZERO exchanges above the scan") {
+    import org.apache.spark.sql.functions._
+    val alerts = spark.read.parquet(s"$sf/events.parquet").select(
+      col("event_id").as("id"),
+      (col("event_id") % 36000) / 100.0 as "ra",
+      (col("event_id") % 17000) / 100.0 - 85.0 as "dec")
+    val cat = spark.read.parquet(s"$sf/part.parquet").select(
+      ((col("p_partkey") % 36000) / 100.0).as("cra"),
+      ((col("p_partkey") % 17000) / 100.0 - 85.0).as("cdec"),
+      col("p_brand").as("lab"))
+    val out = graft.xmatch.CrossMatch.label(alerts, cat, 2.0,
+      "id", "ra", "dec", "cra", "cdec", "lab", "m")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"crossmatch itself must never exchange:\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
   }
 
   test("f3/f5 packet operators: single shuffle (the packet groupBy), no joins") {
