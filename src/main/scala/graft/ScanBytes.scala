@@ -24,6 +24,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * is deliberately ignored: the floors ask "is this CORPUS big enough
   * that distributing/guarding pays", a property of the data on disk,
   * not of the projection.
+  *
+  * FILTER-blind too, by the same design (ADVICE r14): a selective
+  * filter over a large table still reports the full leaf bytes, so a
+  * small filtered slice of a big corpus can trip a guard floor and pay
+  * its pre-flight job. That errs only in the conservative direction —
+  * a floor can fire early, never silently not at all — which is the
+  * failure mode the r13 incident picked this denomination to kill. If
+  * filtered-slice calls ever become a common pattern, the fallback is
+  * the optimizer estimate when the plan carries selective filters.
   */
 object ScanBytes {
   def of(df: DataFrame): Long = {

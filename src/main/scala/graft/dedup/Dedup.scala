@@ -91,6 +91,12 @@ final class PairVolumeException(val estimatedPairs: Long,
   */
 object Dedup {
 
+  /** Default LSH band-bucket membership cap: buckets at or under it run
+    * the in-bucket pair kernel; buckets above it take the spilling
+    * self-join fallback (same ownership rule in Column form).
+    */
+  val DefaultBucketCap: Int = 1 << 16
+
   /** Distinct token n-gram shingles of one text (single-space
     * tokenization, lowercased — TextOps.tokens semantics). First
     * occurrence order, like Spark's array_distinct.
@@ -530,6 +536,12 @@ object Dedup {
     * signature matches exactly; collisions are then verified against the
     * true shingle Jaccard, so output is exact over the candidate set
     * (deterministic: the hash family is fixed, not sampled).
+    *
+    * '''Long-id contract''' (ADVICE r14): `idCol` must be integral
+    * (byte/short/int/long) — the whole dedup closure family's
+    * convention (closeComponents, minhashLshTopK). Non-integral ids
+    * fail loudly at plan construction; hash or dense-rank string ids
+    * to long before calling.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 3,
@@ -666,7 +678,7 @@ object Dedup {
     */
   def minhashLshPairsFromSets(sets: DataFrame, threshold: Double,
       numHashes: Int = 12, rowsPerBand: Int = 3,
-      bucketCap: Int = 1 << 16): DataFrame = {
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val spark = sets.sparkSession
     import spark.implicits._
     val bandsN = numHashes / rowsPerBand
@@ -695,12 +707,22 @@ object Dedup {
         col("id"), col("nsh"), col("shd"), col("sig"))
     // eager NARROW skew pass off the cached set table (bkey longs
     // only) — bounded by bandRows/bucketCap, the Selection counter-map
-    // pattern; empty on every realistic corpus
-    val bigKeys: Array[Long] = sigs
-      .select(explode(array(bandKeys: _*)).as("bkey"))
-      .groupBy(col("bkey")).agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > bucketCap)
-      .select(col("bkey")).as[Long].collect()
+    // pattern; empty on every realistic corpus. Gated (ADVICE r14)
+    // behind the pairGuard scan-byte floor so small corpora and
+    // plan-only callers stay fully lazy: below ~16 MB of source text a
+    // bucket past the default 2^16 cap is not credible, and a missed
+    // census is a robustness miss only (the kernel buffers one
+    // oversized bucket in a task), never a wrong answer. An explicit
+    // non-default cap is a caller asking for capping — census runs.
+    val censusNeeded = bucketCap != DefaultBucketCap ||
+      (!sets.isStreaming && graft.ScanBytes.of(sets) >= (1L << 24))
+    val bigKeys: Array[Long] =
+      if (!censusNeeded) Array.empty
+      else sigs
+        .select(explode(array(bandKeys: _*)).as("bkey"))
+        .groupBy(col("bkey")).agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > bucketCap)
+        .select(col("bkey")).as[Long].collect()
     val smallB =
       if (bigKeys.isEmpty) banded
       else banded.filter(!col("bkey").isInCollection(bigKeys))
@@ -782,7 +804,10 @@ object Dedup {
     // (a 10k-copy viral family is 50M output tuples)
     (0 until m).iterator.flatMap { i =>
       (i + 1 until m).iterator.flatMap { j =>
-        if (bands(i) == bands(j) &&
+        // ids(i) == ids(j): a duplicated id row can never form a pair —
+        // mirror the fallback join's STRICT a.id < b.id (ADVICE r14:
+        // the swap-only order emitted a degenerate (id, id, 1.0))
+        if (ids(i) != ids(j) && bands(i) == bands(j) &&
             firstSharedBand(sigsB(i), sigsB(j)) == bands(i)) {
           val n1 = szs(i); val n2 = szs(j)
           if (math.min(n1, n2) >= math.max(n1, n2) * threshold) {

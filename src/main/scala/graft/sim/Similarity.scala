@@ -80,24 +80,24 @@ object Similarity {
     else df
   }
 
-  /** Per-cell occupancy target for [[autoCells]]. The env override is
-    * a TEST-ONLY knob (`GRAFT_CELL_DIVISOR`): shrinking it at a tiny
-    * scale factor pushes the derived cell count over [[TwoLevelGate]],
-    * so the two-level assignment path can be exercised end-to-end
-    * against the DuckDB oracle without generating a 300k-vector
-    * corpus. Production and the driver's gate never set it — and
-    * because a stray env var would silently change cell counts (and
-    * the oracle CTEs interpolate the same value, so the parity
-    * harness would NOT catch the drift), a non-default setting is
-    * loudly logged at init (ADVICE r13).
+  /** Per-cell occupancy target for [[autoCells]]. Fixed at 4096 in
+    * production — a session knob that silently changed cell counts
+    * would also change the mirrored oracle CTEs, so the parity harness
+    * could NOT catch the drift (ADVICE r13). The former
+    * `GRAFT_CELL_DIVISOR` env override is retired (VERDICT r14 #5):
+    * s11 exercises the two-level route unforced and SimilaritySpec
+    * forces branches through explicit `ncells`, so the only remaining
+    * escape hatch is the `graft.test.cellDivisor` SYSTEM property — a
+    * test-JVM flag no production launcher sets — and a non-default
+    * value is still loudly logged.
     */
   private[graft] val cellDivisor: Long = {
-    val v = sys.env.get("GRAFT_CELL_DIVISOR").map(_.toLong)
+    val v = sys.props.get("graft.test.cellDivisor").map(_.toLong)
     v.filter(_ != 4096L).foreach { d =>
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"GRAFT_CELL_DIVISOR=$d overrides the 4096 IVF occupancy " +
-          "target — TEST-ONLY knob; cell counts (and the mirrored " +
-          "oracle CTEs) are non-standard for this session")
+        s"graft.test.cellDivisor=$d overrides the 4096 IVF occupancy " +
+          "target — TEST-ONLY flag; cell counts (and the mirrored " +
+          "oracle CTEs) are non-standard for this JVM")
     }
     v.getOrElse(4096L)
   }

@@ -336,6 +336,41 @@ class DedupSpec extends SparkSpec {
       s"giant family not one component of 300: $famRow / $capped")
   }
 
+  test("pair report over-bucketCap fallback: Column ownership partitions the " +
+      "pair set exactly against the kernel route (VERDICT r14 #3)") {
+    // Hand-built signatures so ownership STRADDLES the cap boundary:
+    // 40 docs all share band 1 (one 42-member bucket — over cap 16,
+    // Column-fallback route), while pairs (2k, 2k+1) ALSO share band 0
+    // in 2-member buckets (under cap — kernel route). First-truly-shared
+    // ownership must emit (2k, 2k+1) from the band-0 kernel bucket ONLY
+    // and every other pair from the band-1 fallback bucket ONLY — an
+    // ownership divergence double- or zero-emits, which the exact
+    // row-count check catches (a set compare would mask double emission).
+    // Two extra rows carry the SAME id (9999) through both routes: a
+    // duplicated id must never self-pair on either (ADVICE r14).
+    import spark.implicits._
+    val shd = (1L to 10L).toArray // identical sets: every pair verifies at jac 1.0
+    def mkSig(band0: Long, band1: Long, uniq: Long): Array[Long] =
+      Array(band0, band0 + 1, band0 + 2, band1, band1 + 1, band1 + 2,
+        uniq, uniq + 1, uniq + 2, uniq + 1000, uniq + 1001, uniq + 1002)
+    val fam = (0 until 40).map(m =>
+      (m.toLong, 10, shd, mkSig(10000L + m / 2, 777L, 50000L + 100L * m)))
+    val dup = Seq.fill(2)((9999L, 10, shd, mkSig(20000L, 777L, 90000L)))
+    val sets = (fam ++ dup).toDF("id", "nsh", "shd", "sig")
+    def run(cap: Int): Seq[(Long, Long, Double)] =
+      Dedup.minhashLshPairsFromSets(sets, 0.7, bucketCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val capped = run(16)
+    val uncapped = run(Dedup.DefaultBucketCap)
+    assert(capped === uncapped, s"routes diverged: capped ${capped.size} " +
+      s"rows vs uncapped ${uncapped.size}")
+    // exactly-once: C(40,2) family pairs + 40 pairs per dup-id row
+    assert(capped.size === 40 * 39 / 2 + 80, s"got ${capped.size} rows")
+    assert(capped.forall(p => p._1 < p._2), "self- or misordered pair emitted")
+    assert(capped.forall(_._3 === 1.0))
+  }
+
   test("giant simhash bucket: recursive sub-banding equals brute force") {
     // a bucket above RecursePairwiseLimit (512 distinct signatures)
     // exercises bucketStars' recursion: two 300-member cliques far
