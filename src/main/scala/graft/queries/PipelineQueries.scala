@@ -100,6 +100,18 @@ object PipelineQueries extends QueryPack {
     Dedup.minhashLshTopK(docs(s, dir), "doc_id", "text", 0.7, 3)
       .orderBy("doc_id", "partner")
 
+  // d21: SAMPLED near-dup degree — d17's statement over a
+  // deterministic uniform 1/2 document sample (seeded-MD5 residue
+  // class, reproduced bit-for-bit by the oracle). The COMPUTE-side
+  // scale path for the exact pair family: sampling both endpoints
+  // scales pair volume by 1/rateInv^2, and est_n_neighbors =
+  // n_neighbors * rateInv is unbiased (binomial thinning). rateInv=2
+  // here so the sf0.01 oracle keeps a stable nontrivial row count;
+  // scale users run 1/10 or 1/100.
+  private def d21SampledDegree(s: SparkSession, dir: String): DataFrame =
+    Dedup.sampledJaccardDegree(docs(s, dir), "doc_id", "text", 0.5, 2)
+      .orderBy("doc_id")
+
   // d20: BOUNDED span-overlap report — each doc's top-3 winnow-overlap
   // partners (d18's constants: minShared=6, maxDf=32), same TopKPerGroup
   // bounded-heap ranking. Ties on (overlap, n_shared) break to the
@@ -686,6 +698,7 @@ object PipelineQueries extends QueryPack {
     "d18_winnow_overlap" -> (d18WinnowOverlap _),
     "d19_lsh_topk" -> (d19LshTopK _),
     "d20_overlap_topk" -> (d20OverlapTopK _),
+    "d21_sampled_degree" -> (d21SampledDegree _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -728,12 +741,14 @@ object PipelineQueries extends QueryPack {
     "m4_perceptual_hash" -> (m4PerceptualHash _))
 
   // DuckDB mirrors. Shared CTE fragments:
-  private val SH_CTE =
-    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
-      |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
-      |  WHERE len(ts) >= 3),
-      |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)""".stripMargin
+  private def shCteFrom(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i)
+       |  WHERE len(ts) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1)""".stripMargin
+
+  private val SH_CTE = shCteFrom("documents")
 
   // The d3 verified-pair chain (shingles -> MD5 minhash signatures ->
   // band buckets -> exact-Jaccard verification), ending in
@@ -935,6 +950,29 @@ object PipelineQueries extends QueryPack {
          |sym AS (SELECT d1 AS doc_id, jac FROM v
          |        UNION ALL SELECT d2, jac FROM v)
          |SELECT doc_id, count(*) AS n_neighbors, max(jac) AS max_jac
+         |FROM sym GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d21: d17's degree statement over the deterministic uniform 1/2
+    // doc sample — the sampling residue mirrors Hashing.hash60's
+    // seed-97 lane (md5 of '97:' || id, first 15 hex chars as a
+    // 60-bit integer) so both engines keep exactly the same docs.
+    "d21_sampled_degree" ->
+      s"""WITH sdocs AS (
+         |  SELECT * FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0),
+         |${shCteFrom("sdocs")},
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) AS jac
+         |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/(s1.nsh + s2.nsh - inter) >= 0.5),
+         |sym AS (SELECT d1 AS doc_id, jac FROM v
+         |        UNION ALL SELECT d2, jac FROM v)
+         |SELECT doc_id, count(*) AS n_neighbors, max(jac) AS max_jac,
+         |       count(*) * 2 AS est_n_neighbors
          |FROM sym GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // d18: the MOSS overlap report over winnowed fingerprints — the
     // g/n/p/small CTEs are t5's fingerprint reconstruction verbatim

@@ -465,6 +465,35 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("sampledJaccardDegree: rateInv=1 is exact; thinning is sound and unbiased-scaled") {
+    val full = Dedup.ngramJaccardDegree(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // rateInv=1 keeps every doc: est column aside, it IS the degree op
+    val r1 = Dedup.sampledJaccardDegree(docs, "doc_id", "text", 0.5, 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(r1.view.mapValues(v => (v._1, v._2)).toMap === full)
+    r1.values.foreach { case (n, _, est) => assert(est === n) }
+    // rateInv=2: every emitted doc is in the residue class, its sampled
+    // degree never exceeds the full degree, max_jac is a lower bound,
+    // and est = n * 2
+    val keepIds = docs.where(Dedup.sampleKeep("doc_id", 2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keepIds.nonEmpty && keepIds.size < docs.count())
+    val r2 = Dedup.sampledJaccardDegree(docs, "doc_id", "text", 0.5, 2)
+      .collect()
+    assert(r2.nonEmpty)
+    r2.foreach { r =>
+      val (d, n, m, est) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(keepIds.contains(d), s"doc $d emitted but not sampled")
+      val (fn, fm) = full(d)
+      assert(n <= fn, s"doc $d sampled degree $n > full degree $fn")
+      assert(m <= fm + 1e-12, s"doc $d sampled max_jac $m > full $fm")
+      assert(est === n * 2)
+    }
+  }
+
   test("simhash of identical token multisets is identical; near-dups are close") {
     import spark.implicits._
     val df = Seq(
