@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Default corpus-size floor for [[spread]]: below it the exchange
+    * costs more than single-task execution saves (see spread's
+    * derivation note). Operators whose map kernel is unusually cheap
+    * or expensive may pass their own measured floor.
+    */
+  val DefaultSpreadFloor: Long = 1L << 21
+
   /** Spread a narrow document scan across the session's cores before
     * map-heavy per-document kernels (tokenize/regex/fingerprint) — the
     * `Dedup.parallelized` treatment for the text family. A
@@ -36,7 +43,7 @@ object TextOps {
     * midpoint with ~3x margin to both measured sides.
     */
   def spread(df: org.apache.spark.sql.DataFrame,
-      floorBytes: Long = 1L << 21): org.apache.spark.sql.DataFrame = {
+      floorBytes: Long = DefaultSpreadFloor): org.apache.spark.sql.DataFrame = {
     if (df.isStreaming) return df // micro-batches size themselves
     val bytes = graft.ScanBytes.of(df)
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -24,11 +24,12 @@ object TfIdf {
   /** (doc_id, top_term, top_tfidf): the max-tf-idf term per document,
     * ties to the lexicographically smallest term.
     */
-  def topTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def topTerm(docs: DataFrame, idCol: String, textCol: String,
+      spreadFloor: Long = TextOps.DefaultSpreadFloor): DataFrame =
     topTermFromTokens(
       // spread an under-split scan before the tokenize + explode
       // (TextOps.spread; no-op on well-split corpora)
-      TextOps.spread(docs.select(col(idCol), col(textCol)))
+      TextOps.spread(docs.select(col(idCol), col(textCol)), spreadFloor)
         .select(col(idCol).as("doc_id"),
           split(lower(col(textCol)), " ").as("toks")),
       docs.agg(count(lit(1)).as("nd")))

@@ -42,6 +42,38 @@ object ViralStress {
     }
     println(s"[v] d19 rows = $d19")
 
+    // capped-fallback equality at sf10 volume (VERDICT r14 #2): a
+    // bucketCap far under the family size pushes the viral band
+    // buckets through the spilling Column-form ownership path; the
+    // verified pair count must match the in-bucket kernel route to
+    // the digit (the DedupSpec boundary case, now at stress volume)
+    val sets = graft.dedup.Dedup.signedSets(corpus, "doc_id", "text", 12, 3)
+    val d3capped = time(s"d3 pairs CAPPED (bucketCap=4096)") {
+      graft.dedup.Dedup.minhashLshPairsFromSets(sets, 0.7,
+        bucketCap = 4096).count()
+    }
+    sets.unpersist()
+    println(s"[v] d3 capped pairs = $d3capped " +
+      (if (d3capped == d3) "== kernel route (EXACT)" else s"!= kernel $d3 MISMATCH"))
+
+    // the exact degree statement refuses at sf10's own density (the
+    // d2/d14 refusal family); the SAMPLED degree is the compute-relief
+    // path that still answers — rateInv=10 thins pair volume 100x
+    time("d17 exact-degree refusal (natural sf10 density)") {
+      try {
+        graft.dedup.Dedup.ngramJaccardDegree(corpus, "doc_id", "text", 0.5)
+        println("[v] d17 DID NOT REFUSE")
+      } catch {
+        case e: graft.dedup.PairVolumeException =>
+          println(s"[v] d17 refused: est=${e.estimatedPairs} bound=${e.bound}")
+      }
+    }
+    val d21 = time("d21 sampled degree (rateInv=10, viral corpus)") {
+      graft.dedup.Dedup.sampledJaccardDegree(corpus, "doc_id", "text",
+        0.5, 10).count()
+    }
+    println(s"[v] d21 rows = $d21 (degree survey over ~1/10 of the corpus)")
+
     // d6: the embedding pair report must REFUSE at viral density now —
     // `fam` identical vectors share a nearest centroid, so the
     // worst-cell C(n,2) pre-flight trips the default bound
