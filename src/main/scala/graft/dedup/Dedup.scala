@@ -275,10 +275,10 @@ object Dedup {
           "Scale-safe statements: minhashLshClusterSummary (per-cluster " +
           "summary), dedupPipeline/incrementalDedup (survivors + " +
           "closure), minhashLshTopK / Winnow.overlapTopK (bounded " +
-          "per-doc top-k reports), sampledJaccardDegree (uniform " +
-          "1/r doc sample — pair volume scales by 1/r^2, unbiased " +
-          "degree estimates). Raise maxCandidatePairs to force " +
-          "this run anyway.")
+          "per-doc top-k reports), sampledJaccardDegree / " +
+          "sampledContainmentDegree (uniform 1/r doc sample — pair " +
+          "volume scales by 1/r^2, unbiased degree estimates). Raise " +
+          "maxCandidatePairs to force this run anyway.")
     }
   }
 
@@ -1358,6 +1358,24 @@ object Dedup {
     ngramJaccardDegree(df.where(sampleKeep(idCol, rateInv)), idCol,
         textCol, threshold, n, maxCandidatePairs)
       .withColumn("est_n_neighbors", col("n_neighbors") * lit(rateInv.toLong))
+  }
+
+  /** SAMPLED containment degree — [[containmentDegree]] over the same
+    * deterministic uniform 1/`rateInv` sample as
+    * [[sampledJaccardDegree]] (one shared residue class, so the two
+    * surveys describe the same sub-corpus). The asymmetric analog:
+    * conditional on a contained doc being sampled, each of its true
+    * containers survives independently with p = 1/rateInv, so
+    * `est_n_containers = n_containers * rateInv` is unbiased and
+    * `max_containment` an exact lower bound.
+    */
+  def sampledContainmentDegree(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, rateInv: Int, n: Int = 3,
+      maxCandidatePairs: Long = 1L << 28): DataFrame = {
+    require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
+    containmentDegree(df.where(sampleKeep(idCol, rateInv)), idCol,
+        textCol, threshold, n, maxCandidatePairs)
+      .withColumn("est_n_containers", col("n_containers") * lit(rateInv.toLong))
   }
 
   /** Bounded-output near-dup REPORT — each doc's top-k verified

@@ -112,6 +112,12 @@ object PipelineQueries extends QueryPack {
     Dedup.sampledJaccardDegree(docs(s, dir), "doc_id", "text", 0.5, 2)
       .orderBy("doc_id")
 
+  // d22: the asymmetric sibling — d16's containment degree over the
+  // same 1/2 sample residue class as d21 (shared sub-corpus).
+  private def d22SampledContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.sampledContainmentDegree(docs(s, dir), "doc_id", "text", 0.7, 2)
+      .orderBy("doc_id")
+
   // d20: BOUNDED span-overlap report — each doc's top-3 winnow-overlap
   // partners (d18's constants: minShared=6, maxDf=32), same TopKPerGroup
   // bounded-heap ranking. Ties on (overlap, n_shared) break to the
@@ -699,6 +705,7 @@ object PipelineQueries extends QueryPack {
     "d19_lsh_topk" -> (d19LshTopK _),
     "d20_overlap_topk" -> (d20OverlapTopK _),
     "d21_sampled_degree" -> (d21SampledDegree _),
+    "d22_sampled_containment" -> (d22SampledContainment _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -974,6 +981,26 @@ object PipelineQueries extends QueryPack {
          |SELECT doc_id, count(*) AS n_neighbors, max(jac) AS max_jac,
          |       count(*) * 2 AS est_n_neighbors
          |FROM sym GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d22: d16's containment-degree statement over the same 1/2
+    // sample residue class as d21.
+    "d22_sampled_containment" ->
+      s"""WITH sdocs AS (
+         |  SELECT * FROM documents
+         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0),
+         |${shCteFrom("sdocs")},
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT d1, CAST(inter AS DOUBLE)/s1.nsh AS containment
+         |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+         |  WHERE CAST(inter AS DOUBLE)/s1.nsh >= 0.7)
+         |SELECT d1 AS doc_id, count(*) AS n_containers,
+         |       max(containment) AS max_containment,
+         |       count(*) * 2 AS est_n_containers
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // d18: the MOSS overlap report over winnowed fingerprints — the
     // g/n/p/small CTEs are t5's fingerprint reconstruction verbatim
     // (61-bit Mersenne rolling hash in HUGEINT, rightmost-min winnow),

@@ -112,6 +112,61 @@ class CrossMatchSpec extends SparkSpec {
     assert(got2 === "OVERHANG")
   }
 
+  test("probe equals brute force on seeded random skies (poles, seam, wide radii)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.CatalogIndex
+    val rnd = new scala.util.Random(4242)
+    // sky mixes: uniform plus deliberate mass at the poles and the RA
+    // seam, where the zone/bucket geometry degrades or wraps
+    def randRa() = rnd.nextInt(4) match {
+      case 0 => rnd.nextDouble() * 0.01               // seam low side
+      case 1 => 360.0 - rnd.nextDouble() * 0.01       // seam high side
+      case _ => rnd.nextDouble() * 360.0
+    }
+    def randDec() = rnd.nextInt(4) match {
+      case 0 => 89.0 + rnd.nextDouble()               // near north pole
+      case 1 => -90.0 + rnd.nextDouble()              // near south pole
+      case _ => rnd.nextDouble() * 180.0 - 90.0
+    }
+    for (radius <- Seq(2.0, 300.0, 7200.0)) {
+      val cat = Array.fill(300)((randRa(), randDec()))
+      // half the alerts are perturbations of catalog rows (so matches
+      // exist at every radius), half independent
+      val alerts = (0 until 200).map { i =>
+        if (i % 2 == 0) {
+          val (cr, cd) = cat(rnd.nextInt(cat.length))
+          val d = radius / 3600.0
+          (i.toLong,
+            ((cr + (rnd.nextDouble() * 2 - 1) * d * 2) % 360.0 + 360.0) % 360.0,
+            math.max(-90.0, math.min(90.0, cd + (rnd.nextDouble() * 2 - 1) * d * 2)))
+        } else (i.toLong, randRa(), randDec())
+      }
+      val expected = alerts.map { case (id, ra, dec) =>
+        var best = -1
+        var bs = 0.0
+        cat.zipWithIndex.foreach { case ((cr, cd), ci) =>
+          val sep = CatalogIndex.sepArcsec(ra, dec, cr, cd)
+          if (sep < radius && (best < 0 || sep < bs ||
+              (sep == bs && (cr < cat(best)._1 ||
+                (cr == cat(best)._1 && cd < cat(best)._2))))) {
+            best = ci; bs = sep
+          }
+        }
+        id -> (if (best < 0) "Unknown" else s"L$best")
+      }.toMap
+      val catDf = cat.zipWithIndex.toSeq
+        .map { case ((cr, cd), ci) => (cr, cd, s"L$ci") }
+        .toDF("cra", "cdec", "lab")
+      val got = CrossMatch.label(alerts.toDF("id", "ra", "dec"), catDf,
+          radius, "id", "ra", "dec", "cra", "cdec", "lab", "out")
+        .select("id", "out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val diffs = expected.keys.filter(k => expected(k) != got(k))
+      assert(diffs.isEmpty,
+        s"radius=$radius: ${diffs.take(5).map(k => s"$k exp=${expected(k)} got=${got(k)}")}")
+    }
+  }
+
   test("angular separation is exact for known pairs") {
     import spark.implicits._
     // 1 arcsec offset in dec at the equator

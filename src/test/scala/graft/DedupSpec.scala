@@ -492,6 +492,21 @@ class DedupSpec extends SparkSpec {
       assert(m <= fm + 1e-12, s"doc $d sampled max_jac $m > full $fm")
       assert(est === n * 2)
     }
+    // the asymmetric sibling obeys the same contract
+    val fullC = Dedup.containmentDegree(docs, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val c1 = Dedup.sampledContainmentDegree(docs, "doc_id", "text", 0.7, 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(c1 === fullC)
+    val c2 = Dedup.sampledContainmentDegree(docs, "doc_id", "text", 0.7, 2)
+      .collect()
+    c2.foreach { r =>
+      val (d, nc, mc, est) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(keepIds.contains(d))
+      val (fn2, fm2) = fullC(d)
+      assert(nc <= fn2 && mc <= fm2 + 1e-12 && est === nc * 2)
+    }
   }
 
   test("simhash of identical token multisets is identical; near-dups are close") {
