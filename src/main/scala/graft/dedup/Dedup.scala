@@ -710,14 +710,23 @@ object Dedup {
     // eager NARROW skew pass off the cached set table (bkey longs
     // only) — bounded by bandRows/bucketCap, the Selection counter-map
     // pattern; empty on every realistic corpus. Gated (ADVICE r14)
-    // behind the pairGuard scan-byte floor so small corpora and
-    // plan-only callers stay fully lazy: below ~16 MB of source text a
-    // bucket past the default 2^16 cap is not credible, and a missed
-    // census is a robustness miss only (the kernel buffers one
-    // oversized bucket in a task), never a wrong answer. An explicit
-    // non-default cap is a caller asking for capping — census runs.
-    val censusNeeded = bucketCap != DefaultBucketCap ||
-      (!sets.isStreaming && graft.ScanBytes.of(sets) >= (1L << 24))
+    // behind the SAME pairGuard floor as the refusal pre-flights (one
+    // derivation, review r15 — the inlined copy could silently diverge
+    // on recalibration) so small corpora and plan-only callers stay
+    // fully lazy: below ~16 MB of source text a bucket past the
+    // default 2^16 cap is not credible, and a missed census is a
+    // robustness miss only (the kernel buffers one oversized bucket in
+    // a task), never a wrong answer. An explicit non-default cap is a
+    // caller asking for capping — census runs; a cap EQUAL to
+    // [[DefaultBucketCap]] is indistinguishable from the default and
+    // keeps the floor gate (pass cap-1 to force the census). Streaming
+    // relations can never run the census (an eager collect on a
+    // streaming source throws), so they always take the kernel route —
+    // the same behavior they had before the cap existed (review r15:
+    // a capped streaming call used to throw AnalysisException at
+    // plan construction).
+    val censusNeeded = !sets.isStreaming &&
+      (bucketCap != DefaultBucketCap || pairGuard(sets))
     val bigKeys: Array[Long] =
       if (!censusNeeded) Array.empty
       else sigs

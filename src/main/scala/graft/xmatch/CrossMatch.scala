@@ -76,11 +76,16 @@ object CrossMatch {
       struct(payload.map(c => col(c).as(c)): _*).as("__p"))
     val payloadType = catDf.schema("__p").dataType.asInstanceOf[StructType]
     val nP = payloadType.fields.length
-    val rows = catDf.queryExecution.toRdd.map(_.copy()).collect()
-    require(rows.length <= MaxCatalogRows,
-      s"crossmatch catalog has ${rows.length} rows — beyond the broadcast " +
+    // enforce the row cap BEFORE the collect (review r15: a cap checked
+    // after collect() cannot fail fast — the driver would OOM first).
+    // One extra count job over the broadcast-small side at plan
+    // construction, aggregated on the executors.
+    val nCat = catDf.count()
+    require(nCat <= MaxCatalogRows,
+      s"crossmatch catalog has $nCat rows — beyond the broadcast " +
         s"contract ($MaxCatalogRows); crossmatch the other way around or " +
         "pre-filter the catalog (decBandFilter)")
+    val rows = catDf.queryExecution.toRdd.map(_.copy()).collect()
     val craB = Array.newBuilder[Double]
     val cdecB = Array.newBuilder[Double]
     val payB = Array.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
@@ -100,9 +105,13 @@ object CrossMatch {
     val bc = alerts.sparkSession.sparkContext.broadcast(index)
     val probe = ClosestCatalogProbe(
       col(raCol).cast("double"), col(decCol).cast("double"), bc, payloadType)
+    // collision-safe scratch name (review r15: a fixed "__m" silently
+    // replaced an alert column of the same name)
+    val mCol = Iterator.from(0).map(i => s"__m$i")
+      .find(n => !alerts.columns.contains(n)).get
     val outCols = alerts.columns.map(col) ++
-      payload.map(c => coalesce(col("__m")(c), defaults(c)).as(c))
-    alerts.withColumn("__m", probe).select(outCols: _*)
+      payload.map(c => coalesce(col(mCol)(c), defaults(c)).as(c))
+    alerts.withColumn(mCol, probe).select(outCols: _*)
   }
 
   /** Label-style crossmatch: closest catalog `labelCol` within radius,
