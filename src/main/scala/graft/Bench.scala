@@ -75,7 +75,28 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}""")
+    // host-speed calibration (r15): quiet-block queries on untouched
+    // code have shown ~40% cross-DAY medians drift on this shared-host
+    // VM (d14/d16 at sf1: 10.2 -> 7.4 -> 10.4 s over three rounds, code
+    // and inputs byte-identical) — a fixed CPU workload alongside each
+    // block makes host-speed drift attributable instead of mysterious.
+    // Single-thread and all-thread variants separate frequency from
+    // contention; xorshift keeps the loop optimizer-proof.
+    def spin(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def calib(threads: Int): Double = {
+      val per = 400000000L / threads
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map(_ => new Thread(() => { spin(per): Unit }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    spin(10000000L) // JIT warm-up
+    val calibJson = f"""{"st_ms":${calib(1)}%.1f,"mt_ms":${calib(cpus.toInt)}%.1f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"calib":$calibJson}""")
     spark.stop()
   }
 }

@@ -27,7 +27,8 @@ def main():
                        ("sf1", "/tmp/quiet_sf1.json")]:
         d = load(path)
         blocks[name] = {"total": round(d["value"], 1), "queries": d["queries"],
-                        "errors": d.get("errors", {}), "reps": d.get("reps")}
+                        "errors": d.get("errors", {}), "reps": d.get("reps"),
+                        "calib": d.get("calib")}
     head = subprocess.check_output(
         ["git", "rev-parse", "--short", "HEAD"]).decode().strip()
     nq = len(blocks["sf0.1"]["queries"])
