@@ -40,7 +40,8 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d14_containment", "p4_weighted_sample", "p5_event_ingest", "p6_ccnet_carve",
            "d15_lsh_cluster_summary", "d16_containment_degree",
            "d17_jaccard_degree", "s8_pq_adc", "s9_pq_rerank", "s10_ivfpq_batch",
-           "d18_winnow_overlap"]
+           "d18_winnow_overlap", "d21_sampled_degree",
+           "d22_sampled_containment"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
