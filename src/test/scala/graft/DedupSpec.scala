@@ -509,6 +509,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("capped streaming pair plan constructs lazily (no eager census job)") {
+    // review r15: an explicit non-default bucketCap used to trigger the
+    // eager bucket census, which collect()s — AnalysisException on a
+    // streaming relation at plan-construction time. Streaming relations
+    // must skip the census (kernel route) and stay fully lazy.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Int, Array[Long], Array[Long])]
+    val sets = ms.toDF().toDF("id", "nsh", "shd", "sig")
+    assert(sets.isStreaming)
+    val plan = Dedup.minhashLshPairsFromSets(sets, 0.7, bucketCap = 4096)
+    assert(plan.isStreaming) // constructed, no eager job, still a stream
+    assert(plan.columns.toSeq === Seq("d1", "d2", "jac"))
+  }
+
   test("simhash of identical token multisets is identical; near-dups are close") {
     import spark.implicits._
     val df = Seq(
