@@ -310,8 +310,9 @@ object Dedup {
           "at this duplicate density. Scale-safe statements: " +
           "semanticDedup (star-forest closure, O(vectors) edges), " +
           "Similarity.ivfTopKAll / ProductQuantize.ivfPqTopKAll " +
-          "(bounded per-query reports). Raise maxCandidatePairs to " +
-          "force this run anyway.")
+          "(bounded per-query reports), sampledEmbeddingDupPairs " +
+          "(uniform 1/r sample — worst-cell volume scales by 1/r^2). " +
+          "Raise maxCandidatePairs to force this run anyway.")
     }
   }
 
@@ -1385,6 +1386,33 @@ object Dedup {
     containmentDegree(df.where(sampleKeep(idCol, rateInv)), idCol,
         textCol, threshold, n, maxCandidatePairs)
       .withColumn("est_n_containers", col("n_containers") * lit(rateInv.toLong))
+  }
+
+  /** SAMPLED embedding near-dup pairs — [[embeddingDupPairs]] over the
+    * same deterministic uniform 1/`rateInv` sample family as
+    * [[sampledJaccardDegree]] (seed-97 residue class on the id): the
+    * compute-relief path for the embedding pair report, whose exact
+    * form refuses at viral density ([[refuseIfViralCells]]). Sampling
+    * both endpoints scales a concentrated family's within-cell pair
+    * volume by 1/rateInv^2 — including the worst cell the pre-flight
+    * measures, so a corpus that refuses exact can answer sampled.
+    *
+    * Honest caveat vs the text-side sampled degrees: the IVF structure
+    * (auto cell count + centroids) is RE-DERIVED on the sub-corpus, so
+    * the candidate filter is the sample's own index, not a thinned
+    * view of the full corpus's — the output is exactly "the pair
+    * statement run on the sampled corpus", which is the right survey
+    * semantics, but per-pair survival is 1/rateInv^2 only up to index
+    * agreement (near-identical vectors co-locate under any IVF
+    * structure, so the duplicate families this statement exists to
+    * find thin cleanly; borderline cross-cell pairs may not).
+    */
+  def sampledEmbeddingDupPairs(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, rateInv: Int, ncells: Int = 0,
+      maxCandidatePairs: Long = 1L << 28): DataFrame = {
+    require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
+    embeddingDupPairs(df.where(sampleKeep(idCol, rateInv)), idCol,
+      vecCol, threshold, ncells, maxCandidatePairs)
   }
 
   /** Bounded-output near-dup REPORT — each doc's top-k verified

@@ -118,6 +118,13 @@ object PipelineQueries extends QueryPack {
     Dedup.sampledContainmentDegree(docs(s, dir), "doc_id", "text", 0.7, 2)
       .orderBy("doc_id")
 
+  // d23: the embedding-family sampled sibling — d6's pair statement
+  // over the 1/2 sample residue class (IVF re-derived on the sample;
+  // the oracle's count-based k CTE sees the same filtered source).
+  private def d23SampledEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.sampledEmbeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 2)
+      .orderBy("d1", "d2")
+
   // d20: BOUNDED span-overlap report — each doc's top-3 winnow-overlap
   // partners (d18's constants: minShared=6, maxDf=32), same TopKPerGroup
   // bounded-heap ranking. Ties on (overlap, n_shared) break to the
@@ -706,6 +713,7 @@ object PipelineQueries extends QueryPack {
     "d20_overlap_topk" -> (d20OverlapTopK _),
     "d21_sampled_degree" -> (d21SampledDegree _),
     "d22_sampled_containment" -> (d22SampledContainment _),
+    "d23_sampled_embedding" -> (d23SampledEmbedding _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -1054,6 +1062,22 @@ object PipelineQueries extends QueryPack {
          |ORDER BY d1, d2""".stripMargin,
     "d6_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${cellAssignCtes("e")},
+         |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+         |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
+         |SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
+    // d23: d6's chain over the 1/2-sampled source — the count-based k
+    // CTE and the centroid init both see the filtered relation, exactly
+    // as the Spark side re-derives its IVF on the sampled frame.
+    "d23_sampled_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
+         |    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0),
          |${cellAssignCtes("e")},
          |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
          |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)

@@ -509,6 +509,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sampledEmbeddingDupPairs: rateInv=1 is exact; endpoints stay in the residue class") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val full = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = Dedup.sampledEmbeddingDupPairs(emb, "vec_id", "embedding", 0.4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r1 === full)
+    val keep = emb.where(Dedup.sampleKeep("vec_id", 2))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val r2 = Dedup.sampledEmbeddingDupPairs(emb, "vec_id", "embedding", 0.4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    r2.foreach { case (a, b) =>
+      assert(keep.contains(a) && keep.contains(b),
+        s"pair ($a,$b) has an unsampled endpoint")
+    }
+  }
+
   test("capped streaming pair plan constructs lazily (no eager census job)") {
     // review r15: an explicit non-default bucketCap used to trigger the
     // eager bucket census, which collect()s — AnalysisException on a

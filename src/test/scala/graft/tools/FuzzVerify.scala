@@ -30,7 +30,8 @@ object FuzzVerify {
     "p4_weighted_sample", "p5_event_ingest", "p6_ccnet_carve",
     "d15_lsh_cluster_summary", "d16_containment_degree",
     "d17_jaccard_degree", "s8_pq_adc", "s9_pq_rerank", "s10_ivfpq_batch",
-    "d18_winnow_overlap", "d21_sampled_degree", "d22_sampled_containment")
+    "d18_winnow_overlap", "d21_sampled_degree", "d22_sampled_containment",
+    "d23_sampled_embedding")
 
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/tmp/fuzz")

@@ -94,6 +94,13 @@ object ViralStress {
           println(s"[v] d6 refused: est=${e.estimatedPairs} bound=${e.bound}")
       }
     }
+    // the embedding family's sampled sibling answers the refused
+    // corpus: 1/10 thins the viral family's worst cell ~100x
+    val d23 = time("d23 sampled embedding pairs (rateInv=10)") {
+      graft.dedup.Dedup.sampledEmbeddingDupPairs(embCorpus, "vec_id",
+        "embedding", 0.4, 10).count()
+    }
+    println(s"[v] d23 rows = $d23")
     spark.stop()
   }
 }

@@ -41,7 +41,7 @@ QUERIES = ["d1_dedup_exact", "d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
            "d15_lsh_cluster_summary", "d16_containment_degree",
            "d17_jaccard_degree", "s8_pq_adc", "s9_pq_rerank", "s10_ivfpq_batch",
            "d18_winnow_overlap", "d21_sampled_degree",
-           "d22_sampled_containment"]
+           "d22_sampled_containment", "d23_sampled_embedding"]
 
 WORDS = ["the", "a", "of", "and", "to", "in", "is", "data", "spark", "query",
          "row", "scan", "merge", "sort", "key", "fast", "slow", "small"]
