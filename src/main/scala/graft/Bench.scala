@@ -95,7 +95,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e6
     }
     spin(10000000L) // JIT warm-up
-    val calibJson = f"""{"st_ms":${calib(1)}%.1f,"mt_ms":${calib(cpus.toInt)}%.1f}"""
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale, which on comma-decimal locales would emit invalid JSON
+    val calibJson = String.format(java.util.Locale.ROOT,
+      """{"st_ms":%.1f,"mt_ms":%.1f}""",
+      Double.box(calib(1)), Double.box(calib(cpus.toInt)))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"calib":$calibJson}""")
     spark.stop()
   }

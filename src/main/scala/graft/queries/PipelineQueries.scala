@@ -1060,32 +1060,17 @@ object PipelineQueries extends QueryPack {
          |SELECT DISTINCT CAST(root AS BIGINT) AS d1, CAST(id AS BIGINT) AS d2
          |FROM m WHERE id <> root
          |ORDER BY d1, d2""".stripMargin,
-    "d6_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |${cellAssignCtes("e")},
-         |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
-         |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
-         |SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
-         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
-         |ORDER BY d1, d2""".stripMargin,
-    // d23: d6's chain over the 1/2-sampled source — the count-based k
-    // CTE and the centroid init both see the filtered relation, exactly
-    // as the Spark side re-derives its IVF on the sampled frame.
-    "d23_sampled_embedding" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
-         |    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0),
-         |${cellAssignCtes("e")},
-         |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
-         |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
-         |SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
-         |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
-         |ORDER BY d1, d2""".stripMargin,
+    "d6_dedup_embedding" -> embeddingPairSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
+    // d23: d6's chain over the 1/2-sampled source — ONE shared body
+    // (embeddingPairSql), so the pair statement cannot diverge between
+    // the exact and sampled oracles; the count-based k CTE and the
+    // centroid init both see the filtered relation, exactly as the
+    // Spark side re-derives its IVF on the sampled frame.
+    "d23_sampled_embedding" -> embeddingPairSql(
+      """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE CAST(concat('0x', substr(md5(concat('97:',
+        |    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0""".stripMargin),
     // d13: d6's pair CTEs + the d9-style reachability closure (min
     // reachable id per node); the left join restores unpaired and
     // zero-norm vectors as their own cluster.
@@ -2073,6 +2058,20 @@ object PipelineQueries extends QueryPack {
     * `asg(vec_id, cell, v)` and `cent(cell, cv)`, reading vectors
     * from CTE `src`(vec_id, v).
     */
+  // d6/d23 share one pair-statement body parameterized on the source
+  // CTE (review r15: a verbatim duplicate would let a one-sided edit
+  // silently diverge the sampled oracle from the exact one).
+  private def embeddingPairSql(eCte: String): String =
+    s"""WITH e AS ($eCte),
+       |${cellAssignCtes("e")},
+       |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
+       |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
+       |SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |       list_dot_product(a.v, b.v)/(a.nrm * b.nrm) AS cos
+       |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
+       |ORDER BY d1, d2""".stripMargin
+
   private def cellAssignCtes(src: String, fixedK: String = null): String = {
     val div = graft.sim.Similarity.cellDivisor
     val gate = graft.sim.Similarity.TwoLevelGate

@@ -520,6 +520,10 @@ class DedupSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val r2 = Dedup.sampledEmbeddingDupPairs(emb, "vec_id", "embedding", 0.4, 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // non-vacuous by fixture: sf0.001 keeps 6 pairs in the residue
+    // class (verified against the DuckDB oracle) — a one-sided sample
+    // filter regression cannot hide behind an empty result
+    assert(r2.nonEmpty)
     r2.foreach { case (a, b) =>
       assert(keep.contains(a) && keep.contains(b),
         s"pair ($a,$b) has an unsampled endpoint")
