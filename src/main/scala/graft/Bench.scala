@@ -87,19 +87,28 @@ object Bench {
       while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
       x
     }
+    // sink: each thread's spin() result is accumulated and folded into
+    // the printed JSON, so the loop's work is observable and C2 cannot
+    // dead-code-eliminate it (r15 ADVICE: a discarded result left the
+    // calibration loop hollow-able, silently under-measuring host speed)
+    val calibSink = new java.util.concurrent.atomic.AtomicLong(0L)
     def calib(threads: Int): Double = {
       val per = 400000000L / threads
       val t0 = System.nanoTime()
-      val ts = (0 until threads).map(_ => new Thread(() => { spin(per): Unit }))
+      val ts = (0 until threads).map(_ =>
+        new Thread(() => { calibSink.addAndGet(spin(per)): Unit }))
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
-    spin(10000000L) // JIT warm-up
+    calibSink.addAndGet(spin(10000000L)) // JIT warm-up
+    val calibSt = calib(1)
+    val calibMt = calib(cpus.toInt)
     // Locale.ROOT: the f-interpolator formats with the JVM default
     // locale, which on comma-decimal locales would emit invalid JSON
     val calibJson = String.format(java.util.Locale.ROOT,
-      """{"st_ms":%.1f,"mt_ms":%.1f}""",
-      Double.box(calib(1)), Double.box(calib(cpus.toInt)))
+      """{"st_ms":%.1f,"mt_ms":%.1f,"sink":%d}""",
+      Double.box(calibSt), Double.box(calibMt),
+      Long.box(calibSink.get()))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"calib":$calibJson}""")
     spark.stop()
   }

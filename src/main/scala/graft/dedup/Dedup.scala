@@ -678,6 +678,14 @@ object Dedup {
     * self-join (the [[minhashForestParts]] skew discipline) with the
     * same ownership predicate in Column form, so the two paths
     * partition the pair set exactly.
+    *
+    * '''`bucketCap` is advisory on streaming inputs''' (r16, ADVICE
+    * r15): the oversized-bucket census is an eager aggregate the
+    * streaming planner cannot run, so streaming relations always take
+    * the in-bucket kernel route — results stay correct, but a viral
+    * band bucket buffers whole in one task. An explicit non-default
+    * cap on a streaming input logs a warning rather than silently
+    * doing nothing.
     */
   def minhashLshPairsFromSets(sets: DataFrame, threshold: Double,
       numHashes: Int = 12, rowsPerBand: Int = 3,
@@ -726,6 +734,12 @@ object Dedup {
     // the same behavior they had before the cap existed (review r15:
     // a capped streaming call used to throw AnalysisException at
     // plan construction).
+    if (sets.isStreaming && bucketCap != DefaultBucketCap)
+      log.warn(s"minhashLshPairsFromSets: bucketCap=$bucketCap is " +
+        "advisory on streaming inputs — the oversized-bucket census " +
+        "cannot run on a streaming relation, so all buckets take the " +
+        "in-bucket kernel route (correct, but a bucket past the cap " +
+        "buffers whole in one task)")
     val censusNeeded = !sets.isStreaming &&
       (bucketCap != DefaultBucketCap || pairGuard(sets))
     val bigKeys: Array[Long] =

@@ -167,6 +167,55 @@ class CrossMatchSpec extends SparkSpec {
     }
   }
 
+  test("bytes budget: oversized catalog fails fast with the measured estimate") {
+    import spark.implicits._
+    val pad = "x" * 100
+    val cat = (0 until 2000).map(i =>
+      (i / 100.0, i / 200.0 - 5.0, s"LAB$i$pad")).toDF("cra", "cdec", "lab")
+    val alerts = Seq(("A", 10.0, 20.0)).toDF("id", "ra", "dec")
+    // tier 2: plan-stats pass (estimate << 64x budget) but the running
+    // byte meter crosses the budget mid-collect — the message carries
+    // the measured bytes and the conf key
+    spark.conf.set(CrossMatch.CatalogBytesConf, "100000")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+          "cra", "cdec", "lab", "out").collect()
+      }
+      assert(e2.getMessage.contains("measured"))
+      assert(e2.getMessage.contains(CrossMatch.CatalogBytesConf))
+      // tier 1: with a budget so small the Catalyst size estimate alone
+      // exceeds 64x it, the refusal happens with ZERO jobs over the
+      // catalog (plan-size message, not the meter's)
+      spark.conf.set(CrossMatch.CatalogBytesConf, "1000")
+      val e1 = intercept[IllegalArgumentException] {
+        CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+          "cra", "cdec", "lab", "out").collect()
+      }
+      assert(e1.getMessage.contains("plan-size estimate"))
+    } finally spark.conf.unset(CrossMatch.CatalogBytesConf)
+    // within budget (default): same catalog builds and matches fine
+    val ok = CrossMatch.label(
+      Seq(("A", 10.0, 0.0)).toDF("id", "ra", "dec"), cat, 2.0,
+      "id", "ra", "dec", "cra", "cdec", "lab", "out")
+      .select("out").head().getString(0)
+    assert(ok === s"LAB1000${"x" * 100}")
+  }
+
+  test("label scratch name survives alert frames that already use __label*") {
+    import spark.implicits._
+    val alerts = Seq(("A", 10.0, 20.0, "keep0", "keep1"))
+      .toDF("id", "ra", "dec", "__label", "__label0")
+    val cat = Seq((10.0, 20.0 + 0.5 / 3600.0, "NEAR")).toDF("cra", "cdec", "lab")
+    val out = CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out")
+    assert(out.columns.length === out.columns.distinct.length)
+    val r = out.select("out", "__label", "__label0").head()
+    assert(r.getString(0) === "NEAR")
+    assert(r.getString(1) === "keep0")
+    assert(r.getString(2) === "keep1")
+  }
+
   test("angular separation is exact for known pairs") {
     import spark.implicits._
     // 1 arcsec offset in dec at the equator
