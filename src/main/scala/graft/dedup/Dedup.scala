@@ -200,21 +200,42 @@ object Dedup {
     *    1 + min(n1-ra, n2-rb) >= minOverlap implies the aggregate
     *    bound, so it filtered nothing.)
     *
-    * '''Eager pre-flight (ADVICE r13):''' above the [[pairGuard]]
-    * corpus-size floor this method runs the candidate-volume estimate
-    * job at CONSTRUCTION time (before the lazy plan is returned) and
-    * may throw [[PairVolumeException]] — callers that build plans
-    * without executing them still pay the one aggregate and can still
-    * see the refusal. Below the floor (all oracle/bench scales) the
-    * call stays fully lazy.
+    * '''Eager pre-flight (ADVICE r13; two-stage since r16):''' above
+    * the [[pairGuard]] corpus-size floor this method runs refusal
+    * estimates at CONSTRUCTION time (before the lazy plan is returned)
+    * and may throw [[PairVolumeException]] — callers that build plans
+    * without executing them still pay the estimate jobs and can still
+    * see the refusal. Stage 1 ([[sampledRefuseIfViral]]) answers in
+    * roughly one column scan — a 1/r doc sample's census scaled r²,
+    * refusing only beyond a 2x margin; stage 2 is the exact census,
+    * the final gate on the run that executes. Below the floor (all
+    * oracle/bench scales) the call stays fully lazy.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
-      maxCandidatePairs: Long = 1L << 28): DataFrame = {
+      maxCandidatePairs: Long = 1L << 28): DataFrame =
+    ngramJaccardPairsImpl(df, idCol, textCol, threshold, n,
+      maxCandidatePairs, sampledProbe = true)
+
+  /** [[ngramJaccardPairs]] with the sampled probe switchable: the
+    * sampled surveys ([[sampledJaccardDegree]]) run their inner pair
+    * statement on an already-thinned corpus — paying the probe there
+    * is a second full scan ([[graft.ScanBytes]] is filter-blind, so
+    * the probe rate would also be wrong) for a corpus the caller
+    * deliberately thinned; the exact census still gates them.
+    */
+  private def ngramJaccardPairsImpl(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int,
+      maxCandidatePairs: Long, sampledProbe: Boolean): DataFrame = {
+    val guard = pairGuard(df)
+    // seconds-scale sampled probe first (r16): a viral corpus refuses
+    // before the full-corpus shingle/rank machinery is even built
+    if (guard && sampledProbe && maxCandidatePairs < Long.MaxValue)
+      sampledRefuseIfViral(df, idCol, textCol, threshold, n,
+        oneSided = false, maxCandidatePairs, "ngramJaccardPairs")
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds frequency ranking, candidate join, and verification
-    ngramJaccardCore(sets, threshold, pairGuard(df),
-      maxCandidatePairs)
+    ngramJaccardCore(sets, threshold, guard, maxCandidatePairs)
   }
 
   /** Whether the pair-report pre-flight machinery engages: the
@@ -246,14 +267,24 @@ object Dedup {
     */
   private[graft] def refuseIfViral(pref: DataFrame, ex: Option[DataFrame],
       bound: Long, op: String): Unit = {
+    val estD = viralEstimateD(pref, ex)
+    if (estD > bound || estD < 0 || !java.lang.Double.isFinite(estD))
+      throwViral(estD, bound, op, sampledRate = 0)
+  }
+
+  /** The candidate-volume statistic of [[refuseIfViral]], factored out
+    * so the sampled pre-flight can reuse it verbatim. Computed in
+    * DOUBLE, not long (ADVICE r13): in non-ANSI mode long multiply-sum
+    * wraps silently, so at extreme densities the estimate could go
+    * negative and the guard would pass exactly when it most needs to
+    * refuse. It is an upper bound, so double precision loss is
+    * harmless; a wrapped/NaN value (est < 0 or non-finite) also
+    * refuses.
+    */
+  private[graft] def viralEstimateD(pref: DataFrame,
+      ex: Option[DataFrame]): Double = {
     val pc = pref.groupBy(col("g")).agg(count(lit(1)).as("pc"))
-    // the estimate is computed in DOUBLE, not long (ADVICE r13): in
-    // non-ANSI mode long multiply-sum wraps silently, so at extreme
-    // densities the estimate could go negative and the guard would
-    // pass exactly when it most needs to refuse. It is an upper
-    // bound, so double precision loss is harmless; a wrapped/NaN
-    // value (est < 0 or non-finite) also refuses.
-    val estD = ex match {
+    ex match {
       case None =>
         pc.agg(coalesce(sum(col("pc").cast("double") *
             (col("pc") - 1).cast("double")), lit(0.0d)))
@@ -264,22 +295,97 @@ object Dedup {
             col("ec").cast("double")), lit(0.0d)))
           .head().getDouble(0)
     }
-    if (estD > bound || estD < 0 || !java.lang.Double.isFinite(estD)) {
-      val est = if (java.lang.Double.isFinite(estD) && estD >= 0 &&
-          estD <= Long.MaxValue.toDouble) estD.toLong else Long.MaxValue
-      throw new PairVolumeException(est, bound,
-        s"$op: estimated candidate pair volume ~$est exceeds " +
-          s"maxCandidatePairs=$bound — the exact pair statement is " +
-          "intermediate-volume-bound at this duplicate density (the " +
-          "pair graph grows with the square of family sizes). " +
-          "Scale-safe statements: minhashLshClusterSummary (per-cluster " +
-          "summary), dedupPipeline/incrementalDedup (survivors + " +
-          "closure), minhashLshTopK / Winnow.overlapTopK (bounded " +
-          "per-doc top-k reports), sampledJaccardDegree / " +
-          "sampledContainmentDegree (uniform 1/r doc sample — pair " +
-          "volume scales by 1/r^2, unbiased degree estimates). Raise " +
-          "maxCandidatePairs to force this run anyway.")
-    }
+  }
+
+  private def throwViral(estD: Double, bound: Long, op: String,
+      sampledRate: Int): Nothing = {
+    val est = if (java.lang.Double.isFinite(estD) && estD >= 0 &&
+        estD <= Long.MaxValue.toDouble) estD.toLong else Long.MaxValue
+    val impliedR = math.ceil(math.sqrt(
+      math.max(1.0, est.toDouble / bound))).toLong
+    val how = if (sampledRate == 0) "estimated candidate pair volume"
+      else s"sampled pre-flight (1/$sampledRate doc probe, scaled " +
+        "rate^2) estimates candidate pair volume"
+    throw new PairVolumeException(est, bound,
+      s"$op: $how ~$est exceeds " +
+        s"maxCandidatePairs=$bound — the exact pair statement is " +
+        "intermediate-volume-bound at this duplicate density (the " +
+        "pair graph grows with the square of family sizes). " +
+        "Scale-safe statements: minhashLshClusterSummary (per-cluster " +
+        "summary), dedupPipeline/incrementalDedup (survivors + " +
+        "closure), minhashLshTopK / Winnow.overlapTopK (bounded " +
+        "per-doc top-k reports), sampledJaccardDegree / " +
+        s"sampledContainmentDegree with rateInv >= ~$impliedR " +
+        "(uniform 1/r doc sample — pair volume scales by 1/r^2, " +
+        "unbiased degree estimates). Raise maxCandidatePairs to force " +
+        "this run anyway.")
+  }
+
+  /** Seed lane for the pre-flight probe sample — disjoint from the
+    * user-facing sampled surveys' lane 97 ([[sampleKeep]]) so the
+    * probe's residue class is independent of any rateInv the caller
+    * later picks.
+    */
+  private val PreflightSeed = 101
+
+  /** Probe rate for the sampled pre-flight: thin the corpus to about
+    * the [[pairGuard]] floor (~16 MB of scan bytes), where the gram
+    * census costs seconds. [[graft.ScanBytes]] is filter-blind, so an
+    * already-thinned relation (the sampled surveys) gets the rate of
+    * its UNDERLYING scan — the probe-on-probe is over-thinned but the
+    * margin discipline below keeps that safe.
+    */
+  private[graft] def preflightRate(df: DataFrame): Int = {
+    val r = graft.ScanBytes.of(df) >> 24
+    math.max(2, math.min(r, Int.MaxValue.toLong).toInt)
+  }
+
+  /** SAMPLED candidate-volume pre-flight (r16, VERDICT r15 #1): the
+    * exact census ([[refuseIfViral]]) shingles + explodes + ranks the
+    * FULL corpus before it can refuse — 136.6 s at the 1000x decade,
+    * paid again on every probe-then-choose-r retry. This stage runs
+    * the SAME statistic on a deterministic 1/r doc sample and scales
+    * by r^2 (binomial thinning: for a gram with c sampled-eligible
+    * docs, E[s(s-1)] = c(c-1)/r^2 exactly), so a viral corpus refuses
+    * in seconds with the estimate that doubles as the rate selector.
+    *
+    * Margin discipline: the thinned statistic has real variance (and
+    * the rarity prefix is re-derived on the sample, so it is an
+    * approximation, not a thinned view), so this stage refuses only
+    * when the scaled estimate is CLEARLY over — est > 2x bound.
+    * Anything under the margin falls through to the exact census,
+    * which remains the final gate on the run that actually executes:
+    * a borderline corpus pays the old price for the exact answer; a
+    * viral one (the case the latency matters for) is orders of
+    * magnitude over the margin.
+    */
+  private[graft] def sampledRefuseIfViral(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int, oneSided: Boolean,
+      bound: Long, op: String): Unit = {
+    val r = preflightRate(df)
+    val estD = sampledViralEstimateD(df, idCol, textCol, threshold, n,
+      oneSided, r)
+    if (estD > 2.0 * bound || estD < 0 ||
+        !java.lang.Double.isFinite(estD))
+      throwViral(estD, bound, op, sampledRate = r)
+  }
+
+  /** The sampled pre-flight's estimate at an explicit probe rate —
+    * factored out so the spec can pin it against [[viralEstimateD]] on
+    * the full corpus (the thinning-variance contract).
+    */
+  private[graft] def sampledViralEstimateD(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int, oneSided: Boolean,
+      r: Int): Double = {
+    val probe = df.where(pmod(graft.functions.Hashing
+      .hash60(col(idCol).cast("string"), PreflightSeed).cast("long"),
+      lit(r)) === 0)
+    val sets = hashedSets(probe, idCol, textCol, n).cache()
+    try {
+      val (ex, pref) = rarityPrefix(sets, threshold)
+      viralEstimateD(pref, if (oneSided) Some(ex) else None) *
+        r.toDouble * r.toDouble
+    } finally { sets.unpersist(); () }
   }
 
   /** Pre-flight refusal for the EMBEDDING pair report (VERDICT r13
@@ -432,20 +538,31 @@ object Dedup {
     * match — recall unaffected); both directions of a pair are emitted
     * independently when both qualify.
     *
-    * '''Eager pre-flight (ADVICE r13):''' above the [[pairGuard]]
-    * corpus-size floor this method runs the candidate-volume estimate
-    * job at CONSTRUCTION time (before the lazy plan is returned) and
-    * may throw [[PairVolumeException]] — callers that build plans
-    * without executing them still pay the one aggregate and can still
-    * see the refusal. Below the floor (all oracle/bench scales) the
-    * call stays fully lazy.
+    * '''Eager pre-flight (ADVICE r13; two-stage since r16):''' same
+    * contract as [[ngramJaccardPairs]] — a sampled stage-1 estimate
+    * (one-sided pc*ec form) that refuses beyond a 2x margin in about
+    * one column scan, then the exact census as the final gate.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
-      maxCandidatePairs: Long = 1L << 28): DataFrame = {
+      maxCandidatePairs: Long = 1L << 28): DataFrame =
+    containmentPairsImpl(df, idCol, textCol, threshold, n,
+      maxCandidatePairs, sampledProbe = true)
+
+  /** [[containmentPairs]] with the sampled probe switchable — same
+    * rationale as [[ngramJaccardPairsImpl]].
+    */
+  private def containmentPairsImpl(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, n: Int,
+      maxCandidatePairs: Long, sampledProbe: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0, 1], got $threshold")
     val guard = pairGuard(df)
+    // seconds-scale sampled probe first (r16): a viral corpus refuses
+    // before the full-corpus shingle/rank machinery is even built
+    if (guard && sampledProbe && maxCandidatePairs < Long.MaxValue)
+      sampledRefuseIfViral(df, idCol, textCol, threshold, n,
+        oneSided = true, maxCandidatePairs, "containmentPairs")
     val sets = hashedSets(df, idCol, textCol, n)
       .cache() // feeds ranking, the index side, and verification
     val (ex, pref) = rarityPrefix(sets, threshold)
@@ -545,6 +662,19 @@ object Dedup {
     * convention (closeComponents, minhashLshTopK). Non-integral ids
     * fail loudly at plan construction; hash or dense-rank string ids
     * to long before calling.
+    *
+    * '''Streaming bound''' (r16, closing SCALE_r15 residual 2): on a
+    * streaming input the oversized-bucket census cannot run, so every
+    * band bucket takes the in-bucket kernel — a viral duplicate family
+    * arriving within one micro-batch buffers its bucket whole in one
+    * task (memory ~ family x shingle-array size). That is the
+    * documented bound, not a to-do: no streaming pair-report consumer
+    * exists in this engine (the streaming chains consume CLOSURES via
+    * [[graft.streaming.EventTimeChain]], whose state is per-key
+    * bounded), and building skew routing for a consumer that does not
+    * exist would be speculative. Revisit only if a streaming
+    * pair-report consumer appears; batch callers are unaffected (the
+    * census caps buckets).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 3,
@@ -1236,12 +1366,101 @@ object Dedup {
     (forest, bigKeys.length.toLong)
   }
 
-  /** Per-bucket kernel of [[minhashForestFromSets]]: lazy-verified
-    * union-find over the bucket's members — exact sorted-merge Jaccard
-    * runs only for pairs not already connected — then one star per
-    * nontrivial component rooted at its min member id.
+  /** Per-bucket kernel of [[minhashForestFromSets]]: incremental
+    * component-aware verification — each member is checked against the
+    * existing components' members (until it connects to each), then one
+    * star per nontrivial component rooted at its min member id.
+    *
+    * r16 rewrite (VERDICT r15 next #5 — the star-forest stage probe):
+    * the previous kernel was a lazy-verified union-find over ALL
+    * C(m,2) index pairs, so a mega-family bucket paid Omega(c^2)
+    * find() probes even though only c-1 verifications ran — for a
+    * 100k-member viral family that is 5e9 no-op probes in ONE task.
+    * This enumeration checks member k against each existing component
+    * IN MEMBER ORDER, stopping within a component on first success
+    * (the rest of that component is then same-component, exactly the
+    * pairs the old loop skipped); a clique family therefore costs
+    * O(c) total instead of O(c^2).
+    *
+    * Output equivalence (exact, any check order): let R be the
+    * intrinsic pair relation "passes size-compat + exact Jaccard".
+    * Unions happen only on R-pairs, so the final partition refines
+    * closure(R). Conversely for any (a,b) in R with a processed after
+    * b: at a's turn, b sat in some component C; a checked C's members
+    * in order until success — either a connected to C (so a,b share
+    * the final component; components only merge) or a checked EVERY
+    * member incl. b and all failed, contradicting (a,b) in R. Hence
+    * the final partition IS closure(R) — the same partition the
+    * all-pairs loop computes — and the emitted stars (component-min
+    * roots) are digit-identical. Pinned against the retained naive
+    * kernel by DedupSpec on seeded random + planted-clique buckets.
     */
   private[graft] def lshBucketStars(
+      it: Iterator[(Long, Long, Int, Array[Long])],
+      threshold: Double): Iterator[(Long, Long)] = {
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val szs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    it.foreach { case (_, id, nsh, shd) =>
+      ids += id; szs += nsh; sets += shd
+    }
+    val m = ids.length
+    def verified(i: Int, j: Int): Boolean = {
+      val n1 = szs(i); val n2 = szs(j)
+      if (math.min(n1, n2) < math.max(n1, n2) * threshold) return false
+      val a = sets(i); val b = sets(j)
+      var x = 0; var y = 0; var inter = 0
+      while (x < a.length && y < b.length) {
+        if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+        else if (a(x) < b(y)) x += 1 else y += 1
+      }
+      inter.toDouble / (n1 + n2 - inter) >= threshold
+    }
+    val comps = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    var k = 0
+    while (k < m) {
+      var joined: scala.collection.mutable.ArrayBuffer[Int] = null
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        var x = 0
+        var hit = false
+        while (x < c.length && !hit) {
+          if (verified(k, c(x))) hit = true
+          x += 1
+        }
+        if (hit) {
+          if (joined == null) { joined = c; ci += 1 }
+          else {
+            // k bridges two components: fold c into joined (which must
+            // stay live in comps), swap-remove c's slot; the swapped-in
+            // tail element is unchecked, so do not advance ci — unless
+            // the tail element WAS joined, already checked by k
+            joined ++= c
+            comps(ci) = comps(comps.length - 1)
+            comps.dropRightInPlace(1)
+            if (ci < comps.length && (comps(ci) eq joined)) ci += 1
+          }
+        } else ci += 1
+      }
+      if (joined == null) {
+        comps += scala.collection.mutable.ArrayBuffer(k)
+      } else joined += k
+      k += 1
+    }
+    comps.iterator.filter(_.length > 1).flatMap { c =>
+      var minId = Long.MaxValue
+      c.foreach(i => if (ids(i) < minId) minId = ids(i))
+      c.iterator.filter(i => ids(i) != minId).map(i => (minId, ids(i)))
+    }
+  }
+
+  /** The pre-r16 all-pairs lazy-verified union-find kernel — retained
+    * for the equivalence spec and the paired A/B measurement
+    * (`tools/ABBench foreststars`); not wired into any operator.
+    */
+  private[graft] def lshBucketStarsNaive(
       it: Iterator[(Long, Long, Int, Array[Long])],
       threshold: Double): Iterator[(Long, Long)] = {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -1314,7 +1533,11 @@ object Dedup {
   def containmentDegree(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame =
-    containmentPairs(df, idCol, textCol, threshold, n, maxCandidatePairs)
+    containmentDegreeOf(
+      containmentPairs(df, idCol, textCol, threshold, n, maxCandidatePairs))
+
+  private def containmentDegreeOf(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy(col("d1").as("doc_id"))
       .agg(count(lit(1)).as("n_containers"),
         max(col("containment")).as("max_containment"))
@@ -1328,9 +1551,13 @@ object Dedup {
   def ngramJaccardDegree(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame =
+    jaccardDegreeOf(
+      ngramJaccardPairs(df, idCol, textCol, threshold, n, maxCandidatePairs))
+
+  private def jaccardDegreeOf(pairs: DataFrame): DataFrame =
     // symmetrize with a per-row explode, not a self-union: the union
     // form reads the verified join twice (or forces a cache)
-    ngramJaccardPairs(df, idCol, textCol, threshold, n, maxCandidatePairs)
+    pairs
       .select(explode(array(
         struct(col("d1").as("doc_id"), col("jac")),
         struct(col("d2").as("doc_id"), col("jac")))).as("e"))
@@ -1379,8 +1606,13 @@ object Dedup {
       threshold: Double, rateInv: Int, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame = {
     require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
-    ngramJaccardDegree(df.where(sampleKeep(idCol, rateInv)), idCol,
-        textCol, threshold, n, maxCandidatePairs)
+    // probe-free inner statement (r16): the corpus is already thinned
+    // by the caller's deliberate rate choice — the sampled pre-flight
+    // would pay a second full scan at a filter-blind rate; the exact
+    // census (now over 1/rateInv of the corpus, cheap) still gates
+    jaccardDegreeOf(ngramJaccardPairsImpl(
+        df.where(sampleKeep(idCol, rateInv)), idCol, textCol, threshold,
+        n, maxCandidatePairs, sampledProbe = false))
       .withColumn("est_n_neighbors", col("n_neighbors") * lit(rateInv.toLong))
   }
 
@@ -1397,8 +1629,10 @@ object Dedup {
       textCol: String, threshold: Double, rateInv: Int, n: Int = 3,
       maxCandidatePairs: Long = 1L << 28): DataFrame = {
     require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
-    containmentDegree(df.where(sampleKeep(idCol, rateInv)), idCol,
-        textCol, threshold, n, maxCandidatePairs)
+    // probe-free inner statement — see sampledJaccardDegree
+    containmentDegreeOf(containmentPairsImpl(
+        df.where(sampleKeep(idCol, rateInv)), idCol, textCol, threshold,
+        n, maxCandidatePairs, sampledProbe = false))
       .withColumn("est_n_containers", col("n_containers") * lit(rateInv.toLong))
   }
 

@@ -530,6 +530,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sampledEmbeddingDupPairs: family pairs survive the re-derived IVF (co-location)") {
+    // the d23 caveat quantified (VERDICT r15 next #3): the sample
+    // re-derives the IVF, so 1/r^2 survival holds only up to index
+    // agreement. The co-location half of that claim is testable
+    // exactly: near-identical family vectors share a nearest centroid
+    // under ANY IVF, so every truth family pair with both endpoints
+    // sampled MUST be in the sampled output — recall 1.0, not ~1.0.
+    import spark.implicits._
+    val rnd = new scala.util.Random(1616)
+    val dim = 8
+    def vec(): Array[Double] = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val bases = Array.fill(4)(vec())
+    val family = (0 until 240).map { i =>
+      val b = bases(i / 60)
+      (1000L + i, b.map(x => x + (rnd.nextDouble() - 0.5) * 1e-6))
+    }
+    val noise = (0 until 800).map(i => (i.toLong, vec()))
+    val df = (noise ++ family).toDF("vec_id", "embedding")
+    val r = 3
+    val got = Dedup.sampledEmbeddingDupPairs(df, "vec_id", "embedding", 0.9, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // brute-force truth over the sampled subset
+    val samp = df.where(Dedup.sampleKeep("vec_id", r))
+      .collect().map(x => (x.getLong(0), x.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < dim) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / math.sqrt(aa * bb)
+    }
+    val truth = (for {
+      x <- samp.indices; y <- samp.indices
+      if samp(x)._1 < samp(y)._1 && cos(samp(x)._2, samp(y)._2) >= 0.9
+    } yield (samp(x)._1, samp(y)._1)).toSet
+    assert(truth.nonEmpty)
+    // no false pairs: the sampled run verifies exact cosine
+    assert(got.subsetOf(truth))
+    // co-location: every sampled family pair is recalled
+    def fam(id: Long): Long = if (id >= 1000L) (id - 1000L) / 60 else -id
+    val famTruth = truth.filter { case (a, b) => a >= 1000L && fam(a) == fam(b) }
+    assert(famTruth.nonEmpty)
+    val missedFam = famTruth -- got
+    assert(missedFam.isEmpty, s"family pairs lost to the sample IVF: ${missedFam.take(5)}")
+    // borderline cross-family pairs MAY thin beyond 1/r^2 — report only
+    val border = truth -- famTruth
+    info(s"family recall 1.0 (${famTruth.size} pairs); borderline pairs " +
+      s"${border.size}, recalled ${(border & got).size}")
+  }
+
   test("capped streaming pair plan constructs lazily (no eager census job)") {
     // review r15: an explicit non-default bucketCap used to trigger the
     // eager bucket census, which collect()s — AnalysisException on a
@@ -829,6 +877,89 @@ class DedupSpec extends SparkSpec {
       Dedup.refuseIfViral(pref, Some(ex), 3L, "test")
     }
     assert(e2.estimatedPairs >= e.estimatedPairs)
+  }
+
+  test("incremental star kernel is digit-identical to the all-pairs kernel") {
+    // r16 forest-stage rewrite (VERDICT r15 next #5): the component-
+    // incremental enumeration must compute closure(R) exactly like the
+    // retained all-pairs union-find — same components, same min-rooted
+    // stars — on clique, bridge, and seeded random bucket shapes.
+    def run(f: (Iterator[(Long, Long, Int, Array[Long])], Double) => Iterator[(Long, Long)],
+        rows: Seq[(Long, Array[Long])], t: Double): Set[(Long, Long)] =
+      f(rows.iterator.map { case (id, sh) => (0L, id, sh.length, sh) }, t).toSet
+    def both(rows: Seq[(Long, Array[Long])], t: Double): Unit = {
+      val a = run(Dedup.lshBucketStars, rows, t)
+      val b = run(Dedup.lshBucketStarsNaive, rows, t)
+      assert(a === b, s"t=$t rows=${rows.map(_._1)}")
+    }
+    // planted clique + singletons
+    val clique = (0 until 50).map(i => (100L + i, Array(1L, 2L, 3L, 4L)))
+    val singles = Seq((1L, Array(9L, 10L)), (2L, Array(11L, 12L, 13L)))
+    both(clique ++ singles, 0.7)
+    // bridge: k overlaps two components that do not overlap each other
+    val bridge = Seq(
+      (10L, Array(1L, 2L, 3L)), (11L, Array(1L, 2L, 3L)),
+      (20L, Array(7L, 8L, 9L)), (21L, Array(7L, 8L, 9L)),
+      (30L, Array(1L, 2L, 3L, 7L, 8L, 9L)))
+    both(bridge, 0.3)
+    // seeded random buckets: small alphabet forces partial overlaps
+    val rnd = new scala.util.Random(77)
+    for (_ <- 0 until 300) {
+      val m = 2 + rnd.nextInt(40)
+      val rows = (0 until m).map { i =>
+        val sz = 2 + rnd.nextInt(7)
+        val sh = Array.fill(sz)(rnd.nextInt(12).toLong).distinct.sorted
+        (rnd.nextInt(1000).toLong * 100 + i, sh)
+      }
+      both(rows, Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)))
+    }
+  }
+
+  test("sampled pre-flight estimate tracks the exact census within thinning variance") {
+    import spark.implicits._
+    // a planted 600-copy viral family among 2400 distinct docs: the
+    // exact census is dominated by the family's C(600,2)-scale prefix
+    // collisions; the 1/r probe sees ~600/r members and scales back by
+    // r^2 (E[s(s-1)] = c(c-1)/r^2 exactly under binomial thinning).
+    // The rarity prefix is re-derived on the sample, so the contract
+    // pinned here is agreement within a 3x band, not equality.
+    val fam = (0 until 600).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val rest = (0 until 2400).map(i =>
+      (1000L + i, s"unique document payload number $i with filler token ${i * 7} end"))
+    val docs = (fam ++ rest).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id").as("id"),
+        graft.dedup.Dedup.hashedShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    val (ex, pref) = {
+      val e = sets.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+      val freq = e.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      val p = e.join(freq, "g")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("cnt"), col("g"))))
+        .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * 0.5) + 1) &&
+          col("cnt") >= 2)
+        .select(col("id"), col("nsh"), col("g"), col("rn"))
+      (e, p)
+    }
+    for (oneSided <- Seq(false, true)) {
+      val exact = Dedup.viralEstimateD(pref, if (oneSided) Some(ex) else None)
+      val sampled = Dedup.sampledViralEstimateD(docs, "doc_id", "text",
+        0.5, 3, oneSided, r = 4)
+      assert(exact > 0.0)
+      assert(sampled > exact / 3.0 && sampled < exact * 3.0,
+        s"oneSided=$oneSided: sampled=$sampled exact=$exact")
+    }
+    // the refusal path itself: a tight bound trips the sampled stage,
+    // whose message marks the estimate as sampled and pre-computes the
+    // implied minimum rate for the sampled surveys
+    val e = intercept[graft.dedup.PairVolumeException] {
+      Dedup.sampledRefuseIfViral(docs, "doc_id", "text", 0.5, 3,
+        oneSided = false, bound = 100L, op = "test")
+    }
+    assert(e.getMessage.contains("sampled pre-flight"))
+    assert(e.getMessage.contains("rateInv >= ~"))
   }
 
   test("raising maxCandidatePairs is the explicit escape hatch (results unchanged)") {

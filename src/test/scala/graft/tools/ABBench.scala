@@ -1,0 +1,187 @@
+// dev scratch (VERDICT r15 next #2): Finding 9 showed the per-block
+// host-speed calibration catches CPU-frequency drift but NOT
+// IO/page-cache/co-tenant drift — two quiet blocks 90 minutes apart on
+// near-identical code moved 10-40% per query with CPU calibrations
+// within 7%. So a cross-round per-query delta is not evidence. This
+// harness makes a perf claim PAIRED instead: the two variants alternate
+// rep-by-rep in ONE session (A-then-B on even pairs, B-then-A on odd
+// pairs, so a linear host-speed slope cancels out of the paired delta),
+// cache cleared before every rep, and the claim is the median of
+// per-pair deltas — host state moves both sides of each pair together.
+//
+// Experiments are registered by name; each takes the table dir. First
+// registered claim (r16): the d17 pair-family refusal pre-flight, exact
+// full-corpus census (the r15 shape, 136.6 s at sf100) vs the sampled
+// 1/r probe (the r16 shape).
+// Usage: runMain graft.tools.ABBench <experiment> [sfDir] [reps]
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ABBench {
+
+  /** Interleaved paired comparison; prints per-rep times and the
+    * paired-median summary line.
+    */
+  def paired(label: String, aName: String, bName: String, reps: Int,
+      clear: () => Unit)(a: () => Unit, b: () => Unit): Unit = {
+    def t(f: () => Unit): Double = {
+      clear()
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val ta = Array.ofDim[Double](reps)
+    val tb = Array.ofDim[Double](reps)
+    for (i <- 0 until reps) {
+      if (i % 2 == 0) { ta(i) = t(a); tb(i) = t(b) }
+      else { tb(i) = t(b); ta(i) = t(a) }
+      println(f"[ab] $label rep$i $aName=${ta(i)}%.2f s $bName=${tb(i)}%.2f s " +
+        f"delta=${ta(i) - tb(i)}%+.2f s")
+    }
+    def med(x: Array[Double]) = x.sorted.apply(x.length / 2)
+    val deltas = Array.tabulate(reps)(i => ta(i) - tb(i))
+    println(f"[ab] $label PAIRED: median($aName)=${med(ta)}%.2f s " +
+      f"median($bName)=${med(tb)}%.2f s " +
+      f"median-paired-delta=${med(deltas)}%+.2f s ($aName minus $bName)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val exp = args.headOption.getOrElse("d17preflight")
+    val dir = if (args.length > 1) args(1) else "/tmp/sf10"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val clear = () => spark.sharedState.cacheManager.clearCache()
+
+    exp match {
+      case "d17preflight" =>
+        val docs = graft.Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        docs.count() // warm IO/footers once, outside the pairs
+        import graft.dedup.Dedup
+        // A: the r15 exact pre-flight sequence — full-corpus shingle +
+        // explode + rarity rank + census (rebuilt inline from the same
+        // public kernel the operator uses; Dedup's scaffolding is
+        // private, and the point is to time the SHAPE, which the spec
+        // pins equal at DedupSpec "pair-volume pre-flight")
+        val exactCensus = () => {
+          import org.apache.spark.sql.expressions.Window
+          val sets = docs.select(col("doc_id").as("id"),
+              Dedup.hashedShingles(col("text")).as("sh"))
+            .filter(size(col("sh")) > 0)
+            .select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+            .cache()
+          try {
+            val ex = sets.select(col("id"), col("nsh"),
+              explode(col("sh")).as("g"))
+            val freq = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+            val pref = ex.join(freq, "g")
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("id")).orderBy(col("cnt"), col("g"))))
+              .filter(col("rn") <= (col("nsh") - ceil(col("nsh") * 0.5) + 1) &&
+                col("cnt") >= 2)
+              .select(col("id"), col("nsh"), col("g"), col("rn"))
+            val est = Dedup.viralEstimateD(pref, None)
+            println(f"    exact est=$est%.4g")
+          } finally { sets.unpersist(); () }
+        }
+        // B: the r16 sampled probe at the operator's own rate
+        val sampledProbe = () => {
+          val r = Dedup.preflightRate(docs)
+          val est = Dedup.sampledViralEstimateD(docs, "doc_id", "text",
+            0.5, 3, oneSided = false, r)
+          println(f"    sampled est=$est%.4g (probe rate 1/$r)")
+        }
+        println(s"[ab] d17preflight dir=$dir reps=$reps " +
+          s"scanBytes=${graft.ScanBytes.of(docs)}")
+        paired("d17preflight", "exact", "sampled", reps, clear)(
+          exactCensus, sampledProbe)
+      case "foreststars" =>
+        // VERDICT r15 next #5: does the component-incremental star
+        // kernel cut the forest stage's slope on the planted-viral
+        // corpus? A = the retained all-pairs kernel, B = the r16
+        // kernel, run over the SAME banded relation (band + shuffle
+        // cost identical on both sides — the paired delta isolates the
+        // kernel). Family sizes = args(3) CSV (sysprops do not cross
+        // the forked run JVM), default 30000,100000; equality of
+        // output star counts asserted per family size.
+        import graft.dedup.Dedup
+        val fams = args.lift(3).getOrElse("30000,100000")
+          .split(",").map(_.trim.toInt).toSeq
+        val docs = graft.Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val seedText = docs.filter(col("doc_id") === 0L)
+          .select(col("text")).head().getString(0)
+        fams.foreach { fam =>
+          val viral = spark.range(fam)
+            .select((col("id") + 900000000L).as("doc_id"),
+              lit(seedText).as("text"))
+          val corpus = docs.unionByName(viral)
+          val sets = Dedup.signedSets(corpus, "doc_id", "text", 12, 3)
+          sets.count() // materialize the shared front-end outside the pairs
+          val bandKeys = (0 until 4).map { b =>
+            xxhash64((lit(b) +: (0 until 3).map(r =>
+              col("sig")(b * 3 + r))): _*)
+          }
+          val banded = sets
+            .select(col("id").cast("long").as("id"), col("nsh"), col("shd"),
+              explode(array(bandKeys: _*)).as("bkey"))
+            .select(col("bkey"), col("id"), col("nsh"), col("shd"))
+          import spark.implicits._
+          def viaKernel(k: (Iterator[(Long, Long, Int, Array[Long])], Double)
+              => Iterator[(Long, Long)]): Long =
+            banded.as[(Long, Long, Int, Array[Long])]
+              .groupByKey(_._1)
+              .flatMapGroups((_: Long,
+                  it: Iterator[(Long, Long, Int, Array[Long])]) => k(it, 0.7))
+              .toDF("d1", "d2").distinct().count()
+          var nA = -1L; var nB = -1L
+          paired(s"foreststars(fam=$fam)", "allpairs", "incremental",
+            reps, clear)(
+            () => { nA = viaKernel(Dedup.lshBucketStarsNaive) },
+            () => { nB = viaKernel(Dedup.lshBucketStars) })
+          println(s"[ab] foreststars fam=$fam stars: allpairs=$nA " +
+            s"incremental=$nB ${if (nA == nB) "EXACT" else "MISMATCH"}")
+          sets.unpersist()
+        }
+      case "scanfloor" =>
+        // context for the pre-flight latency: the sampled probe's cost
+        // floor is one pass over the text column (the row-hash sample
+        // predicate is content-independent by design, hence not
+        // parquet-pushable). Times, per rep: (a) a full text-column
+        // scan (sum of lengths — no shingling), (b) scan + hash-sample
+        // + count, (c) the full sampled probe at the operator's rate.
+        import graft.dedup.Dedup
+        val docs = graft.Tables.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val r = Dedup.preflightRate(docs)
+        def t(name: String)(f: => Unit): Unit = {
+          clear()
+          val t0 = System.nanoTime(); f
+          println(f"[ab] scanfloor $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+        }
+        println(s"[ab] scanfloor dir=$dir rate=1/$r " +
+          s"scanBytes=${graft.ScanBytes.of(docs)}")
+        for (_ <- 0 until reps) {
+          t("text scan (sum length)") {
+            docs.agg(sum(length(col("text")))).head(); ()
+          }
+          t("scan + hash-sample count") {
+            docs.where(Dedup.sampleKeep("doc_id", r)).count(); ()
+          }
+          t("full sampled probe") {
+            Dedup.sampledViralEstimateD(docs, "doc_id", "text", 0.5, 3,
+              oneSided = false, r); ()
+          }
+        }
+      case other =>
+        System.err.println(s"unknown experiment: $other " +
+          "(known: d17preflight, foreststars, scanfloor)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}
