@@ -1654,6 +1654,13 @@ object Dedup {
     * agreement (near-identical vectors co-locate under any IVF
     * structure, so the duplicate families this statement exists to
     * find thin cleanly; borderline cross-cell pairs may not).
+    * MEASURED r16 (`tools/D23Fidelity`, SCALE_r16 §3): zero borderline
+    * loss through sf10 (recall 1.0000 on 187,613 truth pairs, both
+    * same-cell and cross-cell classes) — below ~33k sampled vectors
+    * the sample's auto IVF sits at the 8-cell floor, coarser than the
+    * full index; the loss mechanism only becomes possible above that,
+    * where brute-force truth is out of probe range. Family-pair
+    * recall 1.0 is a DedupSpec assertion.
     */
   def sampledEmbeddingDupPairs(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, rateInv: Int, ncells: Int = 0,
