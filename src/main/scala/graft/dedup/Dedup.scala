@@ -1416,6 +1416,20 @@ object Dedup {
       }
       inter.toDouble / (n1 + n2 - inter) >= threshold
     }
+    starsOf(ids, incrementalComponents(m, verified))
+  }
+
+  /** The component-incremental closure engine shared by the star
+    * kernels ([[lshBucketStars]], [[cellStars]]): processes members in
+    * order, checking member k against existing components' members
+    * until it connects to each; a clique family costs O(c). The
+    * equivalence proof (final partition = closure of the intrinsic
+    * verified relation, regardless of check order) is on
+    * [[lshBucketStars]].
+    */
+  private def incrementalComponents(m: Int,
+      verified: (Int, Int) => Boolean)
+      : scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]] = {
     val comps = scala.collection.mutable.ArrayBuffer
       .empty[scala.collection.mutable.ArrayBuffer[Int]]
     var k = 0
@@ -1449,12 +1463,18 @@ object Dedup {
       } else joined += k
       k += 1
     }
+    comps
+  }
+
+  /** (component-min id, member) stars over nontrivial components. */
+  private def starsOf(ids: scala.collection.mutable.ArrayBuffer[Long],
+      comps: scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Int]])
+      : Iterator[(Long, Long)] =
     comps.iterator.filter(_.length > 1).flatMap { c =>
       var minId = Long.MaxValue
       c.foreach(i => if (ids(i) < minId) minId = ids(i))
       c.iterator.filter(i => ids(i) != minId).map(i => (minId, ids(i)))
     }
-  }
 
   /** The pre-r16 all-pairs lazy-verified union-find kernel — retained
     * for the equivalence spec and the paired A/B measurement
@@ -2581,31 +2601,34 @@ object Dedup {
       .toDF("d1", "d2")
   }
 
-  /** Per-cell kernel of [[embeddingStarForest]]: lazy-verified
-    * union-find over the cell's members, then one star per nontrivial
-    * component rooted at its min member id. Buffered state is the
-    * cell's vectors — bounded by the autoCells occupancy target
-    * (~4096) under hash-like dispersion; a pathologically dense
-    * region concentrates its own near-dup family in one cell, which
-    * is exactly the clique case the lazy verification makes linear.
+  /** Per-cell kernel of [[embeddingStarForest]]: the
+    * component-incremental closure engine ([[incrementalComponents]] —
+    * r16, same rewrite and equivalence proof as [[lshBucketStars]]),
+    * then one star per nontrivial component rooted at its min member
+    * id. Buffered state is the cell's vectors — bounded by the
+    * autoCells occupancy target (~4096) under hash-like dispersion; a
+    * pathologically dense region concentrates its own near-dup family
+    * in one cell, which is exactly the clique case the incremental
+    * enumeration makes O(c) — this kernel has no viral-cell refusal
+    * BECAUSE it is the relief path, so its mega-cell behavior is the
+    * one that matters.
     */
   private[graft] def cellStars(
       it: Iterator[(Long, Long, Array[Double], Double)],
       threshold: Double): Iterator[(Long, Long)] = {
+    val (ids, verified) = cellState(it, threshold)
+    starsOf(ids, incrementalComponents(ids.length, verified))
+  }
+
+  private def cellState(
+      it: Iterator[(Long, Long, Array[Double], Double)],
+      threshold: Double)
+      : (scala.collection.mutable.ArrayBuffer[Long], (Int, Int) => Boolean) = {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val nrms = scala.collection.mutable.ArrayBuffer.empty[Double]
     it.foreach { case (_, id, v, nrm) =>
       ids += id; vecs += v; nrms += nrm
-    }
-    val m = ids.length
-    val parent = Array.tabulate(m)(identity)
-    def find(x: Int): Int = {
-      var r = x
-      while (parent(r) != r) r = parent(r)
-      var c = x
-      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-      r
     }
     def verified(i: Int, j: Int): Boolean = {
       // the join form's exact IEEE sequence: sequential-fold dot,
@@ -2615,6 +2638,25 @@ object Dedup {
       var k = 0
       while (k < a.length) { s += a(k) * b(k); k += 1 }
       s / (nrms(i) * nrms(j)) >= threshold
+    }
+    (ids, verified)
+  }
+
+  /** The pre-r16 all-pairs kernel — retained for the equivalence spec;
+    * not wired into any operator.
+    */
+  private[graft] def cellStarsNaive(
+      it: Iterator[(Long, Long, Array[Double], Double)],
+      threshold: Double): Iterator[(Long, Long)] = {
+    val (ids, verified) = cellState(it, threshold)
+    val m = ids.length
+    val parent = Array.tabulate(m)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
     }
     var i = 0
     while (i < m) {

@@ -913,6 +913,21 @@ class DedupSpec extends SparkSpec {
       }
       both(rows, Seq(0.2, 0.5, 0.8)(rnd.nextInt(3)))
     }
+    // the embedding twin (cellStars vs cellStarsNaive): low-dim random
+    // vectors at loose thresholds give dense, bridge-heavy graphs
+    for (s <- 0 until 100) {
+      val r2 = new scala.util.Random(1000 + s)
+      val m = 2 + r2.nextInt(30)
+      val rows = (0 until m).map { i =>
+        val v = Array.fill(4)(r2.nextDouble() * 2 - 1)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (0L, r2.nextInt(500).toLong * 100 + i, v, nrm)
+      }
+      val t = Seq(0.1, 0.5, 0.9)(r2.nextInt(3))
+      val a = Dedup.cellStars(rows.iterator, t).toSet
+      val b = Dedup.cellStarsNaive(rows.iterator, t).toSet
+      assert(a === b, s"seed=$s t=$t")
+    }
   }
 
   test("sampled pre-flight estimate tracks the exact census within thinning variance") {

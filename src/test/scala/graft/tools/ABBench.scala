@@ -147,6 +147,54 @@ object ABBench {
             s"incremental=$nB ${if (nA == nB) "EXACT" else "MISMATCH"}")
           sets.unpersist()
         }
+      case "cellstars" =>
+        // the embedding twin of foreststars: a planted viral vector
+        // family concentrates in ONE IVF cell (identical vectors share
+        // a nearest centroid) — the exact case semanticDedup's star
+        // forest exists for, and the kernel whose mega-cell behavior
+        // has NO refusal to hide behind. A = all-pairs kernel, B =
+        // component-incremental; assignment shared, star counts
+        // asserted equal.
+        import graft.dedup.Dedup
+        val fams = args.lift(3).getOrElse("30000,100000")
+          .split(",").map(_.trim.toInt).toSeq
+        val emb = graft.Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val seedVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        fams.foreach { fam =>
+          val viral = spark.range(fam)
+            .select((col("id") + 900000000L).as("vec_id"),
+              typedLit(seedVec).as("embedding"))
+          val corpus = emb.unionByName(viral)
+          val cells = graft.sim.Similarity.autoCells(corpus, "vec_id")
+          val assigned = graft.sim.Similarity
+            .assignCells(corpus, "vec_id", "embedding", cells)
+            .withColumn("nrm", sqrt(graft.dedup.Vec.dot(col("v"), col("v"))))
+            .filter(col("nrm") > 0.0)
+            .select(col("cell"), col("id").cast("long").as("id"),
+              col("v"), col("nrm"))
+            .cache()
+          assigned.count() // materialize the shared assignment
+          import spark.implicits._
+          def viaKernel(k: (Iterator[(Long, Long, Array[Double], Double)],
+              Double) => Iterator[(Long, Long)]): Long =
+            assigned.as[(Long, Long, Array[Double], Double)]
+              .groupByKey(_._1)
+              .flatMapGroups((_: Long,
+                  it: Iterator[(Long, Long, Array[Double], Double)]) =>
+                k(it, 0.4))
+              .toDF("d1", "d2").count()
+          var nA = -1L; var nB = -1L
+          paired(s"cellstars(fam=$fam)", "allpairs", "incremental",
+            reps, clear)(
+            () => { nA = viaKernel(Dedup.cellStarsNaive) },
+            () => { nB = viaKernel(Dedup.cellStars) })
+          println(s"[ab] cellstars fam=$fam cells=$cells stars: " +
+            s"allpairs=$nA incremental=$nB " +
+            (if (nA == nB) "EXACT" else "MISMATCH"))
+          assigned.unpersist()
+        }
       case "scanfloor" =>
         // context for the pre-flight latency: the sampled probe's cost
         // floor is one pass over the text column (the row-hash sample
