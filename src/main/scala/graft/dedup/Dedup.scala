@@ -472,7 +472,13 @@ object Dedup {
     val pref = rarityPrefix(sets, threshold)._2
       .cache() // both sides of the candidate self-join
     if (guard && maxCandidatePairs < Long.MaxValue)
-      refuseIfViral(pref, None, maxCandidatePairs, "ngramJaccardPairs")
+      // on refusal, release the caches the aborted plan would have
+      // owned (r16 — a refused construction used to strand pref/sets
+      // in the cache manager for the session's lifetime)
+      try refuseIfViral(pref, None, maxCandidatePairs, "ngramJaccardPairs")
+      catch { case e: PairVolumeException =>
+        pref.unpersist(); sets.unpersist(); throw e
+      }
     // inside the join: size-compatibility (jac >= t forces
     // min size >= t * max size) and the positional overlap upper bound
     val minOverlap = (col("a.nsh") + col("b.nsh")) * (threshold / (1.0 + threshold))
@@ -567,7 +573,9 @@ object Dedup {
       .cache() // feeds ranking, the index side, and verification
     val (ex, pref) = rarityPrefix(sets, threshold)
     if (guard && maxCandidatePairs < Long.MaxValue)
-      refuseIfViral(pref, Some(ex), maxCandidatePairs, "containmentPairs")
+      // release the cache on refusal (see ngramJaccardCore)
+      try refuseIfViral(pref, Some(ex), maxCandidatePairs, "containmentPairs")
+      catch { case e: PairVolumeException => sets.unpersist(); throw e }
     def build(s: DataFrame): DataFrame =
       if (guard) s.hint("shuffle_hash") else s
     val cand = pref.as("a").join(ex.as("b"),
