@@ -207,7 +207,7 @@ object Dedup {
     * without executing them still pay the estimate jobs and can still
     * see the refusal. Stage 1 ([[sampledRefuseIfViral]]) answers in
     * roughly one column scan — a 1/r doc sample's census scaled r²,
-    * refusing only beyond a 2x margin; stage 2 is the exact census,
+    * refusing only beyond a 3x margin; stage 2 is the exact census,
     * the final gate on the run that executes. Below the floor (all
     * oracle/bench scales) the call stays fully lazy.
     */
@@ -352,7 +352,14 @@ object Dedup {
     * Margin discipline: the thinned statistic has real variance (and
     * the rarity prefix is re-derived on the sample, so it is an
     * approximation, not a thinned view), so this stage refuses only
-    * when the scaled estimate is CLEARLY over — est > 2x bound.
+    * when the scaled estimate is CLEARLY over — est > 3x bound. The
+    * margin is deliberately set AT the spec-pinned agreement band
+    * (DedupSpec pins sampled/exact within 3x): under that contract a
+    * probe estimate over 3x bound implies the exact census exceeds
+    * the bound, so a probe refusal is never a false refusal the exact
+    * gate would have overturned. (A 2x margin — the first cut — could
+    * terminally refuse a corpus whose exact estimate sits just under
+    * the bound while the probe overshoots within its pinned band.)
     * Anything under the margin falls through to the exact census,
     * which remains the final gate on the run that actually executes:
     * a borderline corpus pays the old price for the exact answer; a
@@ -365,7 +372,7 @@ object Dedup {
     val r = preflightRate(df)
     val estD = sampledViralEstimateD(df, idCol, textCol, threshold, n,
       oneSided, r)
-    if (estD > 2.0 * bound || estD < 0 ||
+    if (estD > 3.0 * bound || estD < 0 ||
         !java.lang.Double.isFinite(estD))
       throwViral(estD, bound, op, sampledRate = r)
   }
@@ -546,7 +553,7 @@ object Dedup {
     *
     * '''Eager pre-flight (ADVICE r13; two-stage since r16):''' same
     * contract as [[ngramJaccardPairs]] — a sampled stage-1 estimate
-    * (one-sided pc*ec form) that refuses beyond a 2x margin in about
+    * (one-sided pc*ec form) that refuses beyond a 3x margin in about
     * one column scan, then the exact census as the final gate.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
@@ -1406,13 +1413,27 @@ object Dedup {
   private[graft] def lshBucketStars(
       it: Iterator[(Long, Long, Int, Array[Long])],
       threshold: Double): Iterator[(Long, Long)] = {
+    val (ids, verified) = lshState(it, threshold)
+    starsOf(ids, incrementalComponents(ids.length, verified))
+  }
+
+  /** Shared bucket loader + verifier for the LSH star kernels (the
+    * [[cellState]] analog, review r16): buffers the bucket once and
+    * returns (member ids, verified(i,j)) — size-compat pre-check +
+    * exact sorted-merge Jaccard. ONE definition feeds both the live
+    * kernel and the retained naive kernel, so the comparison the
+    * equivalence spec and the `ABBench foreststars` measurement rest
+    * on cannot silently diverge.
+    */
+  private def lshState(it: Iterator[(Long, Long, Int, Array[Long])],
+      threshold: Double): (scala.collection.mutable.ArrayBuffer[Long],
+        (Int, Int) => Boolean) = {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val szs = scala.collection.mutable.ArrayBuffer.empty[Int]
     val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     it.foreach { case (_, id, nsh, shd) =>
       ids += id; szs += nsh; sets += shd
     }
-    val m = ids.length
     def verified(i: Int, j: Int): Boolean = {
       val n1 = szs(i); val n2 = szs(j)
       if (math.min(n1, n2) < math.max(n1, n2) * threshold) return false
@@ -1424,7 +1445,7 @@ object Dedup {
       }
       inter.toDouble / (n1 + n2 - inter) >= threshold
     }
-    starsOf(ids, incrementalComponents(m, verified))
+    (ids, verified)
   }
 
   /** The component-incremental closure engine shared by the star
@@ -1491,12 +1512,7 @@ object Dedup {
   private[graft] def lshBucketStarsNaive(
       it: Iterator[(Long, Long, Int, Array[Long])],
       threshold: Double): Iterator[(Long, Long)] = {
-    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val szs = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val sets = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
-    it.foreach { case (_, id, nsh, shd) =>
-      ids += id; szs += nsh; sets += shd
-    }
+    val (ids, verified) = lshState(it, threshold)
     val m = ids.length
     val parent = Array.tabulate(m)(identity)
     def find(x: Int): Int = {
@@ -1505,17 +1521,6 @@ object Dedup {
       var c = x
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
-    }
-    def verified(i: Int, j: Int): Boolean = {
-      val n1 = szs(i); val n2 = szs(j)
-      if (math.min(n1, n2) < math.max(n1, n2) * threshold) return false
-      val a = sets(i); val b = sets(j)
-      var x = 0; var y = 0; var inter = 0
-      while (x < a.length && y < b.length) {
-        if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
-        else if (a(x) < b(y)) x += 1 else y += 1
-      }
-      inter.toDouble / (n1 + n2 - inter) >= threshold
     }
     var i = 0
     while (i < m) {
@@ -2564,7 +2569,10 @@ object Dedup {
       .filter(col("nrm") > 0.0)
       .cache()
     if (pairGuard(df))
-      refuseIfViralCells(assigned, maxCandidatePairs, "embeddingDupPairs")
+      // release-on-refusal, as at the text-side sites: a refused probe
+      // must not strand the cell-assignment cache for the session
+      try refuseIfViralCells(assigned, maxCandidatePairs, "embeddingDupPairs")
+      catch { case e: PairVolumeException => assigned.unpersist(); throw e }
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -96,60 +96,96 @@ object CrossMatch {
     // BYTES-budget guard (r16, VERDICT r15 "What's wrong" #1): the r15
     // row cap could pass a catalog that still OOMed the driver. Two
     // tiers, both measured:
-    //  tier 1 (zero jobs): Catalyst's own size estimate — for the
-    //    realistic misuse (the 100-TB alert table passed as catalog)
-    //    parquet-scan stats are file-size-derived and catch it before any
-    //    computation. A 64× margin absorbs estimate noise so a legitimate
-    //    catalog is never refused on statistics alone.
-    //  tier 2 (exact, single pass): collect via toLocalIterator with a
-    //    running byte meter — partitions stream to the driver one at a
-    //    time and the build aborts the moment the measured bytes cross
-    //    the budget, instead of materializing everything first. This
-    //    also removes the r15 double computation (a count() job before
-    //    the collect) and closes the review gap that a source growing
-    //    between count() and collect() could evade the cap: the meter
-    //    sees the rows that actually arrive.
+    //  tier 1 (zero jobs): the sum of Catalyst LEAF-scan size estimates
+    //    — for the realistic misuse (the 100-TB alert table passed as
+    //    catalog) parquet-scan stats are file-size-derived and catch it
+    //    before any computation. The PROPAGATED plan estimate is NOT
+    //    usable here (review r16): a stats-less leaf (LogicalRDD, JDBC)
+    //    reports spark.sql.defaultSizeInBytes = Long.MaxValue and
+    //    Spark's default multi-child stats MULTIPLY child sizes, so a
+    //    join-derived MB-scale catalog would be refused on statistics
+    //    alone. Stats-less leaves contribute nothing to tier 1 (the
+    //    tier-2 meter still guards them); a 64× margin absorbs estimate
+    //    noise so a legitimate catalog is never refused on statistics.
+    //  tier 2 (exact, single pass): collect via toLocalIterator with
+    //    TWO meters sharing one byte estimate. toLocalIterator
+    //    materializes each whole partition as a driver-side array
+    //    before the driver sees a row (review r16), so a per-partition
+    //    meter runs EXECUTOR-side and fails the task the moment one
+    //    partition alone crosses the budget (sound: one partition over
+    //    budget implies the total is), bounding peak driver memory at
+    //    ~2x budget (accepted builders + one in-flight partition). The
+    //    driver-side running total remains the authoritative
+    //    cross-partition gate and sees the rows that actually arrive
+    //    (no count()-then-collect race, no double computation).
     val spark0 = alerts.sparkSession
     val budget = spark0.conf.getOption(CatalogBytesConf)
       .map(_.toLong).getOrElse(defaultCatalogBytes)
-    val planBytes = catDf.queryExecution.optimizedPlan.stats.sizeInBytes
-    require(planBytes <= BigInt(budget) * 64,
-      s"crossmatch catalog plan-size estimate ${planBytes} B is beyond " +
-        s"64x the broadcast budget ($budget B, conf $CatalogBytesConf); " +
-        "crossmatch the other way around or pre-filter the catalog " +
-        "(decBandFilter)")
+    val statsDefault = BigInt(spark0.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
+    val leafBytes = catDf.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).filter(_ < statsDefault).sum
+    require(leafBytes <= BigInt(budget) * 64,
+      s"crossmatch catalog plan-size estimate ${leafBytes} B (leaf-scan " +
+        s"stats) is beyond 64x the broadcast budget ($budget B, conf " +
+        s"$CatalogBytesConf); crossmatch the other way around or " +
+        "pre-filter the catalog (decBandFilter)")
+    // shared per-row byte estimate: CSR overhead + the payload struct's
+    // own bytes (UnsafeRow view — no copy). 0 for rows the build skips.
+    val nP0 = nP
+    val overhead = PerRowOverheadBytes
+    val rowBytes = (r: org.apache.spark.sql.catalyst.InternalRow) =>
+      if (r.isNullAt(0) || r.isNullAt(1) ||
+          r.getDouble(0).isNaN || r.getDouble(1).isNaN) 0L
+      else overhead + (r.getStruct(2, nP0) match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getSizeInBytes.toLong
+        case _ => 8L * nP0 // non-unsafe fallback: field-count estimate
+      })
+    val budget0 = budget
+    val confKey = CatalogBytesConf
+    val rawRdd = catDf.queryExecution.toRdd
+    // bound toLocalIterator's one-job-per-partition cost for
+    // many-partition small catalogs (narrow coalesce, no shuffle)
+    val fetchRdd =
+      if (rawRdd.getNumPartitions > 16) rawRdd.coalesce(16) else rawRdd
+    val metered = fetchRdd.mapPartitions { part =>
+      var pBytes = 0L
+      part.map { r =>
+        // copy() executor-side: toLocalIterator materializes each
+        // partition with toArray, which would otherwise capture N
+        // references to one reused UnsafeRow buffer
+        val c = r.copy()
+        pBytes += rowBytes(c)
+        if (pBytes > budget0) throw new IllegalArgumentException(
+          s"crossmatch catalog index crossed the broadcast budget " +
+            s"within one partition: measured $pBytes B > $budget0 B " +
+            s"(conf $confKey); crossmatch the other way around or " +
+            "pre-filter the catalog (decBandFilter)")
+        c
+      }
+    }
     val craB = Array.newBuilder[Double]
     val cdecB = Array.newBuilder[Double]
     val payB = Array.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
     var measured = 0L
     var nCat = 0L
-    // copy() executor-side: toLocalIterator materializes each partition
-    // with toArray, which would otherwise capture N references to one
-    // reused UnsafeRow buffer
-    val it = catDf.queryExecution.toRdd.map(_.copy()).toLocalIterator
+    val it = metered.toLocalIterator
     while (it.hasNext) {
       val r = it.next()
       nCat += 1
       // null/NaN catalog coordinates can never match (the old zone join
       // dropped them via a null key) — skip them at build
-      if (!r.isNullAt(0) && !r.isNullAt(1)) {
-        val cr = r.getDouble(0)
-        val cd = r.getDouble(1)
-        if (!cr.isNaN && !cd.isNaN) {
-          val pay = r.getStruct(2, nP).copy()
-          val payBytes = pay match {
-            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-              u.getSizeInBytes.toLong
-            case _ => 8L * nP // non-unsafe fallback: field-count estimate
-          }
-          measured += PerRowOverheadBytes + payBytes
-          require(measured <= budget,
-            s"crossmatch catalog index crossed the broadcast budget at " +
-              s"row $nCat: measured $measured B > $budget B " +
-              s"(conf $CatalogBytesConf); crossmatch the other way " +
-              "around or pre-filter the catalog (decBandFilter)")
-          craB += cr; cdecB += cd; payB += pay
-        }
+      val rb = rowBytes(r)
+      if (rb > 0L) {
+        measured += rb
+        require(measured <= budget,
+          s"crossmatch catalog index crossed the broadcast budget at " +
+            s"row $nCat: measured $measured B > $budget B " +
+            s"(conf $CatalogBytesConf); crossmatch the other way " +
+            "around or pre-filter the catalog (decBandFilter)")
+        craB += r.getDouble(0); cdecB += r.getDouble(1)
+        payB += r.getStruct(2, nP).copy()
       }
     }
     val index = CatalogIndex.build(zh, radiusArcsec, craB.result(),

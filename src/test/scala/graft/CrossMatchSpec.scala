@@ -202,6 +202,64 @@ class CrossMatchSpec extends SparkSpec {
     assert(ok === s"LAB1000${"x" * 100}")
   }
 
+  test("bytes budget tier 1 does not falsely refuse stats-less or join-derived catalogs (review r16)") {
+    import spark.implicits._
+    // join-derived catalog: Catalyst's default multi-child stats
+    // MULTIPLY child sizes, so the propagated plan estimate for this
+    // KB-scale catalog is ~size(a) x size(b) — the r16 first-cut guard
+    // refused it on statistics alone. The leaf-sum guard must not.
+    val base = (0 until 500).map(i =>
+      (i.toLong, i / 100.0, i / 200.0 - 5.0)).toDF("k", "cra", "cdec")
+    val labs = (0 until 500).map(i => (i.toLong, s"L$i")).toDF("k", "lab")
+    val joined = base.join(labs, "k").select("cra", "cdec", "lab")
+    val alerts = Seq(("A", 1.0, -4.5)).toDF("id", "ra", "dec")
+    val got = CrossMatch.label(alerts, joined, 10.0, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out").select("out").head().getString(0)
+    assert(got === "L100")
+    // stats-less leaf: a LogicalRDD reports spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) — the propagated estimate refused EVERY such
+    // catalog at any budget; the leaf-sum guard skips it (tier 2 meters)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cra",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("cdec",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("lab",
+        org.apache.spark.sql.types.StringType)))
+    val rddCat = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1.0, -4.5, "RDDLAB"))), schema)
+    assert(rddCat.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(1L << 40), "precondition: the RDD catalog is stats-less")
+    val got2 = CrossMatch.label(alerts, rddCat, 10.0, "id", "ra", "dec",
+      "cra", "cdec", "lab", "out").select("out").head().getString(0)
+    assert(got2 === "RDDLAB")
+  }
+
+  test("bytes budget: one oversized partition refuses executor-side, before driver materialization (review r16)") {
+    import spark.implicits._
+    // toLocalIterator materializes each whole partition driver-side
+    // before the driver meter sees a row — a single over-budget
+    // partition must be refused by the executor-side per-partition
+    // meter instead (task failure carrying the budget message)
+    val pad = "x" * 1000
+    val cat = (0 until 2000).map(i =>
+        (i / 100.0, i / 200.0 - 5.0, s"LAB$i$pad"))
+      .toDF("cra", "cdec", "lab").coalesce(1)
+    val alerts = Seq(("A", 10.0, 20.0)).toDF("id", "ra", "dec")
+    spark.conf.set(CrossMatch.CatalogBytesConf, "100000")
+    try {
+      val e = intercept[Exception] {
+        CrossMatch.label(alerts, cat, 1.5, "id", "ra", "dec",
+          "cra", "cdec", "lab", "out").collect()
+      }
+      val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("within one partition"), msgs.take(500))
+      assert(msgs.contains(CrossMatch.CatalogBytesConf))
+    } finally spark.conf.unset(CrossMatch.CatalogBytesConf)
+  }
+
   test("label scratch name survives alert frames that already use __label*") {
     import spark.implicits._
     val alerts = Seq(("A", 10.0, 20.0, "keep0", "keep1"))

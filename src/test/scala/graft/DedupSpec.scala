@@ -696,6 +696,49 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("embedding pair refusal releases the cell-assignment cache (review r16)") {
+    // a range-backed corpus: the Range leaf's stats (8 B/row) put the
+    // frame over the 16 MB pairGuard floor, so the eager pre-flight
+    // actually runs; all vectors identical -> one viral cell ->
+    // worst-cell C(3M,2) >> the default bound -> refusal. The refusal
+    // must not strand the cached cell assignment (the embedding twin of
+    // the r16 text-side release-on-refusal fix).
+    val emb = spark.range(3000000).select(col("id").as("vec_id"),
+      array(lit(1.0d), lit(0.0d)).as("embedding"))
+    spark.sharedState.cacheManager.clearCache()
+    intercept[graft.dedup.PairVolumeException] {
+      Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.4, ncells = 8)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a refused embedding pair report stranded the assignment cache")
+  }
+
+  test("sampled pre-flight margin sits AT the spec-pinned 3x band (review r16)") {
+    import spark.implicits._
+    // under the pinned sampled/exact <= 3x agreement band, a probe
+    // refusal is sound only if the margin is >= the band: estimates in
+    // (bound, 3x bound] MUST fall through to the exact census (a 2x
+    // margin could terminally refuse a corpus the exact gate admits)
+    val fam = (0 until 600).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val rest = (0 until 2400).map(i =>
+      (1000L + i, s"unique document payload number $i with filler token ${i * 7} end"))
+    val docs = (fam ++ rest).toDF("doc_id", "text")
+    // the internal call uses preflightRate(docs) = 2 on a corpus this
+    // small; pin the margin against the estimate at that same rate
+    val est = Dedup.sampledViralEstimateD(docs, "doc_id", "text", 0.5, 3,
+      oneSided = false, r = Dedup.preflightRate(docs))
+    assert(est > 0.0)
+    // est = 2.5x bound: inside the band -> stage 1 must NOT refuse
+    Dedup.sampledRefuseIfViral(docs, "doc_id", "text", 0.5, 3,
+      oneSided = false, bound = (est / 2.5).toLong, op = "test")
+    // est = 4x bound: over the band -> stage 1 refuses
+    intercept[graft.dedup.PairVolumeException] {
+      Dedup.sampledRefuseIfViral(docs, "doc_id", "text", 0.5, 3,
+        oneSided = false, bound = (est / 4.0).toLong, op = "test")
+    }
+  }
+
   test("incrementalDedup classifies a crafted increment against index tables only") {
     import spark.implicits._
     val baseText = (1 to 40).map(i => s"tok$i").mkString(" ")

@@ -122,6 +122,15 @@ object ABBench {
           val corpus = docs.unionByName(viral)
           val sets = Dedup.signedSets(corpus, "doc_id", "text", 12, 3)
           sets.count() // materialize the shared front-end outside the pairs
+          // review r16: the plain clear() wiped the front-end cache too,
+          // so every timed arm silently re-paid the signature build.
+          // Per-rep hygiene here = wipe everything, then re-pin the
+          // shared front-end OUTSIDE the timed window — the paired delta
+          // already isolated the kernel (both arms paid equally), but
+          // the per-arm absolutes now time band+kernel only.
+          val clearKeepFront = () => {
+            clear(); sets.cache(); sets.count(); ()
+          }
           val bandKeys = (0 until 4).map { b =>
             xxhash64((lit(b) +: (0 until 3).map(r =>
               col("sig")(b * 3 + r))): _*)
@@ -140,7 +149,7 @@ object ABBench {
               .toDF("d1", "d2").distinct().count()
           var nA = -1L; var nB = -1L
           paired(s"foreststars(fam=$fam)", "allpairs", "incremental",
-            reps, clear)(
+            reps, clearKeepFront)(
             () => { nA = viaKernel(Dedup.lshBucketStarsNaive) },
             () => { nB = viaKernel(Dedup.lshBucketStars) })
           println(s"[ab] foreststars fam=$fam stars: allpairs=$nA " +
@@ -176,6 +185,11 @@ object ABBench {
               col("v"), col("nrm"))
             .cache()
           assigned.count() // materialize the shared assignment
+          // same review-r16 fix as foreststars: keep the shared
+          // assignment warm outside the timed window
+          val clearKeepFront = () => {
+            clear(); assigned.cache(); assigned.count(); ()
+          }
           import spark.implicits._
           def viaKernel(k: (Iterator[(Long, Long, Array[Double], Double)],
               Double) => Iterator[(Long, Long)]): Long =
@@ -187,7 +201,7 @@ object ABBench {
               .toDF("d1", "d2").count()
           var nA = -1L; var nB = -1L
           paired(s"cellstars(fam=$fam)", "allpairs", "incremental",
-            reps, clear)(
+            reps, clearKeepFront)(
             () => { nA = viaKernel(Dedup.cellStarsNaive) },
             () => { nB = viaKernel(Dedup.cellStars) })
           println(s"[ab] cellstars fam=$fam cells=$cells stars: " +
