@@ -1678,29 +1678,48 @@ object Dedup {
     * volume by 1/rateInv^2 — including the worst cell the pre-flight
     * measures, so a corpus that refuses exact can answer sampled.
     *
-    * Honest caveat vs the text-side sampled degrees: the IVF structure
-    * (auto cell count + centroids) is RE-DERIVED on the sub-corpus, so
-    * the candidate filter is the sample's own index, not a thinned
-    * view of the full corpus's — the output is exactly "the pair
-    * statement run on the sampled corpus", which is the right survey
-    * semantics, but per-pair survival is 1/rateInv^2 only up to index
-    * agreement (near-identical vectors co-locate under any IVF
-    * structure, so the duplicate families this statement exists to
-    * find thin cleanly; borderline cross-cell pairs may not).
-    * MEASURED r16 (`tools/D23Fidelity`, SCALE_r16 §3): zero borderline
-    * loss through sf10 (recall 1.0000 on 187,613 truth pairs, both
-    * same-cell and cross-cell classes) — below ~33k sampled vectors
-    * the sample's auto IVF sits at the 8-cell floor, coarser than the
-    * full index; the loss mechanism only becomes possible above that,
-    * where brute-force truth is out of probe range. Family-pair
-    * recall 1.0 is a DedupSpec assertion.
+    * '''Thinned-view contract (r16):''' the IVF structure — cell count
+    * AND centroid seed — comes from the FULL corpus (which this
+    * operator receives pre-thin), so the sample is assigned under
+    * exactly the index the exact statement uses. The output is
+    * therefore EXACTLY the exact run's pair set restricted to pairs
+    * with both endpoints sampled (a DedupSpec set-equality assertion),
+    * per-pair survival is exactly 1/rateInv^2 for every
+    * exact-visible pair — the same rigor as the text-side sampled
+    * degrees — and per-cell occupancy is the exact run's ~4096 target
+    * divided by rateInv.
+    *
+    * History of the contract (r16, `tools/D23Fidelity` +
+    * `tools/D23Boundary`, SCALE_r16 §3): the operator originally
+    * re-derived the IVF on the sub-corpus and carried a documented
+    * "borderline cross-cell pairs thin unpredictably" caveat. The
+    * first fidelity pass read recall 1.0000 at every scale and
+    * severity — and the boundary probe showed WHY: assignCells' old
+    * `id < ncells` seed collapsed on the thinned frame to
+    * ~ncells/rateInv centroids, a ~1-cell index that co-located
+    * everything (trivial recall, and a ~rateInv× occupancy blow-up in
+    * the within-cell join — 146.6 -> 20.5 s on the sf10 viral corpus
+    * once fixed). With the seed fixed, the honestly re-derived index
+    * measured same-cell recall 0.80 (natural sf10) and 0.41
+    * (adversarial planted borderline corpus) — real, unpredictable
+    * loss. Seeding from the full corpus removes the caveat instead of
+    * quantifying it.
     */
   def sampledEmbeddingDupPairs(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, rateInv: Int, ncells: Int = 0,
       maxCandidatePairs: Long = 1L << 28): DataFrame = {
     require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
-    embeddingDupPairs(df.where(sampleKeep(idCol, rateInv)), idCol,
-      vecCol, threshold, ncells, maxCandidatePairs)
+    // the FULL corpus decides both the cell count and the centroid
+    // seed (r16 thinned-view contract — see the scaladoc): the sample
+    // is assigned under exactly the index the exact statement uses, so
+    // its per-cell occupancy is the exact run's divided by rateInv and
+    // its pairs are exactly the exact run's with both endpoints
+    // sampled
+    val cells =
+      if (ncells > 0) ncells
+      else graft.sim.Similarity.autoCells(df, idCol)
+    embeddingDupPairsImpl(df.where(sampleKeep(idCol, rateInv)), idCol,
+      vecCol, threshold, cells, maxCandidatePairs, seedFrom = df)
   }
 
   /** Bounded-output near-dup REPORT — each doc's top-k verified
@@ -2559,7 +2578,20 @@ object Dedup {
     val cells =
       if (ncells > 0) ncells
       else graft.sim.Similarity.autoCells(df, idCol)
-    val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol, cells)
+    embeddingDupPairsImpl(df, idCol, vecCol, threshold, cells,
+      maxCandidatePairs, seedFrom = null)
+  }
+
+  /** Shared body of [[embeddingDupPairs]] and
+    * [[sampledEmbeddingDupPairs]]: cell count is decided by the
+    * caller, and `seedFrom` (when non-null) supplies the centroid seed
+    * frame so the sampled caller can pin the FULL corpus's index.
+    */
+  private def embeddingDupPairsImpl(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, cells: Int,
+      maxCandidatePairs: Long, seedFrom: DataFrame): DataFrame = {
+    val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol,
+        cells, seedFrom)
       .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))
       // zero-norm vectors have no defined cosine: exclude them rather
       // than let NaN ride into the threshold comparison, where engines

@@ -119,8 +119,9 @@ object PipelineQueries extends QueryPack {
       .orderBy("doc_id")
 
   // d23: the embedding-family sampled sibling — d6's pair statement
-  // over the 1/2 sample residue class (IVF re-derived on the sample;
-  // the oracle's count-based k CTE sees the same filtered source).
+  // over the 1/2 sample residue class, under d6's OWN index (full-
+  // corpus cell count + centroid seed — the r16 thinned-view
+  // contract; the oracle seeds from the full table the same way).
   private def d23SampledEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.sampledEmbeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 2)
       .orderBy("d1", "d2")
@@ -1064,13 +1065,15 @@ object PipelineQueries extends QueryPack {
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     // d23: d6's chain over the 1/2-sampled source — ONE shared body
     // (embeddingPairSql), so the pair statement cannot diverge between
-    // the exact and sampled oracles; the count-based k CTE and the
-    // centroid init both see the filtered relation, exactly as the
-    // Spark side re-derives its IVF on the sampled frame.
+    // the exact and sampled oracles. The SEED CTE is the FULL table
+    // (r16 thinned-view contract): cell count and centroids are the
+    // exact statement's, so d23's rows are exactly d6's with both
+    // endpoints in the residue class.
     "d23_sampled_embedding" -> embeddingPairSql(
       """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
-        |    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0""".stripMargin),
+        |    CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0""".stripMargin,
+      seedCte = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     // d13: d6's pair CTEs + the d9-style reachability closure (min
     // reachable id per node); the left join restores unpaired and
     // zero-norm vectors as their own cluster.
@@ -2060,10 +2063,14 @@ object PipelineQueries extends QueryPack {
     */
   // d6/d23 share one pair-statement body parameterized on the source
   // CTE (review r15: a verbatim duplicate would let a one-sided edit
-  // silently diverge the sampled oracle from the exact one).
-  private def embeddingPairSql(eCte: String): String =
+  // silently diverge the sampled oracle from the exact one). `seedCte`
+  // (d23's thinned-view contract, r16): the cell count and centroid
+  // seed derive from this frame — the FULL corpus — while the pair
+  // statement runs over `eCte` (the sample).
+  private def embeddingPairSql(eCte: String, seedCte: String = null): String =
     s"""WITH e AS ($eCte),
-       |${cellAssignCtes("e")},
+       |${if (seedCte == null) cellAssignCtes("e")
+          else s"eseed AS ($seedCte),\n" + cellAssignCtes("e", seedSrc = "eseed")},
        |n AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm
        |      FROM asg WHERE sqrt(list_dot_product(v, v)) > 0)
        |SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -2072,16 +2079,22 @@ object PipelineQueries extends QueryPack {
        |WHERE list_dot_product(a.v, b.v)/(a.nrm * b.nrm) >= 0.4
        |ORDER BY d1, d2""".stripMargin
 
-  private def cellAssignCtes(src: String, fixedK: String = null): String = {
+  private def cellAssignCtes(src: String, fixedK: String = null,
+      seedSrc: String = null): String = {
     val div = graft.sim.Similarity.cellDivisor
     val gate = graft.sim.Similarity.TwoLevelGate
+    // the SEED frame decides the cell count and the centroids (r16:
+    // d23 passes the full corpus here while assigning the sample —
+    // mirroring Similarity.assignCells' seedFrom); default = src
+    val seed = if (seedSrc == null) src else seedSrc
     val kCte =
-      if (fixedK == null) s"SELECT greatest(8, count(*) // $div) AS k FROM $src"
+      if (fixedK == null) s"SELECT greatest(8, count(*) // $div) AS k FROM $seed"
       else s"SELECT CAST($fixedK AS BIGINT) AS k" // explicit-ncells callers
     s"""nc0 AS ($kCte),
        |nc AS (SELECT k, CASE WHEN k > $gate
        |         THEN CAST(ceil(sqrt(k)) AS BIGINT) ELSE k END AS ns FROM nc0),
-       |cent AS (SELECT vec_id AS cell, v AS cv FROM $src, nc WHERE vec_id < nc.k),
+       |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |         FROM $seed, nc QUALIFY row_number() OVER (ORDER BY vec_id) <= nc.k),
        |sup AS (SELECT cell AS sup, cv AS scv FROM cent, nc WHERE cell < nc.ns),
        |ctag AS (
        |  SELECT cell, cv, sup FROM (

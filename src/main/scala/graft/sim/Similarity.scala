@@ -156,13 +156,44 @@ object Similarity {
     * result seam at the boundary.
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-      ncells: Int): DataFrame = {
+      ncells: Int, seedFrom: DataFrame = null): DataFrame = {
     val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    // centroid seed from the NARROW scan (an id-pushed filter over a
-    // handful of rows); only the corpus side of the distance passes
-    // is spread across cores
-    val cent = e0.filter(col("id") < ncells)
+    // Centroid seed = the `ncells` LOWEST ids PRESENT in the seed
+    // frame, renumbered 0..ncells-1 by id rank (r16). The old
+    // convention — literally `id < ncells` — is identical on a
+    // dense-id frame (every full-table caller: rank-1 == id) but
+    // DEGENERATE on a filtered frame: sampledEmbeddingDupPairs' 1/r
+    // thinned corpus kept only ~ncells/r seed rows, so the "re-derived
+    // IVF" the d23 caveat worried about was really a ~1-cell index —
+    // per-cell occupancy r× the 4096 target and a quadratic
+    // within-cell join (found by the D23Boundary probe: recall 1.0 at
+    // every severity was the index not cutting at all). An id-shifted
+    // frame was worse still: ZERO seed rows and a silently empty
+    // result.
+    //
+    // `seedFrom` (default: the frame itself) lets a SAMPLED caller
+    // seed from the FULL corpus, making its assignment the exact
+    // restriction of the full run's — the d23 thinned-view contract.
+    //
+    // Two tiers keep the dense case scan-cheap: probe the id-pushed
+    // narrow filter first (a handful of row groups at any scale); only
+    // when it comes back short — filtered/shifted ids — pay one
+    // ordered top-ncells pass over the seed frame. Streaming frames
+    // cannot run the probe job (and cannot sort), so they keep the
+    // dense-path plan unconditionally, as before.
+    val s0 =
+      if (seedFrom == null) e0
+      else seedFrom.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val densePath = s0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
+    val cent =
+      if (s0.isStreaming || densePath.count() == ncells.toLong) densePath
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        s0.orderBy(col("id")).limit(ncells)
+          .select((row_number().over(w) - 1).cast("long").as("cell"),
+            col("v").as("cv"))
+      }
     val e = parallelized(e0)
     if (ncells <= TwoLevelGate) {
       e.join(broadcast(cent))

@@ -578,6 +578,43 @@ class DedupSpec extends SparkSpec {
       s"${border.size}, recalled ${(border & got).size}")
   }
 
+  test("sampledEmbeddingDupPairs is EXACTLY the exact run restricted to sampled endpoints (r16 thinned-view contract)") {
+    // the r16 semantics upgrade: the sample is assigned under the FULL
+    // corpus's index (cell count + centroid seed), so the sampled
+    // output is the exact statement's pair set with both endpoints in
+    // the residue class — SET EQUALITY, not recall-up-to-index-
+    // agreement. This is what makes 1/r^2 survival exactly true per
+    // exact-visible pair (the text-family rigor). Borderline-heavy
+    // corpus on purpose: threshold at the cosine bulk, like the
+    // D23Boundary probe that measured 0.41 recall under the old
+    // re-derived index.
+    import spark.implicits._
+    val rnd = new scala.util.Random(2323)
+    val dim = 8
+    def vec(): Array[Double] = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+    val bases = Array.fill(3)(vec())
+    val rows = (0 until 3000).map { i =>
+      val b = bases(i % 3)
+      (i.toLong, b.map(x => x + (rnd.nextDouble() - 0.5) * 1.2))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    for (r <- Seq(2, 3)) {
+      val keep = df.where(Dedup.sampleKeep("vec_id", r))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactAll: Set[(Long, Long)] =
+        Dedup.embeddingDupPairs(df, "vec_id", "embedding", 0.4)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val exactRestricted = exactAll
+        .filter { case (a, b) => keep.contains(a) && keep.contains(b) }
+      val got = Dedup.sampledEmbeddingDupPairs(df, "vec_id", "embedding", 0.4, r)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(exactRestricted.nonEmpty, s"vacuous at r=$r")
+      assert(got === exactRestricted,
+        s"r=$r: missing=${(exactRestricted -- got).take(3)} " +
+          s"extra=${(got -- exactRestricted).take(3)}")
+    }
+  }
+
   test("capped streaming pair plan constructs lazily (no eager census job)") {
     // review r15: an explicit non-default bucketCap used to trigger the
     // eager bucket census, which collect()s — AnalysisException on a

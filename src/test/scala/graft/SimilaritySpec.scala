@@ -87,6 +87,41 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.select("id").distinct().count() === emb.count())
   }
 
+  test("centroid seed on filtered/shifted-id frames: ncells lowest ids present, renumbered (review r16)") {
+    import org.apache.spark.sql.functions.col
+    // a filtered frame (every 10th id — the sampledEmbeddingDupPairs
+    // shape): the old `id < ncells` seed kept ~ncells/10 centroids, a
+    // degenerate near-1-cell index; the seed must instead be the
+    // ncells lowest ids PRESENT, renumbered densely so the two-level
+    // `cell < nsuper` convention stays sound
+    val sparse = emb.filter(col("vec_id") % 10 === 0)
+    val n = sparse.count()
+    val asg = Similarity.assignCells(sparse, "vec_id", "embedding", 8)
+      .select(col("id"), col("cell")).cache()
+    assert(asg.count() === n)
+    val cells = asg.select("cell").distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(cells.length === 8, s"degenerate seed: ${cells.mkString(",")}")
+    assert(cells.forall(c => c >= 0 && c < 8), cells.mkString(","))
+    // the 8 seed vectors (lowest present ids 0,10,..,70) must sit in
+    // their own renumbered cells (a centroid's nearest centroid is
+    // itself; ties break to the lower cell)
+    val seedCells = asg.filter(col("id") < 80).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { k =>
+      assert(seedCells(10L * k) === k.toLong,
+        s"seed ${10 * k} not in renumbered cell $k: $seedCells")
+    }
+    asg.unpersist()
+    // an id-SHIFTED frame (no ids below ncells at all): the old seed
+    // was EMPTY -> silently empty assignment; now it must cover every
+    // vector
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val asg2 = Similarity.assignCells(shifted, "vec_id", "embedding", 8)
+    assert(asg2.count() === emb.count())
+  }
+
   test("two-level assignment above the gate matches the routed brute-force formula") {
     import org.apache.spark.sql.functions.col
     val ncells = 80 // > TwoLevelGate=64 -> the two-level path

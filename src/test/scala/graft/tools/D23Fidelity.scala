@@ -1,9 +1,6 @@
-// dev scratch (VERDICT r15 next #3): put a number on d23's
-// IVF-re-derivation caveat. sampledEmbeddingDupPairs re-derives the IVF
-// (auto cell count + centroids) on the 1/r sample, so per-pair survival
-// is 1/r^2 only up to index agreement: duplicate families co-locate
-// under any IVF, but borderline cross-cell pairs thin unpredictably.
-// This tool measures it where the exact statement completes:
+// dev scratch (VERDICT r15 next #3, upgraded r16): measure d23's
+// fidelity against brute-force truth where the exact statement
+// completes:
 //   truth      = brute-force cosine >= t over the SAMPLED subset (both
 //                endpoints sampled by construction)
 //   same-cell  = truth pairs co-located by the FULL-corpus IVF — i.e.
@@ -12,28 +9,32 @@
 //   cross-cell = truth pairs the full-corpus IVF already splits (d6
 //                itself never sees these; they bound the statement, not
 //                the sampling)
-// and reports the sampled run's recall on each class.
+// History: under the original re-derived-on-sample IVF this tool
+// measured the caveat (and, with D23Boundary, exposed the degenerate
+// `id < ncells` seed — recall 1.0 everywhere because the sample index
+// was ~1 cell; honestly re-derived it read 0.80/0.36 at natural sf10).
+// Under the r16 thinned-view contract (full-corpus cell count +
+// centroid seed) the expected readings are EXACT: same-cell recall
+// 1.0000 by construction, cross-cell recall 0.0000 by construction,
+// extra 0 — this tool is now the contract's empirical witness.
+// The measurement body is shared with D23Boundary.
 // Usage: runMain graft.tools.D23Fidelity [sfDir] [rateInv] [threshold]
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object D23Fidelity {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val r = if (args.length > 1) args(1).toInt else 10
-    val t = if (args.length > 2) args(2).toDouble else 0.4
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Sampled-vs-exact pair recall split by the FULL-corpus IVF's
+    * same-cell/cross-cell classes; `emb` must carry (vec_id,
+    * embedding). Returns (sameHit, sameTot, crossHit, crossTot) after
+    * printing the full report.
+    */
+  def measure(spark: SparkSession, emb: DataFrame, r: Int, t: Double)
+      : (Long, Long, Long, Long) = {
     import graft.dedup.{Dedup, Vec}
     import graft.sim.Similarity
-
-    val emb = graft.Tables.t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
     val n = emb.count()
     val sampled = emb.where(Dedup.sampleKeep("vec_id", r))
       .select(col("vec_id").as("id"),
@@ -42,7 +43,7 @@ object D23Fidelity {
       .filter(col("nrm") > 0.0)
       .cache()
     val ns = sampled.count()
-    println(s"[f] dir=$dir n=$n sampled=$ns (rateInv=$r) threshold=$t")
+    println(s"[f] n=$n sampled=$ns (rateInv=$r) threshold=$t")
 
     // truth: all-pairs cosine over the sample (no cell routing at all)
     val truth = sampled.as("a").join(sampled.as("b"),
@@ -80,6 +81,24 @@ object D23Fidelity {
     println(f"[f] fullIVF cells=$cells  sampled-run pairs=$nGot  extra(non-truth)=$extra")
     println(f"[f] same-cell (== exact-d6-restricted): recall ${sHit.toDouble / math.max(1, sTot)}%.4f ($sHit/$sTot)")
     println(f"[f] cross-cell (invisible to exact d6 too): recall ${xHit.toDouble / math.max(1, xTot)}%.4f ($xHit/$xTot)")
+    sampled.unpersist(); truth.unpersist(); asg.unpersist()
+    classified.unpersist(); got.unpersist()
+    (sHit, sTot, xHit, xTot)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val r = if (args.length > 1) args(1).toInt else 10
+    val t = if (args.length > 2) args(2).toDouble else 0.4
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    println(s"[f] dir=$dir")
+    measure(spark, emb, r, t)
     spark.stop()
   }
 }
