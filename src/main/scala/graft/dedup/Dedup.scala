@@ -414,6 +414,11 @@ object Dedup {
     if (worstD > bound || worstD < 0 || !java.lang.Double.isFinite(worstD)) {
       val est = if (java.lang.Double.isFinite(worstD) && worstD >= 0 &&
           worstD <= Long.MaxValue.toDouble) worstD.toLong else Long.MaxValue
+      // the estimate doubles as the rate selector, as on the text side:
+      // the sampled sibling's worst-cell volume is ~est/r^2, so the
+      // smallest answering rate is r ~ sqrt(est/bound)
+      val impliedR = math.ceil(math.sqrt(
+        est.toDouble / math.max(1L, bound))).toLong
       throw new PairVolumeException(est, bound,
         s"$op: worst IVF cell implies ~$est candidate pairs, over " +
           s"maxCandidatePairs=$bound — a near-identical embedding " +
@@ -424,7 +429,10 @@ object Dedup {
           "semanticDedup (star-forest closure, O(vectors) edges), " +
           "Similarity.ivfTopKAll / ProductQuantize.ivfPqTopKAll " +
           "(bounded per-query reports), sampledEmbeddingDupPairs " +
-          "(uniform 1/r sample — worst-cell volume scales by 1/r^2). " +
+          "(uniform 1/r sample — worst-cell volume scales by 1/r^2; " +
+          s"this estimate implies rateInv >= ~$impliedR, and the " +
+          "sampled output is exactly this statement's pairs with both " +
+          "endpoints sampled). " +
           "Raise maxCandidatePairs to force this run anyway.")
     }
   }

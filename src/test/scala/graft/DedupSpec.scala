@@ -721,6 +721,8 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("semanticDedup"))
     assert(e.getMessage.contains("ivfTopKAll"))
     assert(e.getMessage.contains("maxCandidatePairs"))
+    // the estimate doubles as the rate selector: ceil(sqrt(36/10)) = 2
+    assert(e.getMessage.contains("rateInv >= ~2"))
     // the oracle-scale operator result is unchanged by the guard path
     // (below the pairGuard floor the call stays fully lazy), and the
     // explicit-bound escape hatch leaves results identical
