@@ -365,6 +365,19 @@ object Dedup {
     * a borderline corpus pays the old price for the exact answer; a
     * viral one (the case the latency matters for) is orders of
     * magnitude over the margin.
+    *
+    * '''Cost floor — terminal (r17 decision note, SCALE_r16 §1b):'''
+    * of the measured 21–36 s refusal at the 1000x decade, 8–15 s is
+    * the irreducible full text-column scan: the 1/r sample predicate
+    * hashes the id (content-unbiased BY DESIGN — a content-derived
+    * predicate would bias the gram census toward or away from the
+    * viral family), so it cannot prune parquet row groups and every
+    * text byte is read once. The one layout under which this floor
+    * drops is a table hash-BUCKETED on the id column with bucket
+    * count a multiple of r: the residue class then maps to whole
+    * buckets and the scan prunes to ~1/r of the row groups. No such
+    * consumer exists today; if bucketed corpus layouts appear, route
+    * the sample predicate through the bucket spec before the scan.
     */
   private[graft] def sampledRefuseIfViral(df: DataFrame, idCol: String,
       textCol: String, threshold: Double, n: Int, oneSided: Boolean,
@@ -491,7 +504,10 @@ object Dedup {
       // owned (r16 — a refused construction used to strand pref/sets
       // in the cache manager for the session's lifetime)
       try refuseIfViral(pref, None, maxCandidatePairs, "ngramJaccardPairs")
-      catch { case e: PairVolumeException =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal, not just PairVolumeException (ADVICE r16): any
+        // pre-flight failure — e.g. a Spark job failure mid-census —
+        // must release the caches too, not only the refusal path
         pref.unpersist(); sets.unpersist(); throw e
       }
     // inside the join: size-compatibility (jac >= t forces
@@ -590,7 +606,8 @@ object Dedup {
     if (guard && maxCandidatePairs < Long.MaxValue)
       // release the cache on refusal (see ngramJaccardCore)
       try refuseIfViral(pref, Some(ex), maxCandidatePairs, "containmentPairs")
-      catch { case e: PairVolumeException => sets.unpersist(); throw e }
+      catch { case scala.util.control.NonFatal(e) => // see ngramJaccardCore
+        sets.unpersist(); throw e }
     def build(s: DataFrame): DataFrame =
       if (guard) s.hint("shuffle_hash") else s
     val cand = pref.as("a").join(ex.as("b"),
@@ -2609,10 +2626,13 @@ object Dedup {
       .filter(col("nrm") > 0.0)
       .cache()
     if (pairGuard(df))
-      // release-on-refusal, as at the text-side sites: a refused probe
-      // must not strand the cell-assignment cache for the session
+      // release-on-refusal, as at the text-side sites: a failed or
+      // refused probe must not strand the cell-assignment cache for
+      // the session (NonFatal, not just PairVolumeException — ADVICE
+      // r16: a Spark job failure during the census counts too)
       try refuseIfViralCells(assigned, maxCandidatePairs, "embeddingDupPairs")
-      catch { case e: PairVolumeException => assigned.unpersist(); throw e }
+      catch { case scala.util.control.NonFatal(e) =>
+        assigned.unpersist(); throw e }
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Vec.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

@@ -102,6 +102,63 @@ object Similarity {
     v.getOrElse(4096L)
   }
 
+  /** Driver-side id-statistics cache for the IVF family, keyed by the
+    * CANONICALIZED logical plan of the id projection: one
+    * `(count, min, max)` aggregate job per distinct seed frame per
+    * session, shared by [[autoCells]] (which needs the count) and
+    * [[assignCells]] (whose centroid-seed path choice needs the
+    * density check `min == 0 && max == count-1`). r17, VERDICT r16
+    * "What's wrong" #1: the r16 seed-robustness fix ran an eager
+    * `densePath.count()` probe job at EVERY non-streaming
+    * construction — on a join-derived frame that probe forced the
+    * full upstream computation just to build a plan, and AUTO callers
+    * paid it on top of the count `autoCells` had already run. Now the
+    * AUTO chain (autoCells → assignCells on the same frame) runs ONE
+    * job total and explicit-ncells callers pay one cached job per
+    * distinct frame instead of one per construction
+    * (paired adjudication: SCALE_r17 §1).
+    *
+    * Canonicalized-plan equality means two independently constructed
+    * reads of the same source hit the same entry (exprIds are
+    * normalized positionally). The cache assumes session-immutable
+    * inputs — the Verify/Bench pattern; a test that rewrites a path
+    * in place within one session should [[clearIdStatsCache]].
+    * Bounded LRU (128 entries) so long sessions over many ad-hoc
+    * frames cannot grow it without bound.
+    */
+  private val idStatsCache =
+    new java.util.LinkedHashMap[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        (Long, Long, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            (Long, Long, Long)]): Boolean = size() > 128
+    }
+
+  private[graft] def clearIdStatsCache(): Unit =
+    idStatsCache.synchronized { idStatsCache.clear() }
+
+  /** `(count, min id, max id)` of `df`'s id column — cached per
+    * canonicalized plan (see [[idStatsCache]]). Empty frames report
+    * `(0, 0, -1)` so the density check `min == 0 && max == count-1`
+    * degenerates to true (both seed paths are identically empty
+    * there). Streaming callers must not reach this (no eager jobs on
+    * a streaming frame — [[assignCells]] guards).
+    */
+  private[graft] def idStats(df: DataFrame, idCol: String): (Long, Long, Long) = {
+    val proj = df.select(col(idCol).cast("long").as("id"))
+    val key = proj.queryExecution.analyzed.canonicalized
+    idStatsCache.synchronized { Option(idStatsCache.get(key)) }.getOrElse {
+      val r = proj.agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+      val v = (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+      idStatsCache.synchronized { idStatsCache.put(key, v) }
+      v
+    }
+  }
+
   /** AUTO cell count for the IVF family: sized from the corpus so
     * per-cell occupancy stays near a fixed target (~4096 vectors),
     * the IVF property every batched operator's scale story rests on.
@@ -109,12 +166,15 @@ object Similarity {
     * with it every within-cell join and per-query probe scan — grow
     * linearly, turning batched-query work quadratic per data decade
     * (SCALE_r12: d13 284 s and s10 23x/decade at sf10 under
-    * ncells=8; both ~linear under AUTO). One column-pruned count job;
+    * ncells=8; both ~linear under AUTO). One column-pruned
+    * [[idStats]] job, cached and shared with [[assignCells]]' seed
+    * density check (r17 — the id column rides along for min/max, a
+    * narrow columnar read);
     * floor 8 keeps tiny corpora (and the sf0.01/sf0.1 oracle scales)
     * on the pinned 8-cell structure the DuckDB oracles encode.
     */
   def autoCells(emb: DataFrame, idCol: String): Int =
-    math.max(8, (emb.select(col(idCol)).count() / cellDivisor).toInt)
+    math.max(8, (idStats(emb, idCol)._1 / cellDivisor).toInt)
 
   /** Cell-count gate above which [[assignCells]] routes through the
     * two-level coarse quantizer. At or below it the single-level
@@ -175,19 +235,32 @@ object Similarity {
     // seed from the FULL corpus, making its assignment the exact
     // restriction of the full run's — the d23 thinned-view contract.
     //
-    // Two tiers keep the dense case scan-cheap: probe the id-pushed
-    // narrow filter first (a handful of row groups at any scale); only
-    // when it comes back short — filtered/shifted ids — pay one
-    // ordered top-ncells pass over the seed frame. Streaming frames
-    // cannot run the probe job (and cannot sort), so they keep the
-    // dense-path plan unconditionally, as before.
+    // Path choice (r17 — VERDICT r16 #1): the dense shortcut (the
+    // id-pushed narrow filter, a handful of row groups at any scale)
+    // is taken when the CACHED id stats of the seed frame prove the
+    // ids dense (`min == 0 && max == count-1`, unique ids per the
+    // operator contract) — no per-construction probe job; the AUTO
+    // chain reuses the stats autoCells already computed, so dense
+    // full-table callers build the plan with ZERO extra jobs. A
+    // non-dense seed (filtered/shifted ids — the d23 thinned shape)
+    // pays one ordered top-ncells pass, lazily inside the plan. A
+    // dense frame with count < ncells takes the dense filter too —
+    // identical result (rank-1 == id on a dense prefix), one fewer
+    // sort. Streaming frames cannot run the stats job (and cannot
+    // sort), so they keep the dense-path plan unconditionally, as
+    // before.
     val s0 =
       if (seedFrom == null) e0
       else seedFrom.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val densePath = s0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("v").as("cv"))
+    val dense = s0.isStreaming || {
+      val (cnt, mn, mx) = idStats(
+        if (seedFrom == null) emb else seedFrom, idCol)
+      mn == 0L && mx == cnt - 1L
+    }
     val cent =
-      if (s0.isStreaming || densePath.count() == ncells.toLong) densePath
+      if (dense) densePath
       else {
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
         s0.orderBy(col("id")).limit(ncells)
