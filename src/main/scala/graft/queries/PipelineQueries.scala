@@ -126,6 +126,18 @@ object PipelineQueries extends QueryPack {
     Dedup.sampledEmbeddingDupPairs(emb(s, dir), "vec_id", "embedding", 0.4, 2)
       .orderBy("d1", "d2")
 
+  // d24: the winnow-family sampled sibling — d18's span-overlap pair
+  // statement over the same 1/2 sample residue class as d21/d22/d23,
+  // with the fingerprint df-prune (maxDf) and per-doc sizes pinned to
+  // the FULL corpus (the thinned-view contract): the output is
+  // exactly d18's pairs with both endpoints sampled. Completes the
+  // sampled family across all three pair statements (text shingles,
+  // embeddings, winnowed spans).
+  private def d24SampledOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.text.Winnow.sampledOverlapPairs(docs(s, dir), "doc_id", "text",
+        rateInv = 2, minShared = 6, maxDf = 32)
+      .orderBy("d1", "d2")
+
   // d20: BOUNDED span-overlap report — each doc's top-3 winnow-overlap
   // partners (d18's constants: minShared=6, maxDf=32), same TopKPerGroup
   // bounded-heap ranking. Ties on (overlap, n_shared) break to the
@@ -715,6 +727,7 @@ object PipelineQueries extends QueryPack {
     "d21_sampled_degree" -> (d21SampledDegree _),
     "d22_sampled_containment" -> (d22SampledContainment _),
     "d23_sampled_embedding" -> (d23SampledEmbedding _),
+    "d24_sampled_overlap" -> (d24SampledOverlap _),
     "s1_knn_bruteforce" -> (s1Knn _),
     "s2_knn_ivf" -> (s2Ivf _),
     "s3_knn_srp" -> (s3Srp _),
@@ -1031,6 +1044,27 @@ object PipelineQueries extends QueryPack {
          |    ORDER BY overlap DESC, n_shared DESC, partner ASC) AS rk FROM sym)
          |WHERE rk <= 3
          |ORDER BY doc_id, partner""".stripMargin,
+    // d24: d18's statement restricted to the 1/2 sample residue class
+    // — ONE shared CTE body (WINNOW_PAIR_CTES up to pf), so the
+    // full-corpus df-prune and the pair statement cannot diverge
+    // between the exact and sampled oracles; the restriction filters
+    // pf AFTER the prune, exactly as the engine does.
+    "d24_sampled_overlap" ->
+      s"""WITH $WINNOW_PAIR_CTES,
+         |pfs AS (SELECT * FROM pf
+         |  WHERE CAST(concat('0x', substr(md5(concat('97:',
+         |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0),
+         |szs AS (SELECT doc_id, count(*) AS n FROM pfs GROUP BY 1),
+         |prs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |          count(*) AS n_shared
+         |        FROM pfs a JOIN pfs b
+         |          ON a.hash = b.hash AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2 HAVING count(*) >= 6)
+         |SELECT prs.d1, prs.d2, CAST(prs.n_shared AS BIGINT) AS n_shared,
+         |       CAST(prs.n_shared AS DOUBLE) / least(s1.n, s2.n) AS overlap
+         |FROM prs JOIN szs s1 ON s1.doc_id = prs.d1
+         |JOIN szs s2 ON s2.doc_id = prs.d2
+         |ORDER BY d1, d2""".stripMargin,
     "d4_simhash" -> simhashSql(),
     // d5: bucket-local verified components as star edges. Mirrors the
     // engine's forest exactly: 5 bands x 12 bits (maxHamming=4), the

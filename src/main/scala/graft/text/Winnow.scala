@@ -118,7 +118,49 @@ object Winnow {
     */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDf: Int = 1 << 10): DataFrame =
+    overlapTail(prunedFps(df, idCol, textCol, k, w, maxDf), minShared)
+
+  /** SAMPLED span-overlap pairs — [[overlapPairs]]' statement over the
+    * deterministic uniform 1/`rateInv` document sample (the
+    * [[graft.dedup.Dedup.sampleKeep]] seed-97 residue class shared by
+    * every sampled survey): the compute-relief path for the winnow
+    * pair report, whose fp-bucket self-join is the one term that
+    * grows Omega(family^2) under a viral copied-span family. Sampling
+    * both endpoints scales that join's volume by 1/rateInv^2.
+    *
+    * '''Thinned-view contract (the d23/r16 discipline, from birth):'''
+    * the fingerprint document-frequency prune (`maxDf`) and the
+    * per-doc pruned-set sizes are computed over the FULL corpus —
+    * re-deriving the df counts on the thinned corpus would KEEP
+    * boilerplate fingerprints whose full-corpus df exceeds maxDf
+    * (expected sampled df ~ df/rateInv), so the sampled report would
+    * not be a restriction of the exact one, only an approximation
+    * with unpredictable extra pairs. With the prune pinned to the
+    * full corpus, the output is EXACTLY [[overlapPairs]]' pair set
+    * restricted to pairs with both endpoints sampled (n_shared and
+    * overlap byte-identical — WinnowFinkClassSpec set-equality), and
+    * per-pair survival is exactly 1/rateInv^2. The df census still
+    * scans the full corpus — linear, the analog of d23's full-corpus
+    * centroid seed; the quadratic pair join is what thins.
+    */
+  def sampledOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      rateInv: Int, k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxDf: Int = 1 << 10): DataFrame = {
+    require(rateInv >= 1, s"rateInv must be >= 1, got $rateInv")
+    overlapTail(prunedFps(df, idCol, textCol, k, w, maxDf)
+      .where(graft.dedup.Dedup.sampleKeep("id", rateInv)), minShared)
+  }
+
+  /** Shared front-end of the overlap family: the per-doc DISTINCT
+    * winnowed-fingerprint relation `(fp, id)`, boilerplate-pruned at
+    * `maxDf` over the WHOLE input frame. Cached — see the cache
+    * lifecycle note on [[overlapPairs]]; the sampled variant filters
+    * AFTER the cache, so its three consumers reuse one materialized
+    * full relation rather than re-paying the fingerprint kernel.
+    */
+  private def prunedFps(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxDf: Int): DataFrame = {
     val fpk = udf((t: String) => fingerprints(if (t == null) "" else t, k, w))
       .asNondeterministic() // keeps the kernel above the exchange (the
     // signedSets convention); fingerprints() is pure
@@ -135,7 +177,17 @@ object Winnow {
       .agg(count(lit(1)).as("dfc"))
       .filter(col("dfc") <= maxDf)
       .select(col("fp"))
-    val pf = fps.join(dfc, "fp").cache()
+    fps.join(dfc, "fp").cache()
+  }
+
+  /** Pair join + sizes + overlap ratio over a (possibly restricted)
+    * pruned-fingerprint relation. Sizes are computed from the SAME
+    * relation as the join sides: for the sampled variant this equals
+    * the full-corpus sizes on sampled docs (a doc's own pruned set
+    * does not depend on which OTHER docs are sampled — the prune
+    * already happened upstream).
+    */
+  private def overlapTail(pf: DataFrame, minShared: Int): DataFrame = {
     val sizes = pf.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val pairs = pf.as("a").join(pf.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

@@ -52,6 +52,52 @@ class WinnowFinkClassSpec extends SparkSpec {
     // would fail, so its absence also witnesses the df computation
   }
 
+  test("sampledOverlapPairs is EXACTLY overlapPairs restricted to sampled endpoints (thinned-view contract)") {
+    import spark.implicits._
+    // 20 families x 3 docs sharing a family-unique span (real pairs),
+    // plus 12 docs sharing ONLY a boilerplate sentence with full df 12
+    // > maxDf 8 — pruned in the exact statement. The discriminating
+    // construction: at rateInv=2 the SAMPLED boilerplate df is ~6 <=
+    // maxDf, so a re-derived prune (the d23 degeneracy shape) would
+    // KEEP the boilerplate and pair the sampled hosts — pairs the
+    // exact statement never emits. Set-equality over full tuples
+    // (n_shared AND overlap) proves the full-corpus prune + sizes.
+    def span(f: Int) = s"family $f carries its own unique shared span " +
+      s"of words alpha$f beta gamma delta epsilon zeta eta theta"
+    val boiler = "standard footer all rights reserved by the host " +
+      "corporation in perpetuity throughout the universe"
+    val rows = (0 until 20).flatMap { f =>
+      (0 until 3).map(j =>
+        ((f * 3 + j).toLong, s"doc ${f}_$j prefix ${span(f)} suffix $j"))
+    } ++ (100L until 112L).map(i => (i, s"host number $i body $boiler"))
+    val df = rows.toDF("doc_id", "text")
+    type Pair = (Long, Long, Long, Double)
+    def tup(r: org.apache.spark.sql.Row): Pair =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val exact = Winnow.overlapPairs(df, "doc_id", "text",
+      minShared = 2, maxDf = 8).collect().map(tup).toSet
+    assert(exact.nonEmpty)
+    assert(!exact.exists(p => p._1 >= 100L),
+      "precondition: boilerplate-only hosts must not pair in the exact run")
+    for (r <- Seq(2, 3)) {
+      val keep = df.where(graft.dedup.Dedup.sampleKeep("doc_id", r))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sampledHosts = keep.count(_ >= 100L)
+      info(s"r=$r: ${keep.size} docs sampled, $sampledHosts of 12 hosts" +
+        (if (sampledHosts <= 8) " — re-derived df <= maxDf: this rate " +
+          "DISCRIMINATES the full-corpus prune from a re-derived one"
+         else ""))
+      val restricted = exact.filter(p =>
+        keep.contains(p._1) && keep.contains(p._2))
+      val got = Winnow.sampledOverlapPairs(df, "doc_id", "text", r,
+        minShared = 2, maxDf = 8).collect().map(tup).toSet
+      assert(restricted.nonEmpty, s"vacuous at r=$r")
+      assert(got === restricted,
+        s"r=$r: missing=${(restricted -- got).take(3)} " +
+          s"extra=${(got -- restricted).take(3)}")
+    }
+  }
+
   test("overlapTopK equals the ranked symmetrized overlap report") {
     import spark.implicits._
     val span = "the quick brown fox jumps over the lazy dog again and again"
