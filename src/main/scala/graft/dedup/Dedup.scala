@@ -424,30 +424,86 @@ object Dedup {
       .agg(count(lit(1)).cast("double").as("n"))
       .agg(coalesce(max(col("n") * (col("n") - 1) / 2), lit(0.0d)))
       .head().getDouble(0)
-    if (worstD > bound || worstD < 0 || !java.lang.Double.isFinite(worstD)) {
-      val est = if (java.lang.Double.isFinite(worstD) && worstD >= 0 &&
-          worstD <= Long.MaxValue.toDouble) worstD.toLong else Long.MaxValue
-      // the estimate doubles as the rate selector, as on the text side:
-      // the sampled sibling's worst-cell volume is ~est/r^2, so the
-      // smallest answering rate is r ~ sqrt(est/bound)
-      val impliedR = math.ceil(math.sqrt(
-        est.toDouble / math.max(1L, bound))).toLong
-      throw new PairVolumeException(est, bound,
-        s"$op: worst IVF cell implies ~$est candidate pairs, over " +
-          s"maxCandidatePairs=$bound — a near-identical embedding " +
-          "family concentrates in one cell (identical vectors share " +
-          "a nearest centroid), so its C(n,2) join is one unbounded " +
-          "task and the exact pair statement is output-volume-bound " +
-          "at this duplicate density. Scale-safe statements: " +
-          "semanticDedup (star-forest closure, O(vectors) edges), " +
-          "Similarity.ivfTopKAll / ProductQuantize.ivfPqTopKAll " +
-          "(bounded per-query reports), sampledEmbeddingDupPairs " +
-          "(uniform 1/r sample — worst-cell volume scales by 1/r^2; " +
-          s"this estimate implies rateInv >= ~$impliedR, and the " +
-          "sampled output is exactly this statement's pairs with both " +
-          "endpoints sampled). " +
-          "Raise maxCandidatePairs to force this run anyway.")
-    }
+    if (worstD > bound || worstD < 0 || !java.lang.Double.isFinite(worstD))
+      throwViralCells(worstD, bound, op, sampledRate = 0)
+  }
+
+  /** SAMPLED worst-cell pre-flight (r17 — the embedding twin of
+    * [[sampledRefuseIfViral]], motivated by `tools/EmbSampledScale`
+    * at the 1000x decade: the exact census pays the FULL corpus's
+    * IVF assignment before it can refuse — 438 s at sf100, MORE than
+    * the rateInv=2 relief answer costs, 273 s). This stage assigns
+    * only a deterministic 1/r vector probe (disjoint seed lane 101,
+    * [[PreflightSeed]]) under the FULL corpus's centroid seed and
+    * scales each cell's C(s,2) by r^2 — binomial thinning again:
+    * E[s(s-1)] = n(n-1)/r^2 exactly per cell, so the scaled worst is
+    * an unbiased estimate wherever one cell dominates. Margin
+    * discipline identical to the text side: refuse only beyond the
+    * spec-pinned 3x band (DedupSpec pins probe/exact within 3x on a
+    * concentrated family), so a probe refusal can never contradict
+    * the exact gate; anything under falls through to the exact
+    * census, which runs on the assignment the verification join
+    * reads anyway. Net effect: a clearly-viral corpus (the planted
+    * ViralStress shape, estimates orders over the bound) refuses in
+    * ~assignment/r seconds; a borderline corpus (natural sf100 at
+    * 1.6x bound) pays one small probe extra and keeps the exact
+    * answer as the gate of record.
+    */
+  private[graft] def sampledRefuseIfViralCells(df: DataFrame,
+      idCol: String, vecCol: String, ncells: Int, bound: Long,
+      op: String): Unit = {
+    val r = preflightRate(df)
+    val estD = sampledWorstCellD(df, idCol, vecCol, ncells, r)
+    if (estD > 3.0 * bound || estD < 0 ||
+        !java.lang.Double.isFinite(estD))
+      throwViralCells(estD, bound, op, sampledRate = r)
+  }
+
+  /** The embedding probe's statistic at an explicit rate — factored
+    * out so the spec can pin it against the exact worst-cell census
+    * (the thinning-variance contract, as [[sampledViralEstimateD]]).
+    */
+  private[graft] def sampledWorstCellD(df: DataFrame, idCol: String,
+      vecCol: String, ncells: Int, r: Int): Double = {
+    val probe = df.where(pmod(graft.functions.Hashing
+      .hash60(col(idCol).cast("string"), PreflightSeed).cast("long"),
+      lit(r)) === 0)
+    graft.sim.Similarity.assignCells(probe, idCol, vecCol, ncells,
+        seedFrom = df)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(coalesce(max(col("n") * (col("n") - 1) / 2), lit(0.0d)))
+      .head().getDouble(0) * r.toDouble * r.toDouble
+  }
+
+  private def throwViralCells(estD: Double, bound: Long, op: String,
+      sampledRate: Int): Nothing = {
+    val est = if (java.lang.Double.isFinite(estD) && estD >= 0 &&
+        estD <= Long.MaxValue.toDouble) estD.toLong else Long.MaxValue
+    // the estimate doubles as the rate selector, as on the text side:
+    // the sampled sibling's worst-cell volume is ~est/r^2, so the
+    // smallest answering rate is r ~ sqrt(est/bound)
+    val impliedR = math.ceil(math.sqrt(
+      est.toDouble / math.max(1L, bound))).toLong
+    val how = if (sampledRate == 0) "worst IVF cell implies"
+      else s"sampled pre-flight (1/$sampledRate vector probe under " +
+        "the full-corpus seed, scaled rate^2) estimates the worst " +
+        "IVF cell at"
+    throw new PairVolumeException(est, bound,
+      s"$op: $how ~$est candidate pairs, over " +
+        s"maxCandidatePairs=$bound — a near-identical embedding " +
+        "family concentrates in one cell (identical vectors share " +
+        "a nearest centroid), so its C(n,2) join is one unbounded " +
+        "task and the exact pair statement is output-volume-bound " +
+        "at this duplicate density. Scale-safe statements: " +
+        "semanticDedup (star-forest closure, O(vectors) edges), " +
+        "Similarity.ivfTopKAll / ProductQuantize.ivfPqTopKAll " +
+        "(bounded per-query reports), sampledEmbeddingDupPairs " +
+        "(uniform 1/r sample — worst-cell volume scales by 1/r^2; " +
+        s"this estimate implies rateInv >= ~$impliedR, and the " +
+        "sampled output is exactly this statement's pairs with both " +
+        "endpoints sampled). " +
+        "Raise maxCandidatePairs to force this run anyway.")
   }
 
   /** The (id, sh: sorted array<long>, nsh) base relation of the
@@ -2615,6 +2671,19 @@ object Dedup {
   private def embeddingDupPairsImpl(df: DataFrame, idCol: String,
       vecCol: String, threshold: Double, cells: Int,
       maxCandidatePairs: Long, seedFrom: DataFrame): DataFrame = {
+    // two-stage refusal (r17): on the EXACT path, probe the worst cell
+    // on a 1/r vector sample BEFORE paying the full-corpus assignment
+    // (see sampledRefuseIfViralCells — at sf100 the exact census cost
+    // more than the rateInv=2 relief answer). The sampled caller
+    // (seedFrom != null) is probe-free, as on the text side: its
+    // corpus is already thinned by a deliberate rate choice, and its
+    // census runs on the assignment the join needs anyway. Escape-
+    // hatch callers (maxCandidatePairs = Long.MaxValue) skip the
+    // probe: nothing to refuse.
+    if (seedFrom == null && maxCandidatePairs < Long.MaxValue &&
+        pairGuard(df))
+      sampledRefuseIfViralCells(df, idCol, vecCol, cells,
+        maxCandidatePairs, "embeddingDupPairs")
     val assigned = graft.sim.Similarity.assignCells(df, idCol, vecCol,
         cells, seedFrom)
       .withColumn("nrm", sqrt(Vec.dot(col("v"), col("v"))))

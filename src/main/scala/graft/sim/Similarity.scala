@@ -140,20 +140,30 @@ object Similarity {
     idStatsCache.synchronized { idStatsCache.clear() }
 
   /** `(count, min id, max id)` of `df`'s id column — cached per
-    * canonicalized plan (see [[idStatsCache]]). Empty frames report
-    * `(0, 0, -1)` so the density check `min == 0 && max == count-1`
-    * degenerates to true (both seed paths are identically empty
-    * there). Streaming callers must not reach this (no eager jobs on
-    * a streaming frame — [[assignCells]] guards).
+    * canonicalized plan (see [[idStatsCache]]). The aggregate runs on
+    * the column's NATURAL type (an eager `cast("long")` would throw
+    * under ANSI for exotic id columns the r16 probe tolerated);
+    * non-integral or empty min/max report the `(1, -1)` sentinel, so
+    * the density check `min == 0 && max == count-1` fails and such
+    * frames take the ordered seed path — exactly where the r16 probe
+    * routed them. Streaming callers must not reach this (no eager
+    * jobs on a streaming frame — [[assignCells]] guards).
     */
   private[graft] def idStats(df: DataFrame, idCol: String): (Long, Long, Long) = {
-    val proj = df.select(col(idCol).cast("long").as("id"))
+    val proj = df.select(col(idCol).as("id"))
     val key = proj.queryExecution.analyzed.canonicalized
     idStatsCache.synchronized { Option(idStatsCache.get(key)) }.getOrElse {
       val r = proj.agg(count(lit(1)), min(col("id")), max(col("id"))).head()
-      val v = (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) -1L else r.getLong(2))
+      def num(i: Int, dflt: Long): Long =
+        if (r.isNullAt(i)) dflt
+        else r.get(i) match {
+          case l: java.lang.Long => l.longValue()
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Short => n.longValue()
+          case n: java.lang.Byte => n.longValue()
+          case _ => dflt
+        }
+      val v = (r.getLong(0), num(1, 1L), num(2, -1L))
       idStatsCache.synchronized { idStatsCache.put(key, v) }
       v
     }

@@ -735,6 +735,61 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("embedding sampled pre-flight tracks the exact worst cell within the 3x band (r17)") {
+    import spark.implicits._
+    // concentrated family (the viral signature): 20k identical
+    // vectors land in ONE cell; scattered vectors fill the rest. The
+    // binomial-thinning contract: per-cell E[s(s-1)] = n(n-1)/r^2, so
+    // the r^2-scaled probe worst tracks the exact worst C(n,2) well
+    // inside the 3x margin band the refusal stage is pinned to.
+    val rnd = new scala.util.Random(7171)
+    def scat() = Array(rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1)
+    val rows = (0 until 10000).map(i => (i.toLong, scat())) ++
+      (10000 until 30000).map(i => (i.toLong, Array(1.0, 0.0))) ++
+      (30000 until 40000).map(i => (i.toLong, scat()))
+    val df = rows.toDF("vec_id", "embedding")
+    val exactWorst = graft.sim.Similarity
+      .assignCells(df, "vec_id", "embedding", 8)
+      .groupBy(col("cell")).agg(count(lit(1)).cast("double").as("n"))
+      .agg(max(col("n") * (col("n") - 1) / 2)).head().getDouble(0)
+    assert(exactWorst >= 20000.0 * 19999.0 / 2, s"family not co-located: $exactWorst")
+    for (r <- Seq(2, 4)) {
+      val est = Dedup.sampledWorstCellD(df, "vec_id", "embedding", 8, r)
+      assert(est <= 3.0 * exactWorst && est >= exactWorst / 3.0,
+        s"r=$r: probe $est vs exact $exactWorst outside the 3x band")
+    }
+  }
+
+  test("embedding probe margin sits AT the 3x band; the exact census stays the gate of record (r17)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7272)
+    def scat() = Array(rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1)
+    val rows = (0 until 2000).map(i => (i.toLong, scat())) ++
+      (2000 until 6000).map(i => (i.toLong, Array(1.0, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    // small frame -> preflightRate floor of 2; pin the stage at that rate
+    val est = Dedup.sampledWorstCellD(df, "vec_id", "embedding", 8, 2)
+    assert(est > 0)
+    // bound = est/2: probe estimate is only 2x bound — INSIDE the 3x
+    // band, must fall through without refusing...
+    Dedup.sampledRefuseIfViralCells(df, "vec_id", "embedding", 8,
+      (est / 2).toLong, "t")
+    // ...while the exact census at the same bound refuses (the probe
+    // can never terminally refuse a corpus the exact gate adjudicates)
+    val asg = graft.sim.Similarity
+      .assignCells(df, "vec_id", "embedding", 8)
+    intercept[graft.dedup.PairVolumeException] {
+      Dedup.refuseIfViralCells(asg, (est / 2).toLong, "t")
+    }
+    // bound = est/4: clearly over the band -> the probe refuses, and
+    // says it was the sampled stage at its rate
+    val e = intercept[graft.dedup.PairVolumeException] {
+      Dedup.sampledRefuseIfViralCells(df, "vec_id", "embedding", 8,
+        (est / 4).toLong, "t")
+    }
+    assert(e.getMessage.contains("sampled pre-flight (1/2"), e.getMessage)
+  }
+
   test("embedding pair refusal releases the cell-assignment cache (review r16)") {
     // a range-backed corpus: the Range leaf's stats (8 B/row) put the
     // frame over the 16 MB pairGuard floor, so the eager pre-flight
@@ -745,9 +800,13 @@ class DedupSpec extends SparkSpec {
     val emb = spark.range(3000000).select(col("id").as("vec_id"),
       array(lit(1.0d), lit(0.0d)).as("embedding"))
     spark.sharedState.cacheManager.clearCache()
-    intercept[graft.dedup.PairVolumeException] {
+    val e = intercept[graft.dedup.PairVolumeException] {
       Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.4, ncells = 8)
     }
+    // r17: a corpus THIS viral (C(3M,2) ~ 4.5e12, four orders over the
+    // bound) must refuse at the SAMPLED stage — before the full-corpus
+    // assignment is ever built or cached
+    assert(e.getMessage.contains("sampled pre-flight (1/"), e.getMessage)
     assert(spark.sharedState.cacheManager.isEmpty,
       "a refused embedding pair report stranded the assignment cache")
   }

@@ -87,6 +87,38 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.select("id").distinct().count() === emb.count())
   }
 
+  test("assignCells after autoCells on a dense full-table frame runs ZERO extra jobs (r17)") {
+    // VERDICT r16 #1: the r16 seed-robustness fix ran an eager probe
+    // job at every non-streaming construction. The r17 contract: the
+    // AUTO chain shares ONE cached id-stats job, so plan construction
+    // after autoCells is job-free for dense frames (and the stats are
+    // reused across repeated constructions on the same frame).
+    val emb2 = Tables.t(spark, sf, "embeddings")
+    graft.sim.Similarity.clearIdStatsCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def settled(): Int = { Thread.sleep(800); jobs.get() }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val cells = graft.sim.Similarity.autoCells(emb2, "vec_id")
+      val afterAuto = settled()
+      assert(afterAuto >= 1, "autoCells must run its stats job")
+      // constructing the assignment plan (twice) adds no jobs
+      graft.sim.Similarity.assignCells(emb2, "vec_id", "embedding", cells)
+      graft.sim.Similarity.assignCells(emb2, "vec_id", "embedding", cells)
+      assert(settled() === afterAuto,
+        "assignCells construction ran extra eager jobs on a dense frame")
+      // a SECOND autoCells on the same frame is cache-served too
+      graft.sim.Similarity.autoCells(emb2, "vec_id")
+      assert(settled() === afterAuto, "autoCells re-ran its stats job")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("centroid seed on filtered/shifted-id frames: ncells lowest ids present, renumbered (review r16)") {
     import org.apache.spark.sql.functions.col
     // a filtered frame (every 10th id — the sampledEmbeddingDupPairs

@@ -209,6 +209,48 @@ object ABBench {
             (if (nA == nB) "EXACT" else "MISMATCH"))
           assigned.unpersist()
         }
+      case "d6preflight" =>
+        // r17: the embedding twin of d17preflight. A planted viral
+        // vector family (identical vectors -> one IVF cell) makes the
+        // exact worst-cell census pay the FULL corpus assignment
+        // before refusing; the sampled stage assigns only a 1/r probe
+        // under the same full-corpus seed and scales by r^2. A =
+        // exact census statistic, B = the probe at the operator's own
+        // rate; estimates printed so the 3x-band agreement is visible
+        // at stress scale, not just in the unit spec.
+        import graft.dedup.Dedup
+        val fam = args.lift(3).getOrElse("300000").toInt
+        val emb = graft.Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val seedVec = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val viral = spark.range(fam)
+          .select((col("id") + 900000000L).as("vec_id"),
+            typedLit(seedVec).as("embedding"))
+        val corpus = emb.unionByName(viral)
+        val cells = graft.sim.Similarity.autoCells(corpus, "vec_id")
+        val rate = Dedup.preflightRate(corpus)
+        println(s"[ab] d6preflight dir=$dir fam=$fam cells=$cells " +
+          s"rate=1/$rate scanBytes=${graft.ScanBytes.of(corpus)}")
+        val clearAll = () => {
+          clear(); graft.sim.Similarity.clearIdStatsCache()
+        }
+        val exactCensus = () => {
+          val w = graft.sim.Similarity
+            .assignCells(corpus, "vec_id", "embedding", cells)
+            .groupBy(col("cell"))
+            .agg(count(lit(1)).cast("double").as("n"))
+            .agg(coalesce(max(col("n") * (col("n") - 1) / 2), lit(0.0d)))
+            .head().getDouble(0)
+          println(f"    exact worst=$w%.4g")
+        }
+        val sampledProbe = () => {
+          val est = Dedup.sampledWorstCellD(corpus, "vec_id",
+            "embedding", cells, rate)
+          println(f"    probe est=$est%.4g (rate 1/$rate)")
+        }
+        paired("d6preflight", "exact", "sampled", reps, clearAll)(
+          exactCensus, sampledProbe)
       case "scanfloor" =>
         // context for the pre-flight latency: the sampled probe's cost
         // floor is one pass over the text column (the row-hash sample
