@@ -228,6 +228,112 @@ object Similarity {
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, seedFrom: DataFrame = null): DataFrame = {
     val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val seed = if (seedFrom == null) emb else seedFrom
+    // r17 — the assignment is MAP-ONLY by default: the centroid table
+    // is collected once (bounded: ncells rows, cached per (seed plan,
+    // ncells)), broadcast, and each row evaluates ONE scalar
+    // expression ([[org.apache.spark.sql.graft.NearestCell]]) that
+    // mirrors the join+min_by form term-for-term (distance identity,
+    // SQL double ordering, lowest-cell ties, two-level route above
+    // the gate — the equivalence spec runs both arms on tie-heavy
+    // corpora). The former broadcast-join + groupBy(id) min_by shape
+    // — retained below in [[assignCellsJoin]] — exchanged a full copy
+    // of every VECTOR through a hash aggregate (twice, two-level):
+    // the grouping key is unique, so partial aggregation reduced the
+    // candidate expansion but still shipped N vector structs per
+    // exchange (~32 GB of min_by struct copies at the 2.5M x dim-64
+    // stress corpus — SCALE_r17 §6). The join arm remains the route
+    // for streaming frames (cannot collect eagerly), centroid tables
+    // beyond [[MaxExprCells]] (beyond a sane broadcast), and corrupt
+    // seeds (null centroid vectors / non-integral ids), where its
+    // null-ordering semantics are the pinned behavior.
+    if (s0IsStreaming(e0, seedFrom) || ncells > MaxExprCells)
+      return assignCellsJoin(emb, idCol, vecCol, ncells, seedFrom)
+    val cent = collectCentroids(seed, idCol, vecCol, ncells)
+    if (cent == null) // corrupt seed: legacy semantics, exactly
+      return assignCellsJoin(emb, idCol, vecCol, ncells, seedFrom)
+    if (cent.isEmpty) // empty seed = empty result (the join form's)
+      return e0.select(col("id"), lit(0L).as("cell"), col("v"))
+        .filter(lit(false))
+    val idx = org.apache.spark.sql.graft.CellIndex.build(
+      cent, ncells > TwoLevelGate)
+    val bc = e0.sparkSession.sparkContext.broadcast(idx)
+    parallelized(e0).select(col("id"),
+      org.apache.spark.sql.graft.NearestCell(col("v"), bc).as("cell"),
+      col("v"))
+  }
+
+  private def s0IsStreaming(e0: DataFrame, seedFrom: DataFrame): Boolean =
+    if (seedFrom == null) e0.isStreaming else seedFrom.isStreaming || e0.isStreaming
+
+  /** Expression-path gate: beyond this the collected centroid table
+    * stops being a sane driver/broadcast object (131072 cells x dim 64
+    * is ~67 MB; under AUTO sizing that is a ~537M-vector corpus) and
+    * assignment routes through [[assignCellsJoin]], whose refinement
+    * equi-join degrades to a shuffle join without a plan rewrite.
+    */
+  private[graft] val MaxExprCells = 1 << 17
+
+  /** Bounded centroid cache for the expression path — the collect is
+    * one pushed-down job (dense seed: row-group-pruned id filter;
+    * else one TakeOrdered pass), cached per (canonical seed plan,
+    * ncells) like [[idStatsCache]] so repeated constructions are
+    * job-free. Entries above 8192 cells skip the cache (memory).
+    * Returns null when the seed is corrupt for the kernel (null
+    * centroid vectors, non-integral ids) — the caller falls back to
+    * the join arm, which pins those semantics.
+    */
+  private val centroidCache =
+    new java.util.LinkedHashMap[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+        Array[Array[Double]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+            Array[Array[Double]]]): Boolean = size() > 8
+    }
+
+  private def collectCentroids(seed: DataFrame, idCol: String,
+      vecCol: String, ncells: Int): Array[Array[Double]] = {
+    val proj = seed.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val key = (proj.queryExecution.analyzed.canonicalized, ncells)
+    val hit = centroidCache.synchronized { Option(centroidCache.get(key)) }
+    hit.getOrElse {
+      val (cnt, mn, mx) = idStats(seed, idCol)
+      val dense = mn == 0L && mx == cnt - 1L
+      val rows =
+        if (dense) proj.filter(col("id") < ncells).collect()
+        else proj.orderBy(col("id")).limit(ncells).collect()
+      def idOf(r: org.apache.spark.sql.Row): Long = r.get(0) match {
+        case l: java.lang.Long => l.longValue()
+        case n: java.lang.Integer => n.longValue()
+        case n: java.lang.Short => n.longValue()
+        case n: java.lang.Byte => n.longValue()
+        case _ => Long.MinValue // non-integral id: join arm
+      }
+      if (rows.exists(r => idOf(r) == Long.MinValue || r.isNullAt(1))) null
+      else {
+        // cell id = rank in ascending-id order (dense: == id)
+        val cent = rows.sortBy(idOf).map(_.getSeq[Any](1).map {
+          case null => Double.NaN // DotProduct's null-element read
+          case d: java.lang.Double => d.doubleValue()
+          case f: java.lang.Float => f.doubleValue()
+          case x: java.lang.Number => x.doubleValue()
+        }.toArray)
+        if (ncells <= 8192)
+          centroidCache.synchronized { centroidCache.put(key, cent); () }
+        cent
+      }
+    }
+  }
+
+  /** The former join+aggregate assignment — the streaming / oversized
+    * / corrupt-seed arm of [[assignCells]] and the comparison arm its
+    * equivalence spec runs against.
+    */
+  private[graft] def assignCellsJoin(emb: DataFrame, idCol: String,
+      vecCol: String, ncells: Int, seedFrom: DataFrame = null): DataFrame = {
+    val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // Centroid seed = the `ncells` LOWEST ids PRESENT in the seed
     // frame, renumbered 0..ncells-1 by id rank (r16). The old
     // convention — literally `id < ncells` — is identical on a

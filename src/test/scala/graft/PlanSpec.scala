@@ -193,28 +193,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("s11 two-level cells: the super-centroid route is in the plan, unforced") {
-    // VERDICT r13 #6: ncells=125 > TwoLevelGate keeps the two-level
-    // branch permanently exercised without the GRAFT_CELL_DIVISOR
-    // knob. Its signature: THREE broadcast hash aggregate+join rounds
-    // (centroid->super tag, vector->super route, within-super refine)
-    // instead of the single-level plan's one join + one aggregate.
+  test("s11 two-level cells: assignment is MAP-ONLY (r17 nearest_cell expression)") {
+    // VERDICT r13 #6 kept ncells=125 > TwoLevelGate so the two-level
+    // branch stays permanently exercised. r17: the assignment is a
+    // single scalar expression per row against the broadcast centroid
+    // index — NO join, NO exchange, NO aggregate anywhere in the
+    // assignment (the former shape shipped every vector through one
+    // hash aggregate per level; SCALE_r17 §6). The two-level route
+    // now lives INSIDE the kernel, pinned by SimilaritySpec's
+    // routed-brute-force equality, not by plan shape.
+    // the s11 QUERY keeps its own per-cell summary aggregate; the
+    // assignment segment below it must be join-free (the expression
+    // directly above the scan)
     val p = plan("s11_twolevel_cells")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
-    // two broadcast-products against the tiny super table (centroid
-    // tag + vector route) and one HASH equi-join on the super key
-    // (the refinement — the join that must stay keyed, because it is
-    // the one that degrades to a shuffle join beyond broadcast size)
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
-      "route/tag broadcast passes missing")
-    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
-      l.contains("sup#")), "refinement is not an equi-join on the super key")
-    // the single-level form of the same corpus has no keyed join at all
+    assert(p.contains("nearest_cell"), s"kernel expression missing:\n${p.take(400)}")
+    Seq("SortMergeJoin", "CartesianProduct", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin").foreach(op =>
+      assert(!p.contains(op), s"assignment plan still contains $op"))
+    // a bare assignment frame is fully map-only: no join, no
+    // aggregate, no exchange — nothing but the projection on the scan
     val single = graft.sim.Similarity.assignCells(
         graft.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", 8)
       .queryExecution.executedPlan.toString
-    assert(!single.contains("BroadcastHashJoin"))
-    assert(single.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1)
+    assert(single.contains("nearest_cell"))
+    Seq("Join", "HashAggregate", "Exchange").foreach(op =>
+      assert(!single.contains(op), s"bare assignment still contains $op"))
+    // the retained join arm (streaming / oversized / corrupt-seed
+    // route) still builds its historical shape
+    val legacy = graft.sim.Similarity.assignCellsJoin(
+        graft.Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", 8)
+      .queryExecution.executedPlan.toString
+    assert(legacy.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1)
   }
 
   test("s7 kmeans: per-iteration materialization keeps the final plan one pass") {

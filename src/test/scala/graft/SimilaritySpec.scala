@@ -119,6 +119,43 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("assignCells: expression arm equals the join arm on tie-heavy corpora (r17)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the kernel mirrors the join+min_by form term-for-term; the spec
+    // drives both arms over a corpus built to stress the seams: a
+    // coarse value grid (many EXACT distance ties -> the lowest-cell
+    // tie-break must match), duplicated vectors (duplicate centroids
+    // among the seed), and a zero vector; single-level and two-level
+    // cell counts; dense, shifted, and filtered id frames.
+    val rnd = new scala.util.Random(1717)
+    val dim = 4
+    def gv() = Array.fill(dim)(math.rint(rnd.nextDouble() * 4) / 2.0)
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i == 7L) Array.fill(dim)(0.0) else gv()))
+    val df = rows.toDF("vec_id", "embedding")
+    def got(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (nc <- Seq(8, 100)) {
+      val a = got(Similarity.assignCells(df, "vec_id", "embedding", nc)
+        .select("id", "cell"))
+      val b = got(Similarity.assignCellsJoin(df, "vec_id", "embedding", nc)
+        .select("id", "cell"))
+      assert(a.size === 3000)
+      assert(a === b, s"nc=$nc: expression vs join arm diverge")
+    }
+    val shifted = df.select((col("vec_id") + 5000L).as("vec_id"),
+      col("embedding"))
+    val filtered = df.filter(col("vec_id") % 3 === 0)
+    for (frame <- Seq(shifted, filtered); nc <- Seq(8, 100)) {
+      val a = got(Similarity.assignCells(frame, "vec_id", "embedding", nc)
+        .select("id", "cell"))
+      val b = got(Similarity.assignCellsJoin(frame, "vec_id", "embedding", nc)
+        .select("id", "cell"))
+      assert(a === b, s"nc=$nc non-dense frame: arms diverge")
+    }
+  }
+
   test("centroid seed on filtered/shifted-id frames: ncells lowest ids present, renumbered (review r16)") {
     import org.apache.spark.sql.functions.col
     // a filtered frame (every 10th id — the sampledEmbeddingDupPairs
