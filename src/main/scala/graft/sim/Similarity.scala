@@ -139,6 +139,14 @@ object Similarity {
   private[graft] def clearIdStatsCache(): Unit =
     idStatsCache.synchronized { idStatsCache.clear() }
 
+  /** Drop cached centroid tables (see [[centroidCache]]) — cold-run
+    * hygiene for the measurement tools: with the cache warm, a later
+    * construction on the same seed frame skips the one collect job
+    * the cold path pays.
+    */
+  private[graft] def clearCentroidCache(): Unit =
+    centroidCache.synchronized { centroidCache.clear() }
+
   /** `(count, min id, max id)` of `df`'s id column — cached per
     * canonicalized plan (see [[idStatsCache]]). The aggregate runs on
     * the column's NATURAL type (an eager `cast("long")` would throw
@@ -241,8 +249,9 @@ object Similarity {
     // of every VECTOR through a hash aggregate (twice, two-level):
     // the grouping key is unique, so partial aggregation reduced the
     // candidate expansion but still shipped N vector structs per
-    // exchange (~32 GB of min_by struct copies at the 2.5M x dim-64
-    // stress corpus — SCALE_r17 §6). The join arm remains the route
+    // exchange (measured paired at the 2M x dim-64 decade corpus:
+    // 53.5 s / 832 MB shuffle-write vs 3.3 s / 3.8 kB for this path —
+    // SCALE_r17 §3b). The join arm remains the route
     // for streaming frames (cannot collect eagerly), centroid tables
     // beyond [[MaxExprCells]] (beyond a sane broadcast), and corrupt
     // seeds (null centroid vectors / non-integral ids), where its

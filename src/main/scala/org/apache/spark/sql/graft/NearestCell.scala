@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * ([[NearestCell]]) — r17, the assignment-shape rewrite behind
   * `graft.sim.Similarity.assignCells`.
   *
-  * Why this exists (measured, SCALE_r17 §6): the former plan shape —
+  * Why this exists (measured, SCALE_r17 §3b): the former plan shape —
   * broadcast-join the centroid table against every vector, then
   * `groupBy(id).agg(min_by(struct(cell, v), struct(d, cell)))` — is
   * partial-aggregatable, but the grouping key (the vector id) is
@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * map-side and then still exchanges one full copy of every VECTOR
   * through the hash aggregate; the two-level route adds a second such
   * exchange, and every candidate row materializes a
-  * `struct(d, cell, v)` copy inside the min_by state. At the 2.5M ×
-  * dim-64 stress corpus that is ~32 GB of struct copies and two ~1 GB
-  * vector shuffles for what is per-row arithmetic. This kernel
+  * `struct(d, cell, v)` copy inside the min_by state. At the 2M ×
+  * dim-64 decade corpus (488 cells, two-level: ~44 candidate structs
+  * × 536 B per vector ≈ 24 GB through the aggregate operators) the
+  * join arm measured 53.5 s with 832 MB of compressed shuffle write
+  * vs 3.3 s / 3.8 kB for this path, paired in one session
+  * (SCALE_r17 §3b) — for what is per-row arithmetic. This kernel
   * evaluates the SAME argmin as one scalar expression per row — no
   * join, no exchange, no aggregate; the assignment becomes map-only
   * and fuses into whole-stage codegen above the scan.

@@ -234,6 +234,7 @@ object ABBench {
           s"rate=1/$rate scanBytes=${graft.ScanBytes.of(corpus)}")
         val clearAll = () => {
           clear(); graft.sim.Similarity.clearIdStatsCache()
+          graft.sim.Similarity.clearCentroidCache()
         }
         val exactCensus = () => {
           val w = graft.sim.Similarity
@@ -281,9 +282,50 @@ object ABBench {
               oneSided = false, r); ()
           }
         }
+      case "cellassign" =>
+        // r17 (commit "map-only IVF cell assignment"): A = the former
+        // broadcast-join + groupBy(id) min_by shape (assignCellsJoin),
+        // B = the NearestCell expression arm (assignCells). Both arms
+        // are forced end-to-end by the same sum(cell) aggregate, whose
+        // value doubles as an arms-equality checksum. A per-rep
+        // shuffle-write meter exhibits the exchange the rewrite
+        // removes (B should be ~0: map-only above the scan).
+        import graft.sim.Similarity
+        val emb = graft.Tables.t(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val cells = Similarity.autoCells(emb, "vec_id")
+        val sw = new java.util.concurrent.atomic.AtomicLong(0)
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            sw.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(lst)
+        println(s"[ab] cellassign dir=$dir cells=$cells rows=${emb.count()}")
+        val clearCell = () => {
+          clear(); Similarity.clearIdStatsCache()
+          Similarity.clearCentroidCache()
+        }
+        def force(arm: String)(
+            f: => org.apache.spark.sql.DataFrame): Unit = {
+          sw.set(0)
+          val s = f.agg(sum(col("cell"))).head().getLong(0)
+          Thread.sleep(300) // listener settle; symmetric across arms
+          println(s"[ab] cellassign $arm sum(cell)=$s " +
+            s"shuffleWriteBytes=${sw.get()}")
+        }
+        paired("cellassign", "join", "expr", reps, clearCell)(
+          () => force("join")(Similarity.assignCellsJoin(
+            emb, "vec_id", "embedding", cells)),
+          () => force("expr")(Similarity.assignCells(
+            emb, "vec_id", "embedding", cells)))
       case other =>
         System.err.println(s"unknown experiment: $other " +
-          "(known: d17preflight, foreststars, scanfloor)")
+          "(known: d17preflight, foreststars, scanfloor, cellassign)")
         sys.exit(2)
     }
     spark.stop()

@@ -29,6 +29,7 @@ object EmbSampledScale {
     def cold(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       graft.sim.Similarity.clearIdStatsCache()
+      graft.sim.Similarity.clearCentroidCache()
     }
 
     var impliedRate = -1
