@@ -2693,6 +2693,26 @@ object Dedup {
       // the largest double, so NaN >= t is true) — found by the
       // degenerate-embedding fuzz corpora
       .filter(col("nrm") > 0.0)
+      // PIN the pair join's partitioning (r17, found by the two-ref
+      // paired bench after the map-only assignment landed): the
+      // within-cell self-join's cost is QUADRATIC in rows-per-cell,
+      // but AQE sizes reduce-side parallelism by shuffle BYTES — at a
+      // small corpus (sf1: ~2 MB compressed) it coalesces the join's
+      // exchange to 2 partitions and one task serializes ~50M dot
+      // products (paired stage profile: 14.9 s wall at 2 tasks vs
+      // 5.0 s at 7 under the r16 aggregate shape, whose extra
+      // exchanges happened to dodge the coalesce). An EXPLICIT
+      // numPartitions repartition is exempt from AQE coalescing, and
+      // hashing by cell BEFORE the cache means census and self-join
+      // both read a frame already partitioned on the join key — the
+      // join plans with no exchange at all (the cached partitioning
+      // satisfies both sides), at full width regardless of what the
+      // byte heuristic thinks. Effective parallelism is still capped
+      // by distinct cells (the join key); autoCells keeps cell count
+      // >= corpus/4096, so the cap only binds at corpora small enough
+      // for the residual skew not to matter.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("cell"))
       .cache()
     if (pairGuard(df))
       // release-on-refusal, as at the text-side sites: a failed or
