@@ -2119,7 +2119,12 @@ object PipelineQueries extends QueryPack {
     val gate = graft.sim.Similarity.TwoLevelGate
     // the SEED frame decides the cell count and the centroids (r16:
     // d23 passes the full corpus here while assigning the sample —
-    // mirroring Similarity.assignCells' seedFrom); default = src
+    // mirroring Similarity.assignCells' seedFrom); default = src.
+    // ctag's leading CASE term is the r17 self-tag invariant (a
+    // super's own centroid anchors its member group — see
+    // CellIndex.build): it must stay in lockstep with the Scala
+    // arms' priority field or a degenerate near-identical seed
+    // diverges the engines.
     val seed = if (seedSrc == null) src else seedSrc
     val kCte =
       if (fixedK == null) s"SELECT greatest(8, count(*) // $div) AS k FROM $seed"
@@ -2134,6 +2139,7 @@ object PipelineQueries extends QueryPack {
        |  SELECT cell, cv, sup FROM (
        |    SELECT c.cell, c.cv, s.sup,
        |           row_number() OVER (PARTITION BY c.cell ORDER BY
+       |             (CASE WHEN c.cell = s.sup THEN 0 ELSE 1 END) ASC,
        |             (list_dot_product(c.cv, c.cv) + list_dot_product(s.scv, s.scv)
        |              - 2.0 * list_dot_product(c.cv, s.scv)) ASC, s.sup ASC) AS rn
        |    FROM cent c CROSS JOIN sup s) WHERE rn = 1),

@@ -405,12 +405,23 @@ object Similarity {
       val sup = cent.filter(col("cell") < nsuper)
         .select(col("cell").as("sup"), col("cv").as("scv"))
       // centroid -> super tag: ncells rows x nsuper supers, one
-      // broadcast join + partial-aggregatable min_by
+      // broadcast join + partial-aggregatable min_by. The leading
+      // priority field pins the SELF-TAG invariant (r17): the FP
+      // sqDist fold can evaluate a near-identical pair a few ulp
+      // NEGATIVE — below the exact-zero self distance — and a
+      // constructed ulp-perturbed seed left a super with no tagged
+      // members, silently DROPPING every vector routed there at the
+      // refinement equi-join (the expression arm crashed on the same
+      // corpus; see CellIndex.build and SimilaritySpec's degenerate
+      // corpus). Self rows sort first, so a super's own centroid
+      // always anchors its member group; cells >= nsuper carry no
+      // self row and keep the plain (d, sup) ordering.
       val ctag = cent.join(broadcast(sup))
         .withColumn("d", Vec.sqDist(col("cv"), col("scv")))
         .groupBy(col("cell"))
         .agg(min_by(struct(col("sup"), col("cv")),
-          struct(col("d"), col("sup"))).as("m"))
+          struct(when(col("cell") === col("sup"), 0).otherwise(1),
+            col("d"), col("sup"))).as("m"))
         .select(col("m.sup").as("sup"), col("cell"), col("m.cv").as("cv"))
       // vector -> super route (N x nsuper distances)
       val routed = e.join(broadcast(sup))

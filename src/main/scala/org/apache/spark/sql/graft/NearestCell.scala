@@ -144,7 +144,21 @@ object CellIndex {
   /** Build from collected centroids (index = cell id, already
     * renumbered dense by the caller). `twoLevel` mirrors the
     * assignCells gate; the centroid→super tag is the same argmin
-    * (ties to the lowest super) the join form computes.
+    * (ties to the lowest super) the join form computes — EXCEPT that
+    * a super's own centroid always tags to ITSELF (the self-tag
+    * invariant, r17): squared distance is mathematically >= 0, but
+    * the FP fold can evaluate a near-identical pair's distance a few
+    * ulp NEGATIVE — beating the exact-zero self distance — and a
+    * constructed ulp-perturbed seed (SimilaritySpec's degenerate
+    * corpus) produced a super with NO tagged members, which this
+    * kernel answered with a crash and the join/oracle forms with a
+    * silently DROPPED row for every vector routed there (near-dup
+    * seed regions are this engine's primary workload, so the
+    * degenerate seed is not hypothetical). With the self-tag pinned
+    * (mirrored in the join arm's min_by priority field and the
+    * oracle CTE), every routable super is nonempty by construction;
+    * non-degenerate tags (strictly positive cross distances) are
+    * unchanged.
     */
   def build(cent: Array[Array[Double]], twoLevel: Boolean): CellIndex = {
     val cc = cent.map(c => dotA(c, c))
@@ -153,16 +167,19 @@ object CellIndex {
     else {
       val nsuper = math.ceil(math.sqrt(cent.length.toDouble)).toInt
       val tag = Array.tabulate(cent.length) { ci =>
-        val dv = dotA(cent(ci), cent(ci))
-        var s = 0
-        var bd = dv + cc(0) - 2.0 * dotA(cent(ci), cent(0))
-        var i = 1
-        while (i < nsuper) {
-          val d = dv + cc(i) - 2.0 * dotA(cent(ci), cent(i))
-          if (SQLOrderingUtil.compareDoubles(d, bd) < 0) { s = i; bd = d }
-          i += 1
+        if (ci < nsuper) ci // self-tag invariant
+        else {
+          val dv = dotA(cent(ci), cent(ci))
+          var s = 0
+          var bd = dv + cc(0) - 2.0 * dotA(cent(ci), cent(0))
+          var i = 1
+          while (i < nsuper) {
+            val d = dv + cc(i) - 2.0 * dotA(cent(ci), cent(i))
+            if (SQLOrderingUtil.compareDoubles(d, bd) < 0) { s = i; bd = d }
+            i += 1
+          }
+          s
         }
-        s
       }
       new CellIndex(cent, cc, nsuper, tag)
     }

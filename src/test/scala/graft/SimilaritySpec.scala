@@ -156,6 +156,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two-level self-tag invariant: degenerate ulp-perturbed seed neither crashes nor drops rows (r17)") {
+    // Found by review after the NearestCell rewrite: squared distance
+    // is mathematically >= 0, but the Vec.sqDist fold can evaluate a
+    // near-identical pair a few ulp NEGATIVE — beating the exact-zero
+    // self distance. tools/DegenerateSeedSearch found three
+    // ulp-perturbations of one vector with d01 < 0, d02 < d01,
+    // d12 > d02: under the pre-fix tag rule every one of the three
+    // tagged AWAY from super 1 (c1->0 via the negative, c0 and c2 ->
+    // the more-negative pair), so super 1 had NO members — yet a
+    // fourth perturbation ROUTES to super 1 (strictly, also via FP
+    // noise). Pre-fix: the expression arm crashed
+    // (ArrayIndexOutOfBounds on the empty member group) and the join
+    // arm + oracle CTE silently DROPPED the routed row at the
+    // refinement equi-join. The exact-tie corpus above cannot catch
+    // this: identical duplicates tie symmetrically, so a memberless
+    // super is never routable there. The self-tag invariant (a
+    // super's own centroid anchors its group, pinned in
+    // CellIndex.build, the join arm's min_by priority field, and the
+    // oracle CTE's leading CASE term) makes every routable super
+    // nonempty by construction.
+    import org.apache.spark.sql.functions.col
+    val df = graft.tools.DegenerateSeedRepro.corpus(spark)
+    def got(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val a = got(Similarity.assignCells(df, "id", "vec", 66)
+      .select("id", "cell"))
+    val b = got(Similarity.assignCellsJoin(df, "id", "vec", 66)
+      .select("id", "cell"))
+    assert(a.size === 67, "expression arm dropped rows on the degenerate seed")
+    assert(b.size === 67, "join arm dropped rows on the degenerate seed")
+    assert(a === b, "arms diverge on the degenerate seed")
+    // the probe refines within self-anchored super 1 to its true
+    // nearest centroid
+    assert(a(100L) === 1L)
+  }
+
   test("centroid seed on filtered/shifted-id frames: ncells lowest ids present, renumbered (review r16)") {
     import org.apache.spark.sql.functions.col
     // a filtered frame (every 10th id — the sampledEmbeddingDupPairs
