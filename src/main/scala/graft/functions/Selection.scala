@@ -42,7 +42,15 @@ object Selection {
     */
   def stratifiedKthSmallest(df: DataFrame, strataCol: String,
       valueCol: String, idCol: String,
-      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] = {
+      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] =
+    onDrillBase(df, strataCol, valueCol, idCol)(
+      stratifiedKthSmallestOn(_, ksOf))
+
+  /** Build the drill's cached (stratum, value-image, id-image) base,
+    * run `f` over it, and release the cache.
+    */
+  private def onDrillBase[T](df: DataFrame, strataCol: String,
+      valueCol: String, idCol: String)(f: DataFrame => T): T = {
     // strata must be a real string column: the driver-side counter maps
     // key on String, and a silent cast would make carve joins diverge
     require(df.schema(strataCol).dataType ==
@@ -70,7 +78,7 @@ object Selection {
       // column (measured 5x on the p6 surprisal chain); unpersisted
       // before returning — no r5-style leak
       .cache()
-    try stratifiedKthSmallestOn(base, ksOf)
+    try f(base)
     finally base.unpersist()
   }
 
@@ -82,28 +90,51 @@ object Selection {
       (_: Map[String, Long]) => ks)
 
   private def stratifiedKthSmallestOn(base: DataFrame,
-      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] = {
+      ksOf: Map[String, Long] => Map[String, Long]): Map[String, (Double, Long)] =
+    resolveThresholds(base, ksOf, needIds = true).map {
+      case (s, (v, id)) => s -> (v, id.get)
+    }
+
+  /** The drill engine. Returns per stratum the k-th (value, id-image
+    * resolved to the id) — with `needIds = false`, strata whose k-th
+    * VALUE is unique (tie-group size 1 at the full 64-bit image — the
+    * common case) carry None instead of paying any id resolution:
+    * the id only exists to break ties, and [[carveLowest]]'s filter
+    * does not need it when there is no tie (r17, guide §1.2: the
+    * former unconditional id phase was 4 of the drill's 8 count
+    * passes). With `needIds = true`, unique strata resolve their id
+    * in ONE shared fetch pass (the tie group is a single row) and
+    * only TIED strata pay the 4-round id drill — same results as the
+    * former unconditional drill, up to 3 passes cheaper.
+    */
+  private def resolveThresholds(base: DataFrame,
+      ksOf: Map[String, Long] => Map[String, Long],
+      needIds: Boolean): Map[String, (Double, Option[Long])] = {
     val spark = base.sparkSession
+    import spark.implicits._
 
     val sizes = base.groupBy("__s").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val ks = ksOf(sizes)
-    var live: Map[String, Long] = ks.filter { case (s, k) =>
+    val live: Map[String, Long] = ks.filter { case (s, k) =>
       k >= 1 && sizes.get(s).exists(k <= _)
     }
     if (live.isEmpty) return Map.empty
 
-    /** One drill phase over `keyCol`, under an optional equality
-      * pin from a previous phase (`pin`: stratum -> pinned column
-      * value). Returns (resolved key per stratum, remaining rank).
+    /** One drill phase over `keyCol` for the strata in `kRem0`, under
+      * an optional equality pin from a previous phase (`pin`: stratum
+      * -> pinned column value). Returns (resolved key per stratum,
+      * remaining rank, final-round tie-group size — the count of rows
+      * equal to the fully resolved key under the pin).
       */
     def drill(keyCol: String, pin: Map[String, Long], pinCol: String,
-        kRem0: Map[String, Long]): (Map[String, Long], Map[String, Long]) = {
-      var prefix: Map[String, Long] = live.keys.map(_ -> 0L).toMap
+        kRem0: Map[String, Long])
+        : (Map[String, Long], Map[String, Long], Map[String, Long]) = {
+      var prefix: Map[String, Long] = kRem0.keys.map(_ -> 0L).toMap
       var kRem = kRem0
+      var tie: Map[String, Long] = Map.empty
       for (round <- 0 until 4) {
         val shift = 48 - 16 * round
-        import spark.implicits._
         val pre = prefix.toSeq.map { case (s, p) =>
           (s, p, pin.getOrElse(s, 0L), kRem(s))
         }.toDF("__ps", "__pfx", "__pin", "__k")
@@ -128,24 +159,48 @@ object Selection {
         prefix = prefix.map { case (s, p) =>
           var k = kRem(s)
           var chosen = -1L
+          var chosenCount = 0L
           for ((b, c) <- counts(s) if chosen < 0) {
-            if (k <= c) chosen = b else k -= c
+            if (k <= c) { chosen = b; chosenCount = c } else k -= c
           }
           kRem += s -> k
+          if (round == 3) tie += s -> chosenCount
           s -> ((p << 16) | chosen)
         }
       }
-      (prefix, kRem)
+      (prefix, kRem, tie)
     }
 
-    val (ubResolved, tieRank) =
-      drill("__ub", Map.empty, "", live)
-    val (uidResolved, _) =
-      drill("__uid", ubResolved, "__ub", tieRank)
+    val (ubResolved, tieRank, tieCount) = drill("__ub", Map.empty, "", live)
+    val unique = live.keys.filter(s => tieCount(s) == 1L).toSet
+
+    // tied strata: the id drill, simultaneous across them as before
+    val tiedKRem = tieRank.filter { case (s, _) => !unique(s) }
+      .filter { case (s, _) => live.contains(s) }
+    val uidTied: Map[String, Long] =
+      if (tiedKRem.isEmpty) Map.empty
+      else drill("__uid", ubResolved, "__ub", tiedKRem)._1
+
+    // unique strata: the tie group is one row — when ids are needed,
+    // ONE shared fetch pass resolves them all
+    val uidUnique: Map[String, Long] =
+      if (!needIds || unique.isEmpty) Map.empty
+      else {
+        val pre = unique.toSeq.map(s => (s, ubResolved(s)))
+          .toDF("__ps", "__pub")
+        base.join(broadcast(pre),
+            col("__s") === col("__ps") && col("__ub") === col("__pub"))
+          .select(col("__s"), col("__uid")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
 
     live.keys.map { s =>
-      s -> (DoubleSortableBits.invert(ubResolved(s) ^ Long.MinValue),
-        uidResolved(s) ^ Long.MinValue)
+      val v = DoubleSortableBits.invert(ubResolved(s) ^ Long.MinValue)
+      val id =
+        if (unique(s))
+          uidUnique.get(s).map(_ ^ Long.MinValue)
+        else Some(uidTied(s) ^ Long.MinValue)
+      s -> (v, id)
     }.toMap
   }
 
@@ -169,24 +224,34 @@ object Selection {
     val spark = df.sparkSession
     import spark.implicits._
     // k derives from the drill's own rankable sizes (nulls excluded),
-    // computed off the drill's cached base — no separate sizing pass
-    val thresholds = stratifiedKthSmallest(df, strataCol, valueCol, idCol,
-      (sizes: Map[String, Long]) =>
-        sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong })
+    // computed off the drill's cached base — no separate sizing pass.
+    // needIds = false: a stratum whose k-th VALUE is unique needs no
+    // tie-break id at all (the filter below keeps every row <= the
+    // value image, which is exactly the k lowest), so the common case
+    // runs 5 count passes instead of 9 (r17).
+    val thresholds = onDrillBase(df, strataCol, valueCol, idCol)(
+      resolveThresholds(_,
+        (sizes: Map[String, Long]) =>
+          sizes.map { case (s, n) => s -> math.ceil(frac * n).toLong },
+        needIds = false))
     if (thresholds.isEmpty) return df.filter(lit(false))
-    val thr = thresholds.toSeq.map { case (s, (v, id)) => (s, v, id) }
-      .toDF("__ts", "__tv", "__tid")
+    val thr = thresholds.toSeq.map { case (s, (v, idOpt)) =>
+      (s, v, idOpt.map(java.lang.Long.valueOf).orNull)
+    }.toDF("__ts", "__tv", "__tid")
     // the filter compares the SAME total order the drill ranked by —
     // the sortable bit image — not raw doubles: SQL `=` treats
     // -0.0 == +0.0 while the image ranks -0.0 strictly below, so a
     // zero-valued threshold in a mixed-sign-zero stratum would
-    // otherwise break the exact-k guarantee
+    // otherwise break the exact-k guarantee. A null __tid marks a
+    // unique-threshold stratum: every row at the threshold image IS
+    // the threshold row, so the id clause degenerates to true.
     df.join(broadcast(thr), col(strataCol) === col("__ts"))
       .filter(DoubleSortableBits(col(valueCol)) <
           DoubleSortableBits(col("__tv")) ||
         (DoubleSortableBits(col(valueCol)) ===
           DoubleSortableBits(col("__tv")) &&
-          col(idCol).cast("long") <= col("__tid")))
+          (col("__tid").isNull ||
+            col(idCol).cast("long") <= col("__tid"))))
       .drop("__ts", "__tv", "__tid")
   }
 }

@@ -31,14 +31,32 @@ object Quantize {
     * representation [[graft.sim.Similarity.kmeansCells]] trains on.
     * Map-only like [[int8Stats]].
     */
-  def int8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    e.withColumn("scale",
-        array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-      .select(col("id"),
-        when(col("scale") === 0.0, transform(col("v"), _ => lit(0.0)))
-          .otherwise(quantize(col("v"), col("scale"))).as("q"))
+  def int8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"),
+      int8CodeCol(col(vecCol).cast("array<double>")).as("q"))
+
+  /** The int8 code array of one array<double> column — [[int8Codes]]'
+    * projection exposed as a column so composed operators (the r17
+    * map-only IVF-PQ corpus side) can quantize in place instead of
+    * re-joining the (id, q) table.
+    *
+    * r17: evaluated by the native
+    * [[org.apache.spark.sql.graft.Int8Quantize]] kernel — the HOF
+    * chain is CodegenFallback and CSE-excluded, so the Lloyd loops
+    * paid an interpreted per-element evaluation per pass (its scaladoc
+    * has the op-by-op exactness argument; [[int8CodeColHof]] is the
+    * spec comparison arm).
+    */
+  private[graft] def int8CodeCol(v: Column): Column =
+    org.apache.spark.sql.graft.Int8Quantize(v)
+
+  /** The former Column-composed quantize chain — the Int8QuantizeSpec
+    * comparison arm (bit-equality against the kernel).
+    */
+  private[graft] def int8CodeColHof(v: Column): Column = {
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    when(scale === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(quantize(v, scale))
   }
 
   /** (id, scale, mse, cos): per-vector int8 round-trip fidelity. A

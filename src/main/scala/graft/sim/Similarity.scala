@@ -482,6 +482,95 @@ object Similarity {
   def kmeansCells(emb: DataFrame, idCol: String, vecCol: String,
       ncells: Int, iters: Int,
       sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
+    // r17 (optimization round, guide §2.3/§2.4): the default route runs
+    // the Lloyd loop driver-side over a broadcast
+    // [[org.apache.spark.sql.graft.Codebook]] — per-iteration
+    // assignment is ONE scalar expression per row (map-only; the
+    // former broadcast-join + groupBy(id).min_by exchanged a full copy
+    // of every code vector per iteration because the grouping key is
+    // unique), each iteration's only exchange is the tiny (cell, pos)
+    // mean aggregate (collected: ncells x dim bounded rows; the mean
+    // division and empty-cell carry are the identical float ops
+    // driver-side), and the final assignment is one map-only
+    // projection. No per-iteration checkpoint is needed (the codebook
+    // is a literal, the plan stays flat) so `sweep` is unused here;
+    // the former join+aggregate loop remains in [[kmeansCellsJoin]] —
+    // the fallback for corrupt seeds (null centroid vectors /
+    // non-integral ids, whose null-ordering semantics it pins) and
+    // the equivalence-spec comparison arm.
+    if (emb.isStreaming) // no eager collects on a stream
+      return kmeansCellsJoin(emb, idCol, vecCol, ncells, iters, sweep)
+    val codes0 = Quantize.int8Codes(emb, idCol, vecCol)
+    val seedRows = codes0.filter(col("id") < ncells)
+      .select(col("id"), col("q")).collect()
+    require(seedRows.nonEmpty, s"kmeansCells: seed centroid table is empty — " +
+      s"no $idCol < ncells=$ncells exists (ids must start at 0 per the " +
+      "assignCells convention); normalize ids or raise ncells")
+    def idOf(x: Any): Long = x match {
+      case l: java.lang.Long => l.longValue()
+      case n: java.lang.Integer => n.longValue()
+      case n: java.lang.Short => n.longValue()
+      case n: java.lang.Byte => n.longValue()
+      case _ => Long.MinValue // non-integral id: join arm
+    }
+    if (seedRows.exists(r => idOf(r.get(0)) == Long.MinValue || r.isNullAt(1)))
+      return kmeansCellsJoin(emb, idCol, vecCol, ncells, iters, sweep)
+    var cb = org.apache.spark.sql.graft.Codebook.build(seedRows.map { r =>
+      idOf(r.get(0)) -> r.getSeq[Any](1).map {
+        case null => Double.NaN // DotProduct's null-element read
+        case d: java.lang.Double => d.doubleValue()
+        case x: java.lang.Number => x.doubleValue()
+      }.toArray
+    })
+    // every iteration's distance pass runs above this exchange
+    val codes = parallelized(codes0)
+    val sc = emb.sparkSession.sparkContext
+    for (_ <- 0 until iters) {
+      val bc = sc.broadcast(cb)
+      // assignment projected BELOW the explode (see the
+      // ProductQuantize.trainCodebooks note: a select's non-generator
+      // expressions land ABOVE the Generate and would re-evaluate the
+      // argmin once per exploded element — measured 5x on s7).
+      // posexplode_OUTER + post-filter, row-equivalent to the inner
+      // explode (outer emits exactly one null-pos row for a null/empty
+      // array): InferFiltersFromGenerate puts `size(q) > 0` under an
+      // INNER generate and predicate pushdown substitutes the whole
+      // quantize HOF tree into the scan's data filter — the corpus
+      // gets quantized twice per pass (measured: the iteration stage
+      // at 2x). No filter is inferred for outer generates; the pos
+      // filter references a generate output, so it cannot push down.
+      val sums = codes.select(col("q"),
+          org.apache.spark.sql.graft.NearestCodebookCell(col("q"), bc)
+            .as("cell"))
+        .select(col("cell"), posexplode_outer(col("q")).as(Seq("pos", "x")))
+        .filter(col("pos").isNotNull)
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val grouped = sums.groupBy(_.getLong(0))
+      cb = org.apache.spark.sql.graft.Codebook.build(
+        cb.ids.zip(cb.cent).map { case (cell, cv) =>
+          grouped.get(cell) match {
+            case Some(rows) =>
+              cell -> rows.sortBy(_.getInt(1)).map { r =>
+                if (r.isNullAt(2)) Double.NaN
+                else r.getLong(2).toDouble / r.getLong(3).toDouble
+              }
+            case None => cell -> cv // empty cell keeps its centroid
+          }
+        })
+    }
+    val bc = sc.broadcast(cb)
+    codes.select(col("id"),
+      org.apache.spark.sql.graft.NearestCodebookCell(col("q"), bc).as("cell"))
+  }
+
+  /** The former join+aggregate Lloyd loop — [[kmeansCells]]'s
+    * corrupt-seed/streaming fallback and the spec comparison arm.
+    */
+  private[graft] def kmeansCellsJoin(emb: DataFrame, idCol: String,
+      vecCol: String, ncells: Int, iters: Int,
+      sweep: SweepCheckpoint = SweepCheckpoint.Local): DataFrame = {
     val codes0 = Quantize.int8Codes(emb, idCol, vecCol)
     val seed = codes0.filter(col("id") < ncells)
       .select(col("id").as("cell"), col("q").as("cv"))
@@ -566,21 +655,8 @@ object Similarity {
     */
   def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
-    import graft.functions.Hashing
     val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val dim = e0.agg(max(size(col("v"))).as("dim"))
-    val planes = dim
-      .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
-      .select(col("p"),
-        transform(sequence(lit(0), col("dim") - 1),
-          i => when(Hashing.hash60(i.cast("string"), col("p"))
-            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
-    val bucketed = parallelized(e0).join(broadcast(planes))
-      .select(col("id"), col("v"),
-        when(Vec.dot(col("v"), col("w")) > lit(0.0),
-          expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
-      .groupBy(col("id"))
-      .agg(sum(col("bit")).as("bucket"), first(col("v")).as("v"))
+    val bucketed = srpBucketedAs(parallelized(e0), "id", "v", e0, "v", nPlanes)
       .filter(nonZero(col("v")))
     val q = bucketed.filter(col("id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qb"))
@@ -592,6 +668,57 @@ object Similarity {
       .select(col("id"), col("bucket"), col("cos"))
       .orderBy(col("cos").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** SRP sign-pattern bucketing as ONE map-side projection (r17, guide
+    * §2.3/§2.4): the hyperplane table — nPlanes rows derived in-plan
+    * from the corpus dimensionality, as before — is collapsed into a
+    * single broadcast row (sorted by plane id) and the bucket is an
+    * ascending-plane fold `acc + (dot(v, w_p) > 0 ? 1<<p : 0)`. The
+    * former shape joined the nPlanes-row table (x nPlanes expansion)
+    * and re-assembled rows with `groupBy(id).agg(sum(bit), first(v))`
+    * — a unique-grouping-key aggregate that shipped one full copy of
+    * every VECTOR through its exchange (the NearestCell/SCALE_r17 §3b
+    * pathology). Per-plane dots and bit values are the identical
+    * expressions; the bit sum is an integer total, order-free, so the
+    * bucket is bit-identical. Assumes unique ids (the corpus contract
+    * every search operator already carries — the old aggregate
+    * collapsed duplicate ids to one arbitrary row rather than doing
+    * anything well-defined with them).
+    */
+  private def srpBucketed(df: DataFrame, idc: String, vc: String,
+      nPlanes: Int): DataFrame =
+    srpBucketedAs(df, idc, vc, df, vc, nPlanes)
+
+  /** [[srpBucketed]] with the hyperplane table derived from a separate
+    * frame's dimensionality (the query side buckets under the CORPUS's
+    * planes, as the former shared-planes shape did).
+    */
+  private def srpBucketedAs(df: DataFrame, idc: String, vc: String,
+      dimSource: DataFrame, dimVc: String, nPlanes: Int): DataFrame = {
+    import graft.functions.Hashing
+    val dim = dimSource.agg(max(size(col(dimVc))).as("dim"))
+    val planes = dim
+      .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
+      .select(col("p"),
+        transform(sequence(lit(0), col("dim") - 1),
+          i => when(Hashing.hash60(i.cast("string"), col("p"))
+            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
+    val planes1 = planes
+      .agg(sort_array(collect_list(struct(col("p"), col("w")))).as("pws"))
+    // per-plane terms are UNROLLED over the compile-time nPlanes
+    // instead of an `aggregate` HOF fold: HOFs evaluate their lambda
+    // (and the dot inside it) interpreted per element, where the
+    // unrolled sum whole-stage-compiles; pws is sorted by p, so
+    // element i+1 is plane i and 1<<i is its literal bit. The bit sum
+    // is an exact integer in any association.
+    val bucket = (0 until nPlanes).map { p =>
+      when(Vec.dot(col(vc),
+          element_at(col("pws"), p + 1).getField("w")) > lit(0.0),
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.join(broadcast(planes1))
+      .select(col(idc), col(vc), bucket.as("bucket"))
   }
 
   /** Batched IVF search: top-k per row of a query TABLE — the
@@ -707,29 +834,17 @@ object Similarity {
       maxBroadcastQueries: Long = 1L << 16,
       maxBroadcastQueryFloats: Long = 1L << 23,
       knownQueryCount: Long = -1L, knownQueryDim: Long = -1L): DataFrame = {
-    import graft.functions.Hashing
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val dim = e.agg(max(size(col("v"))).as("dim"))
-    val planes = dim
-      .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
-      .select(col("p"),
-        transform(sequence(lit(0), col("dim") - 1),
-          i => when(Hashing.hash60(i.cast("string"), col("p"))
-            .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
-    def bucketOf(df: DataFrame, idc: String, vc: String): DataFrame =
-      df.join(broadcast(planes))
-        .select(col(idc), col(vc),
-          when(Vec.dot(col(vc), col("w")) > lit(0.0),
-            expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
-        .groupBy(col(idc))
-        .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
-    // corpus side only — the query table is probe-sized
-    val bucketed = bucketOf(parallelized(e), "id", "v")
+    // map-only bucketing on BOTH sides (see srpBucketed — the former
+    // per-side groupBy(id) aggregate exchanged a copy of every vector).
+    // The hyperplane table derives from the CORPUS dimensionality for
+    // both sides, as before.
+    val bucketed = srpBucketedAs(parallelized(e), "id", "v", e, "v", nPlanes)
       .filter(nonZero(col("v")))
     val qin = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))
       .filter(nonZero(col("qv")))
-    val q = bucketOf(qin, "qid", "qv")
+    val q = srpBucketedAs(qin, "qid", "qv", e, "v", nPlanes)
     // Hamming ball of xor-masks at radius <= maxHamming (driver-side:
     // depends only on nPlanes/maxHamming)
     val ball = (0L until (1L << nPlanes))

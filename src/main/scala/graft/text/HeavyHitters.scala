@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
-import org.apache.spark.sql.graft.CmsSketch
+import org.apache.spark.sql.graft.{CmsSketch, CmsSketchWeighted}
 
 /** Heavy-hitter token detection over a corpus via the count-min sketch
   * aggregate ([[org.apache.spark.sql.graft.CmsSketch]]).
@@ -75,12 +75,24 @@ object HeavyHitters {
     val toks = TextOps.spread(docs.select(col(textCol)))
       .select(
         explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("tok"))
-    val sketch = toks
-      .select(bucketIndices(col("tok"), depth, width).as("bk"))
-      .agg(CmsSketch(col("bk"), depth, width).as("cms"),
-        count(lit(1)).as("total"))
-    toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("n_exact"))
+    // r17 (guide §2.4): the sketch is built FROM the exact per-token
+    // count aggregate the output needs anyway — counter updates are
+    // commutative integer sums, so adding n_exact once per DISTINCT
+    // token yields the cell-identical grid to adding 1 per occurrence
+    // — and the two consumers (grid + candidate side) share the
+    // aggregate's exchange (ReusedExchange). The former shape ran the
+    // corpus scan + tokenize + explode TWICE (once into the sketch,
+    // once into the count aggregate); now the corpus is read once and
+    // everything past the exchange is vocabulary-sized. total =
+    // sum(n_exact) = the occurrence count, same integer.
+    val cnts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+    val sketch = cnts
+      .select(bucketIndices(col("tok"), depth, width).as("bk"),
+        col("n_exact"))
+      .agg(CmsSketchWeighted(col("bk"), col("n_exact"), depth, width)
+          .as("cms"),
+        sum(col("n_exact")).as("total"))
+    cnts
       .join(broadcast(sketch))
       .withColumn("est", estimate(col("cms"), col("tok"), depth, width))
       .filter(col("est") * ratio >= col("total"))

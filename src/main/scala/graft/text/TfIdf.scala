@@ -52,6 +52,11 @@ object TfIdf {
     // PERSISTED term table reused across this and other vocabulary
     // consumers (graft.text.TextFamily is that opt-in), not an
     // in-query cache.
+    // r17 note (examined, kept as-is): the inner explode's inferred
+    // size-filter re-tokenizes the corpus in the scan stage, but the
+    // outer-explode alternative breaks whole-stage codegen around the
+    // Generate and measured slower paired (see UnigramLm's note and
+    // OPTIMIZATION_r17.md).
     val terms = base
       .select(col("doc_id"), size(col("toks")).as("nt"),
         explode(col("toks")).as("tok"))

@@ -41,6 +41,15 @@ object UnigramLm {
     * [[TextFamily]]-compatible entry point.
     */
   def surprisalFromTokens(base: DataFrame): DataFrame = {
+    // r17 note (examined, kept as-is): the inner explode gets an
+    // InferFiltersFromGenerate `size(toks) > 0` filter that predicate
+    // pushdown turns into a SECOND per-row tokenize in the scan stage.
+    // The outer-explode alternative avoids that but drops the Generate
+    // out of whole-stage codegen (GenerateExec only codegens inner
+    // generates) and measured SLOWER paired at sf0.1 (refbench
+    // t13 −0.34 s / t8 −0.27 s medians, 4/5 pairs) — the codegen break
+    // costs more than the duplicate split. OPTIMIZATION_r17.md §"not
+    // taken" has the numbers.
     val terms = base
       .select(col("doc_id"), size(col("toks")).as("nt"),
         explode(col("toks")).as("tok"))

@@ -124,3 +124,106 @@ object CmsSketch {
       CmsSketch(ExpressionUtils.expression(c), depth, width)
         .toAggregateExpression())
 }
+
+/** [[CmsSketch]] with a per-row weight: each input adds `weight` to one
+  * counter per row instead of 1 — the grid built from a pre-aggregated
+  * (key, count) relation is cell-for-cell identical to the unweighted
+  * grid over the raw occurrences (counter updates are commutative
+  * integer sums), which lets a consumer that ALSO needs the exact
+  * per-key counts (t19's verification column) share one corpus pass
+  * between the sketch and the count aggregate instead of scanning and
+  * exploding the corpus twice (r17, guide §2.4 — the aggregate's
+  * exchange is reused by both consumers). Null weights skip the row
+  * like null bucket arrays.
+  */
+case class CmsSketchWeighted(left: Expression, right: Expression,
+    depth: Int, width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(depth >= 1 && width >= 1, s"cms_sketch_weighted needs depth/width >= 1")
+  require(depth.toLong * width <= (1L << 24),
+    s"cms_sketch_weighted grid $depth x $width exceeds 2^24 cells — " +
+      "a per-group aggregation buffer this large is a config error")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false), LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == depth,
+        s"cms_sketch_weighted bucket array has ${arr.numElements()} " +
+          s"entries, expected depth=$depth")
+      val wl = w.asInstanceOf[Long]
+      var r = 0
+      while (r < depth) {
+        val b = arr.getLong(r)
+        require(b >= 0 && b < width,
+          s"cms_sketch_weighted bucket $b out of range [0, $width)")
+        buf(r * width + b.toInt) += wl
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](buf.length)
+    var i = 0
+    while (i < buf.length) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CmsSketchWeighted =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cms_sketch_weighted"
+}
+
+object CmsSketchWeighted {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def apply(bk: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      depth: Int, width: Int): org.apache.spark.sql.Column =
+    ExpressionUtils.column(
+      CmsSketchWeighted(ExpressionUtils.expression(bk),
+        ExpressionUtils.expression(w), depth, width)
+        .toAggregateExpression())
+}

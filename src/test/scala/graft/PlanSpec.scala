@@ -226,32 +226,32 @@ class PlanSpec extends SparkSpec {
     assert(legacy.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 1)
   }
 
-  test("s7 kmeans: per-iteration materialization keeps the final plan one pass") {
-    // training materializes each (tiny) centroid table eagerly, so the
-    // RETURNED assignment plan must be a single corpus pass against a
-    // checkpointed centroid table — not the chained iters+1-scan,
-    // sort-merge-joined monster the lazy composition produces
+  test("s7 kmeans: the final assignment is ONE map-only corpus pass") {
+    // r17: training runs driver-side over broadcast codebooks, so the
+    // RETURNED assignment plan is a single scan + scalar argmin
+    // projection — no join, no aggregate, no window; the only
+    // exchange is the caller's orderBy
     val p = plan("s7_kmeans_cells")
-    assert("FileScan".r.findAllIn(p).length <= 2,
+    assert("FileScan".r.findAllIn(p).length === 1,
       s"final assignment re-scans the corpus:\n${p.take(400)}")
-    assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "centroids must broadcast")
-    assert(!p.contains("Window "), "argmin must be min_by, not a window sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"),
+      "assignment must be the broadcast-codebook expression, not a join")
+    assert(p.contains("nearest_codebook_cell"),
+      "argmin must be the map-only kernel")
+    assert(!p.contains("Window "), "argmin must not be a window sort")
   }
 
-  test("s8 pq: materialized codebooks, broadcast ADC table, no sort-merge join") {
-    // training materializes the (tiny) codebook per iteration, so the
-    // returned search plan must be a bounded number of corpus passes
-    // (encode + query slice) against checkpointed centroids — not the
-    // chained iters-deep monster — with the distance table BROADCAST
-    // onto the code table and the top-k a TakeOrdered, not a full sort
+  test("s8 pq: map-only encode + broadcast ADC lookup, TakeOrdered top-k") {
+    // r17: codebooks and the (nsub x kcent) distance table are
+    // driver-built and broadcast; search is one scan -> pq_encode ->
+    // adc_distance -> TakeOrdered. No join, no unique-key aggregate,
+    // nothing corpus-sized exchanges.
     val p = plan("s8_pq_adc")
-    assert("FileScan".r.findAllIn(p).length <= 3,
+    assert("FileScan".r.findAllIn(p).length === 1,
       s"ADC search re-scans the corpus:\n${p.take(400)}")
-    assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      "the ADC distance table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"))
+    assert(p.contains("pq_encode") && p.contains("adc_distance"),
+      "scoring must be the broadcast-table lookup kernels")
     assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"))
   }
 

@@ -167,4 +167,31 @@ class SelectionSpec extends SparkSpec {
       .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got2 === got, "carve depends on partitioning")
   }
+
+  test("mixed unique- and tied-threshold strata in one carve (r17 id-drill skip)") {
+    // stratum u: all values distinct -> the k-th value is UNIQUE and
+    // the r17 drill skips the 4-round id phase (null __tid, value-only
+    // filter); stratum t: all values equal -> selection is pure id
+    // rank through the id drill. Both must equal the window ground
+    // truth in the same call.
+    import spark.implicits._
+    val rows =
+      (0L until 100L).map(id => ("u", id, id.toDouble * 1.5 + 0.25)) ++
+        (0L until 90L).map(id => ("t", id, 7.0))
+    val df = rows.toDF("s", "id", "v")
+    val got = Selection.carveLowest(df.repartition(5), "s", "v", "id", 0.5)
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("s")).orderBy(col("v").asc, col("id").asc)
+    val want = df
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("rk") <= ceil(col("n") * 0.5))
+      .select("s", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want, "mixed unique/tied carve diverged")
+    // the public API still returns exact (value, id) on both shapes
+    val ks = Selection.stratifiedKthSmallest(df, "s", "v", "id",
+      Map("u" -> 50L, "t" -> 45L))
+    assert(ks("u") === ((49.0 * 1.5 + 0.25, 49L)))
+    assert(ks("t") === ((7.0, 44L)))
+  }
 }
