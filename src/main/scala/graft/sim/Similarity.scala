@@ -656,7 +656,7 @@ object Similarity {
   def srpTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, nPlanes: Int = 8, maxHamming: Int = 1): DataFrame = {
     val e0 = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val bucketed = srpBucketedAs(parallelized(e0), "id", "v", e0, "v", nPlanes)
+    val bucketed = srpBucketedAs(widened(e0), "id", "v", e0, "v", nPlanes)
       .filter(nonZero(col("v")))
     val q = bucketed.filter(col("id") === queryId)
       .select(col("v").as("qv"), col("bucket").as("qb"))
@@ -686,6 +686,25 @@ object Similarity {
     * collapsed duplicate ids to one arbitrary row rather than doing
     * anything well-defined with them).
     */
+  /** Pin the frame to session width BEFORE a map-only stage whose
+    * downstream is compute-heavy (the SCALE_r17 §7 / d6 lesson,
+    * re-learned here on s6: removing the former bucketing aggregate's
+    * exchange also removed the width it accidentally provided — at a
+    * 13 MB sf1 corpus, under [[parallelized]]'s 16 MB byte floor, the
+    * whole bucket + candidate join + cosine pipeline serialized on ONE
+    * scan split and s6 ran 1.6x SLOWER than the join arm, probed
+    * single-session in tools/SrpProbe). The former aggregate exchanged
+    * the corpus unconditionally, so an explicit-width repartition can
+    * never cost more than the old shape — and explicit widths are
+    * exempt from AQE's byte-based coalescing, which cannot see
+    * compute density.
+    */
+  private def widened(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def srpBucketed(df: DataFrame, idc: String, vc: String,
       nPlanes: Int): DataFrame =
     srpBucketedAs(df, idc, vc, df, vc, nPlanes)
@@ -839,7 +858,7 @@ object Similarity {
     // per-side groupBy(id) aggregate exchanged a copy of every vector).
     // The hyperplane table derives from the CORPUS dimensionality for
     // both sides, as before.
-    val bucketed = srpBucketedAs(parallelized(e), "id", "v", e, "v", nPlanes)
+    val bucketed = srpBucketedAs(widened(e), "id", "v", e, "v", nPlanes)
       .filter(nonZero(col("v")))
     val qin = queries.select(col(qidCol).as("qid"),
       asDouble(col(qvecCol)).as("qv"))

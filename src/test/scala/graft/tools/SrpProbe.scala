@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Vec
+import graft.functions.Hashing
+
+/** Scratch probe (r17): s6 with the map-only SRP bucketing (current
+  * Similarity) vs the former join+groupBy bucketing, interleaved in
+  * one session.
+  */
+object SrpProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/tmp/sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    emb.count()
+
+    // the FORMER srpTopKAll, inlined
+    def oldS6(): DataFrame = {
+      val nPlanes = 8; val maxHamming = 1; val k = 5
+      val e = emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val dim = e.agg(max(size(col("v"))).as("dim"))
+      val planes = dim
+        .select(explode(sequence(lit(0), lit(nPlanes - 1))).as("p"), col("dim"))
+        .select(col("p"),
+          transform(sequence(lit(0), col("dim") - 1),
+            i => when(Hashing.hash60(i.cast("string"), col("p"))
+              .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))).as("w"))
+      def bucketOf(df: DataFrame, idc: String, vc: String): DataFrame =
+        df.join(broadcast(planes))
+          .select(col(idc), col(vc),
+            when(Vec.dot(col(vc), col("w")) > lit(0.0),
+              expr("shiftleft(1L, cast(p as int))")).otherwise(lit(0L)).as("bit"))
+          .groupBy(col(idc))
+          .agg(sum(col("bit")).as("bucket"), first(col(vc)).as(vc))
+      def nonZero(v: org.apache.spark.sql.Column) = Vec.dot(v, v) > 0.0
+      val spread = if (e.rdd.getNumPartitions <
+          spark.sparkContext.defaultParallelism) e.repartition(32) else e
+      val bucketed = bucketOf(spread, "id", "v").filter(nonZero(col("v")))
+      val qin = queries.select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+        .filter(nonZero(col("qv")))
+      val q = bucketOf(qin, "qid", "qv")
+      val ball = (0L until (1L << nPlanes))
+        .filter(m => java.lang.Long.bitCount(m) <= maxHamming)
+      val probes = q.select(col("qid"), col("qv"), col("bucket").as("qb"),
+        explode(lit(ball.toArray)).as("mask"))
+        .select(col("qid"), col("qv"),
+          col("mask").bitwiseXOR(col("qb")).as("bucket"))
+      val cand = bucketed
+        .join(broadcast(probes), "bucket")
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos", Vec.cosine(col("v"), col("qv")))
+        .select(col("qid"), col("id"), col("bucket"), col("cos"))
+      org.apache.spark.sql.graft.TopKPerGroup(cand, k, Seq(col("qid")),
+        Seq(col("cos").desc, col("id").asc))
+    }
+
+    def newS6(): DataFrame = {
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      graft.sim.Similarity.srpTopKAll(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 5)
+    }
+
+    for (rep <- 0 until 3) {
+      for ((tag, f) <- Seq("new" -> (() => newS6()), "old" -> (() => oldS6()))) {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        f().queryExecution.toRdd.foreach(_ => ())
+        println(f"== $tag rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
