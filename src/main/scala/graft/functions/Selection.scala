@@ -14,11 +14,16 @@ import org.apache.spark.sql.graft.DoubleSortableBits
   * ([[DoubleSortableBits]] — bit prefixes of the image are value
   * ranges). Each round one partial-aggregatable count of a 16-bit
   * slice (<= 65536 counters to the driver), narrowing to the exact
-  * 64-bit image in 4 rounds; rank ties on the exact value resolve with
-  * the same drill over the id bits (4 more rounds). Work: <= 8 full
-  * scans of counts — no shuffle of data rows, no per-partition top-k
-  * heaps (k can be corpus-sized), no driver row collection beyond the
-  * bounded counter maps.
+  * 64-bit image in 4 rounds (round 0 doubles as the sizing pass — its
+  * unscoped counts sum to the per-stratum rankable sizes); rank ties
+  * on the exact value resolve with the same drill over the id bits
+  * (4 more rounds), run ONLY for strata whose k-th value is tied at
+  * the full 64-bit image — the value drill's last round counts the
+  * tie group for free, and an untied threshold needs no id (r17).
+  * Work: 4 count passes in the common untied case, <= 8 worst case —
+  * no shuffle of data rows, no per-partition top-k heaps (k can be
+  * corpus-sized), no driver row collection beyond the bounded counter
+  * maps.
   *
   * All strata drill SIMULTANEOUSLY: the per-round filter joins a
   * broadcast (stratum -> prefix) table, so the pass count is 8 TOTAL
@@ -113,8 +118,19 @@ object Selection {
     val spark = base.sparkSession
     import spark.implicits._
 
-    val sizes = base.groupBy("__s").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the value drill's round 0 doubles as the SIZING pass (r17): its
+    // unscoped per-(stratum, top-16-bits) counts sum to exactly the
+    // per-stratum rankable sizes the former dedicated groupBy pass
+    // computed, so the ks derive from round 0's own counts and the
+    // drill runs one fewer pass over the cached base
+    val counts0all = base.groupBy(col("__s"),
+        shiftrightunsigned(col("__ub"), 48).bitwiseAND(lit(0xFFFFL)).as("__b"))
+      .count().collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1).toSeq
+      }
+    val sizes = counts0all.map { case (s, rows) => s -> rows.map(_._2).sum }
     val ks = ksOf(sizes)
     val live: Map[String, Long] = ks.filter { case (s, k) =>
       k >= 1 && sizes.get(s).exists(k <= _)
@@ -123,38 +139,45 @@ object Selection {
 
     /** One drill phase over `keyCol` for the strata in `kRem0`, under
       * an optional equality pin from a previous phase (`pin`: stratum
-      * -> pinned column value). Returns (resolved key per stratum,
-      * remaining rank, final-round tie-group size — the count of rows
-      * equal to the fully resolved key under the pin).
+      * -> pinned column value). `counts0` short-circuits round 0 with
+      * precomputed unscoped counts (the value phase; the pinned id
+      * phase counts its own round 0). Returns (resolved key per
+      * stratum, remaining rank, final-round tie-group size — the count
+      * of rows equal to the fully resolved key under the pin).
       */
     def drill(keyCol: String, pin: Map[String, Long], pinCol: String,
-        kRem0: Map[String, Long])
+        kRem0: Map[String, Long],
+        counts0: Map[String, Seq[(Long, Long)]])
         : (Map[String, Long], Map[String, Long], Map[String, Long]) = {
       var prefix: Map[String, Long] = kRem0.keys.map(_ -> 0L).toMap
       var kRem = kRem0
       var tie: Map[String, Long] = Map.empty
       for (round <- 0 until 4) {
         val shift = 48 - 16 * round
-        val pre = prefix.toSeq.map { case (s, p) =>
-          (s, p, pin.getOrElse(s, 0L), kRem(s))
-        }.toDF("__ps", "__pfx", "__pin", "__k")
-        val pinned =
-          if (pin.isEmpty) lit(true)
-          else col(pinCol) === col("__pin")
-        val scoped =
-          if (round == 0) pinned
-          else pinned &&
-            shiftrightunsigned(col(keyCol), shift + 16) === col("__pfx")
-        val counts = base.join(broadcast(pre), col("__s") === col("__ps"))
-          .filter(scoped)
-          .groupBy(col("__s"),
-            shiftrightunsigned(col(keyCol), shift)
-              .bitwiseAND(lit(0xFFFFL)).as("__b"))
-          .count().collect()
-          .groupBy(_.getString(0))
-          .map { case (s, rows) =>
-            s -> rows.map(r => r.getLong(1) -> r.getLong(2))
-              .sortBy(_._1)
+        val counts: Map[String, Seq[(Long, Long)]] =
+          if (round == 0 && counts0 != null) counts0
+          else {
+            val pre = prefix.toSeq.map { case (s, p) =>
+              (s, p, pin.getOrElse(s, 0L), kRem(s))
+            }.toDF("__ps", "__pfx", "__pin", "__k")
+            val pinned =
+              if (pin.isEmpty) lit(true)
+              else col(pinCol) === col("__pin")
+            val scoped =
+              if (round == 0) pinned
+              else pinned &&
+                shiftrightunsigned(col(keyCol), shift + 16) === col("__pfx")
+            base.join(broadcast(pre), col("__s") === col("__ps"))
+              .filter(scoped)
+              .groupBy(col("__s"),
+                shiftrightunsigned(col(keyCol), shift)
+                  .bitwiseAND(lit(0xFFFFL)).as("__b"))
+              .count().collect()
+              .groupBy(_.getString(0))
+              .map { case (s, rows) =>
+                s -> rows.map(r => r.getLong(1) -> r.getLong(2))
+                  .sortBy(_._1).toSeq
+              }
           }
         prefix = prefix.map { case (s, p) =>
           var k = kRem(s)
@@ -171,7 +194,8 @@ object Selection {
       (prefix, kRem, tie)
     }
 
-    val (ubResolved, tieRank, tieCount) = drill("__ub", Map.empty, "", live)
+    val (ubResolved, tieRank, tieCount) =
+      drill("__ub", Map.empty, "", live, counts0all)
     val unique = live.keys.filter(s => tieCount(s) == 1L).toSet
 
     // tied strata: the id drill, simultaneous across them as before
@@ -179,7 +203,7 @@ object Selection {
       .filter { case (s, _) => live.contains(s) }
     val uidTied: Map[String, Long] =
       if (tiedKRem.isEmpty) Map.empty
-      else drill("__uid", ubResolved, "__ub", tiedKRem)._1
+      else drill("__uid", ubResolved, "__ub", tiedKRem, null)._1
 
     // unique strata: the tie group is one row — when ids are needed,
     // ONE shared fetch pass resolves them all
