@@ -70,7 +70,12 @@ object Bench {
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms rounding (r17 VERDICT #1): full-precision doubles pushed the
+    // 97-query line to ~4 KB, which overflowed the driver's stdout tail
+    // window; 1 ms resolution is far below host noise and halves the line
+    def msFmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + msFmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
@@ -109,7 +114,21 @@ object Bench {
       """{"st_ms":%.1f,"mt_ms":%.1f,"sink":%d}""",
       Double.box(calibSt), Double.box(calibMt),
       Long.box(calibSink.get()))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"calib":$calibJson}""")
+    val line = s"""{"metric":"total","value":${msFmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"calib":$calibJson}"""
+    println(line)
+    // Driver-parseable result contract (r17 VERDICT #1): the one-line
+    // JSON above is not the last stdout line (sbt's [success] banner
+    // follows) and overflowed the driver's tail capture two rounds
+    // running (BENCH_r16/r17 both rc:0 yet parsed:null, so PERF came
+    // back empty). Additions only: write the identical line to a
+    // sidecar file AND re-print it after spark.stop() so it is the
+    // final application output. Comparisons with old rounds stay valid
+    // — same queries, same timing, same schema.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     spark.stop()
+    println(line)
   }
 }
