@@ -152,19 +152,108 @@ object Dedup {
     h
   }
 
+  /** [[fnv1a64]] over a byte range — the in-place form the byte-level
+    * shingle kernel folds over text slices without materializing the
+    * shingle string.
+    */
+  private def fnv1a64Range(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Byte-level fused shingle-hash kernel (r18, guide §1.2 step 2 —
+    * per-task work): `shinglesKernel(text, n).map(fnv1a64)` without
+    * building a single shingle string. A token n-gram joined by ' ' is
+    * a CONTIGUOUS slice of the lowercased text's UTF-8 bytes (tokens
+    * are the runs between 0x20 bytes, and 0x20 never occurs inside a
+    * multi-byte UTF-8 sequence), so each shingle hash is one FNV fold
+    * over a byte range. The old path paid, per shingle: StringBuilder
+    * append + toString (two copies), the LinkedHashSet's string hash
+    * (a third pass), getBytes (a fourth, plus an allocation), then
+    * FNV — this pays FNV alone, ~3n bytes touched per text position.
+    *
+    * Distinctness is STRING distinctness, exactly as before: the
+    * open-addressed table probes on the 64-bit FNV and confirms with a
+    * byte-range compare, so two DISTINCT shingles that collide in FNV
+    * both emit (the legacy LinkedHashSet-then-hash behavior), while
+    * duplicate shingles emit once. DedupSpec pins bit-equality against
+    * the string-path kernel on adversarial and fuzz corpora.
+    */
+  def hashedShinglesKernel(text: String, n: Int): Array[Long] = {
+    val bytes = text.toLowerCase(java.util.Locale.ROOT)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var ntoks = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') ntoks += 1; i += 1 }
+    if (ntoks < n) return Array.empty
+    // starts(j) = byte offset of token j; the sentinel makes shingle
+    // j's slice [starts(j), starts(j+n) - 1) uniform, including the
+    // last one (ends at bytes.length)
+    val starts = new Array[Int](ntoks + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(ntoks) = bytes.length + 1
+    val nsh = ntoks - n + 1
+    // open addressing, power-of-two capacity >= 2 * nsh
+    var cap = 4
+    while (cap < (nsh << 1)) cap <<= 1
+    val mask = cap - 1
+    val slotHash = new Array[Long](cap)
+    val slotIdx = new Array[Int](cap) // shingle index + 1; 0 = empty
+    val out = new Array[Long](nsh)
+    var nout = 0
+    var j = 0
+    while (j < nsh) {
+      val from = starts(j)
+      val until = starts(j + n) - 1
+      val h = fnv1a64Range(bytes, from, until)
+      var slot = (h ^ (h >>> 32)).toInt & mask
+      var dup = false
+      var done = false
+      while (!done) {
+        val s = slotIdx(slot)
+        if (s == 0) done = true // empty: insert here
+        else if (slotHash(slot) == h) {
+          val pj = s - 1
+          val pf = starts(pj)
+          val pu = starts(pj + n) - 1
+          if (pu - pf == until - from &&
+              java.util.Arrays.equals(bytes, pf, pu, bytes, from, until)) {
+            dup = true; done = true // same string: skip
+          } else slot = (slot + 1) & mask // FNV collision: both distinct
+        } else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        slotHash(slot) = h
+        slotIdx(slot) = j + 1
+        out(nout) = h
+        nout += 1
+      }
+      j += 1
+    }
+    val res = if (nout == out.length) out
+      else java.util.Arrays.copyOf(out, nout)
+    java.util.Arrays.sort(res)
+    res
+  }
+
   /** Distinct hashed token n-gram shingles, ASCENDING-SORTED (compiled
     * kernel — see [[shingles]] for why HOF expressions lose here).
     * Element order carries no meaning downstream (explode, counting), so
     * sorting once here lets verification run a linear merge
     * ([[org.apache.spark.sql.graft.SortedIntersectCount]]) instead of a
-    * per-pair hash build.
+    * per-pair hash build. Since r18 the kernel is the byte-level fused
+    * form ([[hashedShinglesKernel]]).
     */
   def hashedShingles(text: Column, n: Int = 3): Column = {
-    val k = udf((t: String) => {
-      val h = shinglesKernel(if (t == null) "" else t, n).map(fnv1a64)
-      java.util.Arrays.sort(h)
-      h
-    })
+    val k = udf((t: String) =>
+      hashedShinglesKernel(if (t == null) "" else t, n))
     k(text)
   }
 
@@ -511,11 +600,9 @@ object Dedup {
     * dropped (no grams — cannot pair). Callers own caching. */
   private def hashedSets(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val k = udf((t: String) => {
-      val h = shinglesKernel(if (t == null) "" else t, n).map(fnv1a64)
-      java.util.Arrays.sort(h)
-      h
-    }).asNondeterministic() // see signedSets: keeps the kernel above the
+    val k = udf((t: String) =>
+      hashedShinglesKernel(if (t == null) "" else t, n))
+      .asNondeterministic() // see signedSets: keeps the kernel above the
     // parallelized() exchange
     parallelized(df.select(col(idCol).as("id"), col(textCol).as("__t")))
       .select(col("id"), k(col("__t")).as("sh"))
@@ -2261,17 +2348,24 @@ object Dedup {
     val incFp = inc
       .select(col(idCol), col(textCol),
         md5(coalesce(col(textCol), lit(""))).as("fp"))
-    val incMin = incFp.groupBy(col("fp"))
-      .agg(min(col(idCol)).as("inc_min"))
-    // exact stage: one fp-keyed join against each side. Cached (the d2
+    // within-increment exact minimum as a WINDOW over the fp exchange
+    // (r18, guide §2.4): the former separate `groupBy(fp).min` +
+    // join-back subtree re-scanned the increment and re-ran the md5
+    // fingerprint a second time per cache build (the r17 d11 plan's
+    // duplicated increment scans); the window reads its single child
+    // once, and its fp-clustering is exactly what the index join keys
+    // on anyway.
+    val incMin = incFp.withColumn("inc_min",
+      min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    // exact stage: one fp-keyed join against the index. Cached (the d2
     // precedent — Verify/Bench clear per query, pipelines own
     // clearCache): `tagged` feeds the survivor filter AND the final
     // classification, `survSim` feeds BOTH near-dup branches — without
     // the caches each consumer re-runs the exact-stage joins and the
     // signature kernel.
-    val tagged = incFp
+    val tagged = incMin
       .join(baseExact, Seq("fp"), "left")
-      .join(incMin, Seq("fp"))
       .cache()
     // survivors carry their text forward for the one signature pass
     val survivors = tagged

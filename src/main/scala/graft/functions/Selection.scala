@@ -267,14 +267,19 @@ object Selection {
     // -0.0 == +0.0 while the image ranks -0.0 strictly below, so a
     // zero-valued threshold in a mixed-sign-zero stratum would
     // otherwise break the exact-k guarantee. A null __tid marks a
-    // unique-threshold stratum: every row at the threshold image IS
-    // the threshold row, so the id clause degenerates to true.
+    // unique-threshold stratum: every RANKABLE row at the threshold
+    // image is the threshold row, so the id clause degenerates to
+    // true — but only for rows with a rankable id (ADVICE r17: a
+    // null-id row sharing the threshold value is outside the drill's
+    // base and must stay excluded, exactly as the non-degenerate
+    // clause's SQL-NULL comparison excludes it).
     df.join(broadcast(thr), col(strataCol) === col("__ts"))
       .filter(DoubleSortableBits(col(valueCol)) <
           DoubleSortableBits(col("__tv")) ||
         (DoubleSortableBits(col(valueCol)) ===
           DoubleSortableBits(col("__tv")) &&
-          (col("__tid").isNull ||
+          ((col("__tid").isNull &&
+            col(idCol).cast("long").isNotNull) ||
             col(idCol).cast("long") <= col("__tid"))))
       .drop("__ts", "__tv", "__tid")
   }

@@ -304,7 +304,9 @@ object PipelineQueries extends QueryPack {
 
   private def t3TokenStats(s: SparkSession, dir: String): DataFrame =
     sdocs(s, dir)
-      .select(col("source"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("source"), col("doc_id"),
+        explode(org.apache.spark.sql.graft.TokenizeSpace
+          .pinned(col("text"))).as("tok"))
       .groupBy(col("source"))
       .agg(
         countDistinct(col("doc_id")).as("n_docs"),
@@ -542,7 +544,8 @@ object PipelineQueries extends QueryPack {
   // count rides along so the sketch error is visible in the output.
   private def t17KmvDistinct(s: SparkSession, dir: String): DataFrame = {
     val toks = sdocs(s, dir).select(col("lang"),
-      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      explode(org.apache.spark.sql.graft.TokenizeSpace
+        .pinned(coalesce(col("text"), lit("")))).as("tok"))
     toks
       .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
       .groupBy("lang")
@@ -561,7 +564,8 @@ object PipelineQueries extends QueryPack {
   // compared — the point of sketch composition at 100 TB.
   private def t18VocabOverlap(s: SparkSession, dir: String): DataFrame = {
     val toks = sdocs(s, dir).select(col("lang"),
-      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("tok"))
+      explode(org.apache.spark.sql.graft.TokenizeSpace
+        .pinned(coalesce(col("text"), lit("")))).as("tok"))
     val sk = toks
       .withColumn("hv", graft.functions.Hashing.hash60(col("tok"), 21))
       .groupBy("lang")

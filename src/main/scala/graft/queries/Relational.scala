@@ -122,7 +122,8 @@ object Relational extends QueryPack {
   // q10: explode/token-count (explode(arrays_zip) analog, SURVEY §2.5).
   private def q10ExplodeTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .select(explode(org.apache.spark.sql.graft.TokenizeSpace
+        .pinned(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)

@@ -498,7 +498,11 @@ object Similarity {
     // the fallback for corrupt seeds (null centroid vectors /
     // non-integral ids, whose null-ordering semantics it pins) and
     // the equivalence-spec comparison arm.
-    if (emb.isStreaming) // no eager collects on a stream
+    // no eager collects on a stream; beyond MaxExprCells the seed
+    // collect / per-iteration sum collect / codebook broadcast stop
+    // being "bounded small" (ADVICE r17 — the same driver/broadcast
+    // blowup gate assignCells applies)
+    if (emb.isStreaming || ncells > MaxExprCells)
       return kmeansCellsJoin(emb, idCol, vecCol, ncells, iters, sweep)
     val codes0 = Quantize.int8Codes(emb, idCol, vecCol)
     val seedRows = codes0.filter(col("id") < ncells)

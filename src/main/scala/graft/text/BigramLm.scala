@@ -41,7 +41,11 @@ object BigramLm {
     // explode (TextOps.spread; no-op on well-split corpora)
     TextOps.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
-        split(lower(coalesce(col(textCol), lit(""))), " ").as("ts"))
+        // pinned native tokenizer (r18): no regex per row, and the
+        // position explode's inferred filter can no longer re-tokenize
+        // in the scan stage
+        org.apache.spark.sql.graft.TokenizeSpace
+          .pinned(coalesce(col(textCol), lit(""))).as("ts"))
       .select(col("doc_id"), size(col("ts")).as("nt"),
         explode(expr(
           "transform(sequence(0, size(ts) - 1), " +

@@ -74,7 +74,10 @@ object HeavyHitters {
     // floor applies unmodified.
     val toks = TextOps.spread(docs.select(col(textCol)))
       .select(
-        explode(split(lower(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+        // pinned native tokenizer (r18): single-pass byte split, no
+        // inferred-filter re-tokenize in the scan stage
+        explode(org.apache.spark.sql.graft.TokenizeSpace
+          .pinned(coalesce(col(textCol), lit("")))).as("tok"))
     // r17 (guide §2.4): the sketch is built FROM the exact per-token
     // count aggregate the output needs anyway — counter updates are
     // commutative integer sums, so adding n_exact once per DISTINCT

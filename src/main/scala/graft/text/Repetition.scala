@@ -50,7 +50,10 @@ object Repetition {
       .select(
         col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("n_chars_t"),
-        split(lower(col(textCol)), " ").as("toks"))
+        // pinned native tokenizer (r18): the two gram explodes each
+        // inferred a size filter that re-tokenized in the scan stage
+        org.apache.spark.sql.graft.TokenizeSpace.pinned(col(textCol))
+          .as("toks"))
 
     val g2 = base
       .select(col("doc_id"), explode(grams(col("toks"), 2)).as("g"))

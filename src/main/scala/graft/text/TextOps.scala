@@ -52,8 +52,16 @@ object TextOps {
     else df
   }
 
-  /** Whitespace tokenizer (single-space; the corpus normal form). */
-  def tokens(text: Column): Column = split(lower(text), " ")
+  /** Whitespace tokenizer (single-space; the corpus normal form).
+    * Since r18 the native single-pass kernel ([[org.apache.spark.sql
+    * .graft.TokenizeSpace]], bit-identical to `split(lower(text), " ")`
+    * — TokenizeSpaceSpec); the DETERMINISTIC form, so scalar consumers
+    * (tokenCount-style column kernels, when-cascades) keep
+    * common-subexpression elimination. Projections feeding an explode
+    * use `TokenizeSpace.pinned` instead (see its scaladoc).
+    */
+  def tokens(text: Column): Column =
+    org.apache.spark.sql.graft.TokenizeSpace(text)
 
   /** C4-style keep/drop cascade (Raffel et al. 2020 §2.2 shape): each
     * document gets a keep flag and the FIRST failing rule as `reason`

@@ -31,7 +31,11 @@ object TfIdf {
       // (TextOps.spread; no-op on well-split corpora)
       TextOps.spread(docs.select(col(idCol), col(textCol)), spreadFloor)
         .select(col(idCol).as("doc_id"),
-          split(lower(col(textCol)), " ").as("toks")),
+          // pinned native tokenizer (r18, VERDICT r17 #4): kills the
+          // inferred-filter double-tokenize in the scan stage without
+          // the outer-generate codegen break the r17 pairing rejected
+          org.apache.spark.sql.graft.TokenizeSpace.pinned(col(textCol))
+            .as("toks")),
       docs.agg(count(lit(1)).as("nd")))
 
   /** The t8 engine over a pre-tokenized (doc_id, toks) relation —

@@ -35,7 +35,11 @@ object UnigramLm {
       // (TextOps.spread; no-op on well-split corpora)
       TextOps.spread(docs.select(col(idCol), col(textCol)))
         .select(col(idCol).as("doc_id"),
-          split(lower(col(textCol)), " ").as("toks")))
+          // pinned native tokenizer (r18) — see the r17 note below: the
+          // outer-generate cure was worse; this one keeps the Generate
+          // codegen'd AND the scan filter tokenize-free
+          org.apache.spark.sql.graft.TokenizeSpace.pinned(col(textCol))
+            .as("toks")))
 
   /** The engine over a pre-tokenized (doc_id, toks) relation, the
     * [[TextFamily]]-compatible entry point.

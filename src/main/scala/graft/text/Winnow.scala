@@ -173,11 +173,25 @@ object Winnow {
       else base
     // fingerprints() returns a distinct set, so (id, fp) is unique
     val fps = wide.select(col("id"), explode(fpk(col("__t"))).as("fp"))
-    val dfc = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("dfc"))
-      .filter(col("dfc") <= maxDf)
-      .select(col("fp"))
-    fps.join(dfc, "fp").cache()
+    // df-prune as a WINDOW count over one fp-keyed exchange, not a
+    // groupBy + join-back (r18, guide §2.4): the nondeterministic
+    // kernel blocks exchange reuse between the join form's two fps
+    // subtrees, so the cache build ran the fingerprint kernel TWICE
+    // over the corpus (two scans, two Generates in the r17 plan) and
+    // paid two more exchanges + a broadcast for the df dictionary.
+    // The window reads its single child once. The explicit numbered
+    // repartition both spreads the count and PINS the cached
+    // relation's partitioning to hashpartitioning(fp, width) — AQE
+    // cannot byte-coalesce a numbered repartition, and the pair
+    // self-join downstream clusters on fp, so both its exchanges
+    // vanish (the d18 8c->32c flatness was the pair join running on
+    // byte-coalesced splits; same pathology as the SRP `widened` fix).
+    fps.repartition(target, col("fp"))
+      .withColumn("__dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .where(col("__dfc") <= maxDf)
+      .drop("__dfc")
+      .cache()
   }
 
   /** Pair join + sizes + overlap ratio over a (possibly restricted)

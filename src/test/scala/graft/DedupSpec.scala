@@ -21,6 +21,34 @@ class DedupSpec extends SparkSpec {
       .map(n => n -> find(n)).toMap
   }
 
+  test("byte-level hashedShinglesKernel is bit-identical to the string path (r18)") {
+    // the legacy semantics: DISTINCT shingle strings (first occurrence),
+    // each fnv1a64-hashed, ascending-sorted — duplicates from FNV
+    // collisions between distinct strings would both emit
+    def legacy(t: String, n: Int): Array[Long] = {
+      val h = Dedup.shinglesKernel(t, n).map(Dedup.fnv1a64)
+      java.util.Arrays.sort(h)
+      h
+    }
+    val edge = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a b c d",
+      "a  b   c", " leading", "trailing ", " both ",
+      "x x x x x x", "répét é é unicode ✓ ✓ emoji 😀 😀 a b",
+      "tab\tand\nnewline stay in one token a b",
+      "UPPER Case MiXeD a b c", "ß SS İ i a b")
+    for (t <- edge; n <- Seq(1, 2, 3, 4))
+      assert(Dedup.hashedShinglesKernel(t, n).toSeq === legacy(t, n).toSeq,
+        s"diverged on '$t' n=$n")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab c déß😀AB  "
+    for (_ <- 0 until 500) {
+      val t = (0 until rnd.nextInt(120))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Dedup.hashedShinglesKernel(t, 3).toSeq === legacy(t, 3).toSeq,
+        s"fuzz diverged on '$t'")
+    }
+  }
+
   test("simhash assignment is sound against the exact pair enumeration") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.t(spark, sf, "documents")

@@ -99,6 +99,21 @@ class SelectionSpec extends SparkSpec {
     assert(kept === Set(3L, 5L), s"ceil(2/3 * 3) = 2 non-null keeps: $kept")
   }
 
+  test("a null-id row at a unique threshold value stays excluded (ADVICE r17)") {
+    import spark.implicits._
+    // rankable rows 1.0#1 < 2.0#2 < 3.0#3: k = ceil(2/3 * 3) = 2 lands
+    // the threshold on the UNIQUE value 2.0 (null __tid, degenerate id
+    // clause). The null-id row sharing that value is outside the
+    // drill's base; the pre-r17 non-degenerate clause's SQL-NULL
+    // comparison dropped it, and the degenerate clause must too.
+    val df = Seq((Option(1L), 1.0), (Option(2L), 2.0), (Option(3L), 3.0),
+      (Option.empty[Long], 2.0)).toDF("id", "v").withColumn("s", lit("x"))
+    val kept = Selection.carveLowest(df, "s", "v", "id", 2.0 / 3.0)
+      .select("id").collect().map(r => Option(r.get(0))).toSet
+    assert(kept === Set(Option(1L), Option(2L)),
+      s"null-id threshold row leaked: $kept")
+  }
+
   test("null strata are excluded, not a drill crash") {
     import spark.implicits._
     // the null-stratum rows must neither crash the per-round broadcast
