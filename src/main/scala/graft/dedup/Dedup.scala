@@ -2344,7 +2344,18 @@ object Dedup {
     */
   def incrementalDedup(inc: DataFrame, idCol: String, textCol: String,
       baseExact: DataFrame, baseBands: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    incrementalDedupImpl(inc, idCol, textCol, baseExact, baseBands,
+      maxHamming,
+      windowMin = !inc.isStreaming &&
+        graft.ScanBytes.of(inc) >= (1L << 24))
+
+  /** [[incrementalDedup]] with the within-increment-minimum arm
+    * switchable, so the equivalence spec can drive both on one frame.
+    */
+  private[graft] def incrementalDedupImpl(inc: DataFrame, idCol: String,
+      textCol: String, baseExact: DataFrame, baseBands: DataFrame,
+      maxHamming: Int, windowMin: Boolean): DataFrame = {
     val incFp = inc
       .select(col(idCol), col(textCol),
         md5(coalesce(col(textCol), lit(""))).as("fp"))
@@ -2354,10 +2365,21 @@ object Dedup {
     // fingerprint a second time per cache build (the r17 d11 plan's
     // duplicated increment scans); the window reads its single child
     // once, and its fp-clustering is exactly what the index join keys
-    // on anyway.
-    val incMin = incFp.withColumn("inc_min",
-      min(col(idCol)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+    // on anyway. GATED on the increment's actual scan bytes (the
+    // pairGuard floor): below it the duplicate scan+md5 runs as a
+    // parallel broadcast-future off the critical path and the window's
+    // serial exchange+sort measurably LOSES (refbench r18: d11 ~+0.5 s
+    // paired at sf0.1), above it a second full md5 pass over the
+    // increment is the cost that matters. Both arms are row-identical
+    // (window min == groupBy min joined back on the key; DedupSpec).
+    val incMin =
+      if (windowMin)
+        incFp.withColumn("inc_min",
+          min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      else
+        incFp.join(incFp.groupBy(col("fp"))
+          .agg(min(col(idCol)).as("inc_min")), Seq("fp"))
     // exact stage: one fp-keyed join against the index. Cached (the d2
     // precedent — Verify/Bench clear per query, pipelines own
     // clearCache): `tagged` feeds the survivor filter AND the final
