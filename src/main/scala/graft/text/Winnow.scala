@@ -153,7 +153,7 @@ object Winnow {
   }
 
   /** Shared front-end of the overlap family: the per-doc DISTINCT
-    * winnowed-fingerprint relation `(fp, id)`, boilerplate-pruned at
+    * winnowed-fingerprint relation `(id, fp)`, boilerplate-pruned at
     * `maxDf` over the WHOLE input frame. Cached — see the cache
     * lifecycle note on [[overlapPairs]]; the sampled variant filters
     * AFTER the cache, so its three consumers reuse one materialized
@@ -171,21 +171,26 @@ object Winnow {
       if (!df.isStreaming && base.rdd.getNumPartitions < target)
         base.repartition(target)
       else base
-    // fingerprints() returns a distinct set, so (id, fp) is unique
-    val fps = wide.select(col("id"), explode(fpk(col("__t"))).as("fp"))
-    // df-prune as a WINDOW count over one fp-keyed exchange, not a
-    // groupBy + join-back (r18, guide §2.4): the nondeterministic
-    // kernel blocks exchange reuse between the join form's two fps
-    // subtrees, so the cache build ran the fingerprint kernel TWICE
+    // fingerprints() returns a distinct set, so (id, fp) is unique.
+    // df-prune as a WINDOW count over one fp-keyed exchange, not the
+    // r17 groupBy + join-back (r18, guide §2.4): the nondeterministic
+    // kernel blocked exchange reuse between the join form's two fps
+    // subtrees, so the cache BUILD ran the fingerprint kernel TWICE
     // over the corpus (two scans, two Generates in the r17 plan) and
     // paid two more exchanges + a broadcast for the df dictionary.
-    // The window reads its single child once. The explicit numbered
-    // repartition both spreads the count and PINS the cached
-    // relation's partitioning to hashpartitioning(fp, width) — AQE
-    // cannot byte-coalesce a numbered repartition, and the pair
-    // self-join downstream clusters on fp, so both its exchanges
-    // vanish (the d18 8c->32c flatness was the pair join running on
-    // byte-coalesced splits; same pathology as the SRP `widened` fix).
+    // The window reads its single child once, and the explicit
+    // numbered repartition both spreads the count and pins the cached
+    // relation's width (AQE cannot byte-coalesce a numbered
+    // repartition). Two alternatives were MEASURED and rejected
+    // (plans/r18/refbench_sf1_d18*.json): caching the raw (id, fp)
+    // relation below an uncached groupBy+join prune re-runs the probe
+    // join and df census once per consumer (three consumers) and paired
+    // ~1.9 s SLOWER at 10x data; the r17 shape itself loses the
+    // kernel-pass dedup. The family nets positive under this shape:
+    // paired at sf0.1 d18 +0.41 / d20 +0.11 / d24 +0.12, at 10x data
+    // d20 +0.84 / d24 +0.73 with d18 itself -0.2 (the window sort vs
+    // the old shape's concurrently-built broadcast subtree).
+    val fps = wide.select(col("id"), explode(fpk(col("__t"))).as("fp"))
     fps.repartition(target, col("fp"))
       .withColumn("__dfc", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
@@ -203,7 +208,16 @@ object Winnow {
     */
   private def overlapTail(pf: DataFrame, minShared: Int): DataFrame = {
     val sizes = pf.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val pairs = pf.as("a").join(pf.as("b"),
+    // shuffle_hash pin (r18): both sides are the SAME cached relation,
+    // hash-partitioned by fp (prunedFps' numbered repartition), so a
+    // shuffled-hash join needs NO exchange and no sort — the build is
+    // 1/width of the relation per task. The planner's own choice at
+    // 10x data was a BroadcastHashJoin of the whole 77 MiB / 3.4M-row
+    // cache (its post-filter size estimate undershoots the threshold),
+    // whose single-threaded hash-relation build was the measured sf1
+    // regression (refbench 2.35 -> 3.22 s); sort-merge would re-sort
+    // millions of rows the partitioning already clusters.
+    val pairs = pf.as("a").join(pf.as("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
       .agg(count(lit(1)).as("n_shared"))
